@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL for the correctness gate.
 """
 
 from __future__ import annotations
@@ -13,26 +11,53 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from seo_crawler_spark.plans import crawl_queries as CQ
+from seo_crawler_spark.plans import relational as R
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: histogram + share-of-total (status-code histogram
+    semantics, reference web/static/js/app.js:1285-1355) on sf0.001."""
+    return R.order_priority_counts(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core (SURVEY.md §2.2-2.6)
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "top_orders_per_segment": R.top_orders_per_segment,
+        "customers_without_orders": R.customers_without_orders,
+        "nations_with_customers": R.nations_with_customers,
+        "status_histogram": R.order_priority_counts,
+        "multi_filter_counts": R.multi_filter_counts,
+        # crawl-engine operator semantics (SURVEY.md §2.2, §2.3, §2.5, §2.7)
+        "canonicalize_urls": CQ.canonicalize_urls,
+        "seen_anti_join": CQ.seen_anti_join,
+        "politeness_rank": CQ.politeness_rank,
+        "admission_filter": CQ.admission_filter,
+        "word_counts": CQ.word_counts,
+        "thin_content_issues": CQ.thin_content_issues,
+        "linked_from_counts": CQ.linked_from_counts,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": R.Q1_SQL,
+        "q3_shipping_priority": R.Q3_SQL,
+        "top_orders_per_segment": R.TOP_ORDERS_SQL,
+        "customers_without_orders": R.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "nations_with_customers": R.NATIONS_WITH_CUSTOMERS_SQL,
+        "status_histogram": R.ORDER_PRIORITY_COUNTS_SQL,
+        "multi_filter_counts": R.MULTI_FILTER_COUNTS_SQL,
+        "canonicalize_urls": CQ.canonicalize_urls_sql(),
+        "seen_anti_join": CQ.seen_anti_join_sql(),
+        "politeness_rank": CQ.POLITENESS_RANK_SQL,
+        "admission_filter": CQ.admission_filter_sql(),
+        "word_counts": CQ.WORD_COUNTS_SQL,
+        "thin_content_issues": CQ.THIN_CONTENT_SQL,
+        "linked_from_counts": CQ.LINKED_FROM_COUNTS_SQL,
+    }

@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Simulate the grading driver: entry() smoke on sf0.001 + per-query
+DuckDB-oracle comparison at sf0.01. Exit code 1 on any mismatch."""
+
+from __future__ import annotations
+
+import importlib.util
+import math
+import sys
+
+import duckdb
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else f"{v:.6g}"
+    return str(v)
+
+
+def main() -> int:
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("driver-sim")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    df = m.entry(spark)
+    rows = df.collect()
+    print(f"ENTRY rows={len(rows)} schema={df.schema.simpleString()}")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_ORACLE}/{t}.parquet')"
+        )
+
+    qs, oracles = m.queries(), m.oracle_sql()
+    n_ok = n_fail = n_rows_only = 0
+    for name, q in qs.items():
+        sdf = q(spark, SF_ORACLE)
+        scols = [c.lower() for c in sdf.columns]
+        srows = [tuple(r) for r in sdf.collect()]
+        if name not in oracles:
+            print(f"{name}: rows={len(srows)} (rows-only, no oracle)")
+            n_rows_only += 1
+            continue
+        res = con.execute(oracles[name])
+        dcols = [d[0].lower() for d in res.description]
+        drows = res.fetchall()
+        so = sorted(range(len(scols)), key=lambda i: scols[i])
+        do = sorted(range(len(dcols)), key=lambda i: dcols[i])
+        sset = sorted("|".join(norm(r[i]) for i in so) for r in srows)
+        dset = sorted("|".join(norm(r[i]) for i in do) for r in drows)
+        match = (
+            sorted(scols) == sorted(dcols)
+            and len(srows) == len(drows)
+            and sset == dset
+        )
+        print(f"{name}: rows={len(srows)} match={match}")
+        if match:
+            n_ok += 1
+        else:
+            n_fail += 1
+            if sorted(scols) != sorted(dcols):
+                print(f"  cols spark={scols} duck={dcols}")
+            else:
+                diff = [(a, b) for a, b in zip(sset, dset) if a != b][:3]
+                print(f"  first diffs: {diff}")
+    print(f"TOTAL ok={n_ok} fail={n_fail} rows_only={n_rows_only}")
+    spark.stop()
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

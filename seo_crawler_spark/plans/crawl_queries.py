@@ -1,0 +1,260 @@
+"""Crawl-engine operator semantics expressed over the driver testdata.
+
+The driver's correctness gate runs DuckDB oracles against the
+pre-registered testdata views only — so each crawl operator
+(canonicalization, seen-set anti-join, politeness ranking, admission
+filtering, issue rules, word counting) is exercised here over URLs
+synthesized *deterministically inside the query* from the `documents`
+table. The same synthesis expression exists in the oracle SQL, so both
+engines see byte-identical inputs. The real frontier engine (waves,
+bloom state, resume) lives in operators/ and is tested by pytest golden
+fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import urls as U
+from ..sources.tables import load
+
+# Messy-URL synthesis: mixed-case scheme/host, default port, unsorted query
+# params, fragment — exercises every canonicalization rule.
+# Spark and DuckDB expressions must stay in lockstep.
+_SYNTH_URL_SQL = (
+    "'HTTP://WWW.' || source || '.Example.COM:80/docs/' || CAST(doc_id AS VARCHAR)"
+    " || '.html?b=' || CAST(doc_id % 7 AS VARCHAR)"
+    " || '&a=' || CAST(doc_id % 3 AS VARCHAR) || '#frag'"
+)
+
+
+def _synth_url(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "raw_url",
+        F.concat(
+            F.lit("HTTP://WWW."),
+            F.col("source"),
+            F.lit(".Example.COM:80/docs/"),
+            F.col("doc_id").cast("string"),
+            F.lit(".html?b="),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("&a="),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("#frag"),
+        ),
+    )
+
+
+def canonicalize_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star URL canonicalization (lowercase scheme/host, strip
+    default port + fragment, sort query params) as a pure column
+    expression — JVM-side, whole-stage-codegen, no Python in the loop."""
+    docs = _synth_url(load(spark, "documents", sf_dir))
+    return docs.select(
+        F.col("doc_id"),
+        U.canonicalize_url(F.col("raw_url")).alias("canonical_url"),
+        U.url_host(F.col("raw_url")).alias("host"),
+        U.url_extension(F.col("raw_url")).alias("extension"),
+    ).orderBy("doc_id")
+
+
+def canonicalize_urls_sql() -> str:
+    canon = U.canonicalize_url_sql("raw_url")
+    host = (
+        "regexp_replace(regexp_replace(lower(regexp_extract(raw_url,"
+        " '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^.*@', ''),"
+        " ':[0-9]*$', '')"
+    )
+    ext = (
+        "CASE WHEN contains(lower(regexp_extract(raw_url,"
+        " '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)), '.')"
+        " THEN regexp_extract(lower(regexp_extract(raw_url,"
+        " '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)), '\\.([^./]*)$', 1)"
+        " ELSE '' END"
+    )
+    return f"""
+WITH synth AS (SELECT doc_id, {_SYNTH_URL_SQL} AS raw_url FROM documents)
+SELECT doc_id, {canon} AS canonical_url, {host} AS host, {ext} AS extension
+FROM synth ORDER BY doc_id
+"""
+
+
+def seen_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The core frontier dedup operator: admit candidate URLs not in the
+    seen set (reference: src/core/link_manager.py:48-55 set membership →
+    left-anti join here; the bloom-filter state table version lives in
+    operators/seen.py and is a prune in front of this exact join)."""
+    docs = _synth_url(load(spark, "documents", sf_dir))
+    cand = docs.select(
+        "doc_id", U.canonicalize_url(F.col("raw_url")).alias("url")
+    )
+    seen = cand.filter(F.col("doc_id") % 3 == 0).select(F.col("url").alias("seen_url"))
+    return (
+        cand.join(seen, cand.url == seen.seen_url, "left_anti")
+        .select("doc_id", "url")
+        .orderBy("doc_id")
+    )
+
+
+def seen_anti_join_sql() -> str:
+    canon = U.canonicalize_url_sql("raw_url")
+    return f"""
+WITH synth AS (SELECT doc_id, {_SYNTH_URL_SQL} AS raw_url FROM documents),
+cand AS (SELECT doc_id, {canon} AS url FROM synth)
+SELECT doc_id, url FROM cand
+WHERE url NOT IN (SELECT url FROM cand WHERE doc_id % 3 = 0)
+ORDER BY doc_id
+"""
+
+
+def politeness_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness budget as a window-rank gate: the reference's
+    global token-bucket (src/core/rate_limiter.py:24-38) becomes a
+    logical scheduling constraint — row_number per host ordered by
+    discovery seq, admit rank <= budget. Hosts here come from `source`
+    (20 hosts), budget 5 per wave."""
+    docs = load(spark, "documents", sf_dir)
+    w = Window.partitionBy("source").orderBy(F.asc("doc_id"))
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.col("source").alias("host"),
+            F.col("doc_id").alias("seq"),
+            F.col("rnk"),
+        )
+        .orderBy("host", "rnk")
+    )
+
+
+POLITENESS_RANK_SQL = """
+SELECT source AS host, doc_id AS seq, rnk
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rnk
+  FROM documents
+) t
+WHERE rnk <= 5
+ORDER BY host, rnk
+"""
+
+
+def admission_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Admission predicate (reference: src/crawler.py:1139-1179):
+    extension include/exclude lists + regex include/exclude patterns,
+    evaluated as pure column predicates at discovery time (pushdown)."""
+    docs = _synth_url(load(spark, "documents", sf_dir))
+    url = U.canonicalize_url(F.col("raw_url"))
+    ext = U.url_extension(F.col("raw_url"))
+    return (
+        docs.select(F.col("doc_id"), url.alias("url"), ext.alias("extension"))
+        # include_extensions: html/htm/php... (crawler.py default config)
+        .filter(F.col("extension").isin("html", "htm", "php", "asp", "aspx", "jsp"))
+        # exclude_patterns: drop docs whose id ends in 0 via URL regex
+        .filter(~F.col("url").rlike(r"/docs/\d*0\.html"))
+        .orderBy("doc_id")
+    )
+
+
+def admission_filter_sql() -> str:
+    canon = U.canonicalize_url_sql("raw_url")
+    ext = (
+        "regexp_extract(lower(regexp_extract(raw_url,"
+        " '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)), '\\.([^./]*)$', 1)"
+    )
+    return f"""
+WITH synth AS (SELECT doc_id, {_SYNTH_URL_SQL} AS raw_url FROM documents),
+cand AS (SELECT doc_id, {canon} AS url, {ext} AS extension FROM synth)
+SELECT doc_id, url, extension FROM cand
+WHERE extension IN ('html','htm','php','asp','aspx','jsp')
+  AND NOT regexp_matches(url, '/docs/[0-9]*0\\.html')
+ORDER BY doc_id
+"""
+
+
+def word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r"""Word counting with the reference's exact token rule
+    (src/core/seo_extractor.py:32-34: len(re.findall(r'\b\w+\b', text)))
+    — expressed as regexp_extract_all + size, JVM-side."""
+    docs = load(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+"), 0)).alias(
+            "word_count"
+        ),
+    ).orderBy("doc_id")
+
+
+WORD_COUNTS_SQL = """
+SELECT doc_id, len(regexp_extract_all(text, '\\w+')) AS word_count
+FROM documents ORDER BY doc_id
+"""
+
+
+def thin_content_issues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Issue rule engine row shape (reference: src/core/issue_detector.py
+    :115-127 Thin Content: word_count < 300 → warning/Content)."""
+    docs = load(spark, "documents", sf_dir)
+    wc = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+"), 0))
+    return (
+        docs.select(F.col("doc_id"), wc.alias("word_count"))
+        .filter(F.col("word_count") < 60)
+        .select(
+            F.col("doc_id"),
+            F.lit("warning").alias("type"),
+            F.lit("Content").alias("category"),
+            F.lit("Thin Content").alias("issue"),
+            F.concat(
+                F.lit("Page has only "),
+                F.col("word_count").cast("string"),
+                F.lit(" words"),
+            ).alias("details"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+THIN_CONTENT_SQL = """
+WITH wc AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\\w+')) AS word_count
+  FROM documents
+)
+SELECT doc_id, 'warning' AS type, 'Content' AS category,
+       'Thin Content' AS issue,
+       'Page has only ' || CAST(word_count AS VARCHAR) || ' words' AS details
+FROM wc WHERE word_count < 60
+ORDER BY doc_id
+"""
+
+
+def linked_from_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """linked_from reverse-edge aggregation (reference:
+    src/core/link_manager.py:43-46,204-207 source_pages map): edges
+    synthesized as doc -> doc*2+1 (mod n) over the documents table;
+    groupBy target + count distinct sources + min source."""
+    docs = load(spark, "documents", sf_dir)
+    n = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("source_id"),
+        ((F.col("doc_id") * 2 + 1) % n).alias("target_id"),
+    )
+    return (
+        edges.groupBy("target_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.min("source_id").alias("first_source"),
+        )
+        .orderBy("target_id")
+    )
+
+
+LINKED_FROM_COUNTS_SQL = """
+WITH n AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT doc_id AS source_id, (doc_id * 2 + 1) % (SELECT n FROM n) AS target_id
+  FROM documents
+)
+SELECT target_id, count(*) AS n_sources, min(source_id) AS first_source
+FROM edges GROUP BY target_id ORDER BY target_id
+"""
