@@ -1,0 +1,406 @@
+"""Wave-orchestrated URL-frontier engine — the flagship operator.
+
+The reference crawls with a FIFO deque + worker threads
+(src/crawler.py:669-744, src/core/link_manager.py:177-182). Here one
+Spark job per BFS wave replaces the loop; the crawl-order contract is
+``(wave, seq)`` where ``seq`` is the global discovery index:
+depth-major BFS, within a page = anchor document order — exactly the
+order the reference's single-threaded scheduler would pop.
+
+Per wave (all DataFrame ops; the driver only sequences waves):
+
+  frontier ──politeness rank-gate──▶ scheduled ──join corpus──▶ fetched
+     │                                                              │
+     └─ deferred (re-queued)               mapInPandas extraction ──┤
+                                                                    ▼
+  seen ◀─ bloom+exact anti-join ◀─ admission predicate ◀─ exploded links
+    │                                                               │
+    └──────────▶ next frontier (ordered_seq over src_seq,anchor_pos)┘
+
+Reference parity notes:
+  * admission predicate = crawler.py:1139-1179 (external-domain policy,
+    robots, extension include/exclude, regex patterns)
+  * expansion gate = crawler.py:895-902 (internal ∧ depth < max_depth)
+  * max_urls budget = crawler.py:680-681 (first N in BFS order)
+  * first-discovery-wins dedupe = link_manager.py:48-55
+  * the reference's 1000-URL checkpoint cap (crawler.py:596) is a
+    data-loss bug we do NOT reproduce — full frontier persisted.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import time
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import urls as U
+from .extract import extract_pages, explode_links
+from .ordering import ordered_seq
+from .politeness import politeness_gate
+from .seen import bloom_build, bloom_merge, dedupe_against_seen
+
+
+@dataclass
+class CrawlConfig:
+    """Mirrors the reference's crawler config defaults (crawler.py:95-135)."""
+
+    max_depth: int = 3
+    max_urls: int = 1000
+    crawl_external: bool = False
+    respect_robots: bool = True
+    include_extensions: tuple = ("html", "htm", "php", "asp", "aspx", "jsp")
+    exclude_extensions: tuple = ("pdf", "doc", "docx", "zip", "exe", "dmg")
+    include_patterns: tuple = ()
+    exclude_patterns: tuple = ()
+    politeness_budget: int | None = None  # None → no per-wave host cap
+    wave_seconds: float = 60.0
+    salt_buckets: int = 1
+    use_bloom: bool = True
+    base_domain: str | None = None
+    max_waves: int = 64
+
+
+@dataclass
+class CrawlResult:
+    pages: DataFrame
+    links: DataFrame
+    seen: DataFrame
+    order: DataFrame  # (url, wave, seq) — the crawl-order contract
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _glob_to_regex_col(globs_col):
+    """disallow globs arrive as fnmatch patterns; robots gate needs regexes.
+    Translated once per dimension row (vectorized pandas UDF)."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def translate(s: pd.Series) -> pd.Series:
+        # \A anchor: fnmatch is a full match; rlike/regexp_like is an
+        # unanchored search (translate() already appends \Z).
+        return s.map(
+            lambda globs: ["\\A" + fnmatch.translate(g) for g in (globs or [])]
+        )
+
+    return translate(globs_col)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        corpus: DataFrame,
+        robots: DataFrame | None = None,
+        config: CrawlConfig | None = None,
+        state_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.cfg = config or CrawlConfig()
+        self.corpus = corpus.select(
+            "doc_id", "host", "status_code", "content_type", "size",
+            "response_time_ms", "raw_html",
+        )
+        self.robots = robots
+        self.state_dir = state_dir
+        self._robots_dim = None
+        if robots is not None:
+            self._robots_dim = (
+                robots.select(
+                    F.col("host").alias("__rb_host"),
+                    _glob_to_regex_col(F.col("disallow_globs")).alias("__rb_res"),
+                )
+            ).localCheckpoint(eager=True)
+
+    # -- admission predicate (crawler.py:1139-1179) ----------------------
+    def _admit(self, cand: DataFrame, base_domain: str) -> DataFrame:
+        cfg = self.cfg
+        url = F.col("url")
+        out = cand
+        if not cfg.crawl_external:
+            out = out.filter(U.is_internal(url, base_domain))
+        if cfg.respect_robots and self._robots_dim is not None:
+            path = U.url_path(url)
+            out = (
+                out.join(
+                    F.broadcast(self._robots_dim),
+                    out.host == F.col("__rb_host"),
+                    "left",
+                )
+                .filter(
+                    F.col("__rb_res").isNull()
+                    | ~F.exists(
+                        F.col("__rb_res"), lambda r: F.regexp_like(path, r)
+                    )
+                )
+                .drop("__rb_host", "__rb_res")
+            )
+        # reference: extension checks apply only when '.' in path
+        # (crawler.py:1154-1162)
+        has_dot = F.lower(U.url_path(url)).contains(".")
+        ext = U.url_extension(url)
+        if cfg.exclude_extensions:
+            out = out.filter(~(has_dot & ext.isin(*cfg.exclude_extensions)))
+        if cfg.include_extensions:
+            out = out.filter((~has_dot) | ext.isin(*cfg.include_extensions))
+        for pat in cfg.exclude_patterns:
+            out = out.filter(~url.rlike(pat))
+        if cfg.include_patterns:
+            cond = F.lit(False)
+            for pat in cfg.include_patterns:
+                cond = cond | url.rlike(pat)
+            out = out.filter(cond)
+        return out
+
+    # -- wave loop --------------------------------------------------------
+    def run(self, seeds: list[str]) -> CrawlResult:
+        spark, cfg = self.spark, self.cfg
+        if cfg.base_domain:
+            base_domain = cfg.base_domain
+        else:
+            # base domain comes from the CANONICAL first seed (north-star
+            # canonicalization strips :443 etc.) — raw netloc would keep
+            # the port and misclassify every link as external
+            from urllib.parse import urlparse
+
+            from ..functions.urls import _canonicalize_py
+
+            first = seeds[0] if "://" in seeds[0] else f"https://{seeds[0]}"
+            base_domain = urlparse(_canonicalize_py(first)).netloc
+
+        # wave 0: canonicalize seeds, first-listed wins (reference add_url
+        # order = caller order); seeds bypass the admission predicate
+        # (crawler.py:245 add_url has no should_crawl callback)
+        seeds_df = spark.createDataFrame(
+            [(u, i) for i, u in enumerate(seeds)], "raw string, list_pos long"
+        )
+        w = Window.partitionBy("url").orderBy("list_pos")
+        f0 = (
+            seeds_df.select(
+                U.canonicalize_url(F.col("raw")).alias("url"), "list_pos"
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        frontier = (
+            ordered_seq(f0, ["list_pos"], seq_col="seq", start=0)
+            .select(
+                "url",
+                U.url_hash(F.col("url")).alias("url_hash"),
+                U.url_host(F.col("url")).alias("host"),
+                F.lit(0).alias("depth"),
+                F.lit(0).alias("wave"),
+                "seq",
+            )
+            .localCheckpoint(eager=True)
+        )
+
+        seen = frontier.select("url_hash", "url", "wave").localCheckpoint(eager=True)
+        bloom = bloom_build(seen).localCheckpoint(eager=True) if cfg.use_bloom else None
+        next_seq = frontier.count()
+        crawled_total = 0
+        wave = 0
+        pages_parts: list[DataFrame] = []
+        links_parts: list[DataFrame] = []
+        metrics: list[dict] = []
+
+        while wave < cfg.max_waves and crawled_total < cfg.max_urls:
+            t0 = time.monotonic()
+            n_frontier = frontier.count()
+            if n_frontier == 0:
+                break
+
+            # politeness rank-gate (logical budget, not wall-clock sleep)
+            if cfg.politeness_budget is not None:
+                scheduled, deferred = politeness_gate(
+                    frontier,
+                    cfg.politeness_budget,
+                    robots=self.robots,
+                    wave_seconds=cfg.wave_seconds,
+                    salt_buckets=cfg.salt_buckets,
+                )
+            else:
+                scheduled, deferred = frontier, None
+
+            # global max_urls budget: first N in BFS order (crawler.py:680)
+            remaining = cfg.max_urls - crawled_total
+            n_sched = scheduled.count()
+            if n_sched > remaining:
+                scheduled = scheduled.orderBy("seq").limit(remaining)
+                n_sched = remaining
+            scheduled = scheduled.localCheckpoint(eager=True)
+
+            # "fetch" = join against the corpus (no live network; a miss is
+            # the moral equivalent of a dead link → empty error result,
+            # reference seo_extractor.create_empty_result)
+            fetched = (
+                scheduled.join(
+                    self.corpus, scheduled.url == self.corpus.doc_id, "left"
+                )
+                .select(
+                    scheduled.url,
+                    F.coalesce(self.corpus.status_code, F.lit(0)).alias("status_code"),
+                    F.coalesce(self.corpus.content_type, F.lit("")).alias("content_type"),
+                    F.coalesce(self.corpus["size"], F.lit(0)).alias("size"),
+                    scheduled.depth,
+                    F.lit(wave).alias("wave"),
+                    scheduled.seq,
+                    scheduled.host,
+                    F.coalesce(self.corpus.response_time_ms, F.lit(0.0)).alias(
+                        "response_time"
+                    ),
+                    F.when(self.corpus.doc_id.isNull(), F.lit("fetch failed"))
+                    .otherwise(F.lit(None).cast("string"))
+                    .alias("error"),
+                    F.coalesce(self.corpus.raw_html, F.lit("")).alias("raw_html"),
+                )
+            )
+
+            extracted = extract_pages(fetched, base_domain).localCheckpoint(eager=True)
+            pages_parts.append(extracted)
+            wave_links = explode_links(
+                extracted.withColumn(
+                    "links",
+                    F.when(F.col("status_code") == 200, F.col("links")).otherwise(
+                        F.array().cast(extracted.schema["links"].dataType)
+                    ),
+                )
+            ).localCheckpoint(eager=True)
+            links_parts.append(wave_links)
+            crawled_total += n_sched
+
+            # -- expansion (crawler.py:895-902) ---------------------------
+            new_frontier = None
+            if crawled_total < cfg.max_urls:
+                src = extracted.select(
+                    F.col("url").alias("source_url"),
+                    F.col("depth").alias("src_depth"),
+                    U.is_internal(F.col("url"), base_domain).alias("src_internal"),
+                )
+                cand = (
+                    wave_links.join(src, "source_url")
+                    .filter(
+                        (F.col("src_depth") < cfg.max_depth)
+                        & (F.col("src_internal") | F.lit(cfg.crawl_external))
+                    )
+                    .select(
+                        U.canonicalize_url(F.col("target_url")).alias("url"),
+                        F.col("source_url"),
+                        (F.col("src_depth") + 1).alias("depth"),
+                        F.col("src_seq"),
+                        F.col("anchor_pos"),
+                    )
+                    .filter(F.col("url") != U.canonicalize_url(F.col("source_url")))
+                )
+                cand = cand.withColumn("host", U.url_host(F.col("url")))
+                cand = self._admit(cand, base_domain)
+                # first-discovery-wins within the wave
+                wdisc = Window.partitionBy("url").orderBy("src_seq", "anchor_pos")
+                cand = (
+                    cand.withColumn("__rn", F.row_number().over(wdisc))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+                cand = cand.withColumn("url_hash", U.url_hash(F.col("url")))
+                fresh = dedupe_against_seen(cand, seen, bloom)
+                fresh = ordered_seq(
+                    fresh, ["src_seq", "anchor_pos"], seq_col="seq", start=next_seq
+                ).localCheckpoint(eager=True)
+                n_new = fresh.count()
+                next_seq += n_new
+                new_frontier = fresh.select(
+                    "url", "url_hash", "host", "depth",
+                    F.lit(wave + 1).alias("wave"), "seq",
+                )
+                if n_new:
+                    new_seen = fresh.select(
+                        "url_hash", "url", F.lit(wave + 1).alias("wave")
+                    )
+                    seen = seen.unionByName(new_seen).localCheckpoint(eager=True)
+                    if bloom is not None:
+                        bloom = bloom_merge(bloom, bloom_build(new_seen)).localCheckpoint(
+                            eager=True
+                        )
+            else:
+                n_new = 0
+
+            parts = [
+                p
+                for p in (
+                    deferred,
+                    new_frontier,
+                )
+                if p is not None
+            ]
+            if parts:
+                nxt = parts[0]
+                for p in parts[1:]:
+                    nxt = nxt.unionByName(p)
+                frontier = nxt.localCheckpoint(eager=True)
+            else:
+                frontier = spark.createDataFrame([], frontier.schema)
+
+            metrics.append(
+                {
+                    "wave": wave,
+                    "frontier": n_frontier,
+                    "scheduled": n_sched,
+                    "new_urls": n_new,
+                    "crawled_total": crawled_total,
+                    "seconds": round(time.monotonic() - t0, 3),
+                }
+            )
+            if self.state_dir:
+                self._snapshot(wave, frontier, seen, extracted, wave_links, metrics[-1])
+            wave += 1
+
+        pages = pages_parts[0]
+        for p in pages_parts[1:]:
+            pages = pages.unionByName(p)
+        links = links_parts[0]
+        for l in links_parts[1:]:
+            links = links.unionByName(l)
+
+        # linked_from backfill (crawler.py:1125-1137): all sources that link
+        # to each crawled URL, first-seen order
+        linked = (
+            links.groupBy("target_url")
+            .agg(
+                F.array_distinct(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("src_seq", "anchor_pos", "source_url"))
+                        ),
+                        lambda s: s["source_url"],
+                    )
+                ).alias("linked_from")
+            )
+        )
+        pages = (
+            pages.drop("links")
+            .join(linked, pages.url == linked.target_url, "left")
+            .drop("target_url")
+            .withColumn(
+                "linked_from",
+                F.coalesce(F.col("linked_from"), F.array().cast("array<string>")),
+            )
+        )
+        # link→status join (link_manager.py:193-202)
+        status = pages.select(F.col("url").alias("__u"), F.col("status_code").alias("target_status"))
+        links = (
+            links.join(status, links.target_url == F.col("__u"), "left").drop("__u")
+        )
+
+        order = pages.select("url", "wave", "seq").orderBy("seq")
+        return CrawlResult(pages=pages, links=links, seen=seen, order=order, metrics=metrics)
+
+    def _snapshot(self, wave, frontier, seen, pages, links, metric):
+        from ..state.snapshots import SnapshotStore
+
+        store = SnapshotStore(self.state_dir)
+        store.commit_wave(wave, frontier=frontier, seen=seen, pages=pages, links=links, metric=metric)

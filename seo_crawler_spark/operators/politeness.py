@@ -1,0 +1,67 @@
+"""Per-host politeness scheduling as a window-rank budget gate.
+
+The reference enforces politeness with a wall-clock token bucket
+(src/core/rate_limiter.py:24-38, applied crawler.py:1055-1057). With no
+live network, politeness is a *logical scheduling constraint*: at most
+``budget(host)`` URLs of a host may be fetched per wave; the rest defer
+to later waves, earliest-seq first (a per-host priority queue).
+
+Skew: a mega-host (30% of a 10^10 frontier) would funnel through one
+window partition. ``salt_buckets`` splits each host into k salted
+sub-queues ranked in parallel, each admitting ceil(B/k) — same budget,
+k-way parallel ranking, deterministic (salt = pmod(url_hash, k)).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def politeness_gate(
+    frontier: DataFrame,
+    default_budget: int,
+    robots: DataFrame | None = None,
+    wave_seconds: float = 60.0,
+    salt_buckets: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """Split frontier into (scheduled, deferred) under per-host budgets.
+
+    Budget per host = floor(wave_seconds / crawl_delay) when robots has a
+    crawl_delay for the host, else ``default_budget``. Admission order
+    within a host is strictly by frontier ``seq`` (FIFO priority).
+    """
+    df = frontier
+    if robots is not None:
+        dim = robots.select(
+            F.col("host").alias("__rhost"),
+            F.floor(F.lit(wave_seconds) / F.col("crawl_delay")).cast("int").alias("__rbudget"),
+        )
+        df = df.join(F.broadcast(dim), df.host == F.col("__rhost"), "left").drop("__rhost")
+        budget_col = F.coalesce(F.col("__rbudget"), F.lit(default_budget))
+    else:
+        budget_col = F.lit(default_budget)
+
+    if salt_buckets > 1:
+        salt = F.pmod(F.col("url_hash"), F.lit(salt_buckets))
+        per_bucket = F.ceil(budget_col / F.lit(salt_buckets)).cast("int")
+        w = Window.partitionBy("host", salt).orderBy("seq")
+        df = df.withColumn("__rnk", F.row_number().over(w)).withColumn(
+            "__admit", F.col("__rnk") <= per_bucket
+        )
+    else:
+        w = Window.partitionBy("host").orderBy("seq")
+        df = df.withColumn("__rnk", F.row_number().over(w)).withColumn(
+            "__admit", F.col("__rnk") <= budget_col
+        )
+
+    drop = [c for c in ("__rnk", "__admit", "__rbudget") if c in df.columns]
+    scheduled = df.filter(F.col("__admit")).drop(*drop)
+    deferred = df.filter(~F.col("__admit")).drop(*drop)
+    return scheduled, deferred
+
+
+def host_budget(crawl_delay: float, wave_seconds: float = 60.0) -> int:
+    return max(1, math.floor(wave_seconds / max(crawl_delay, 1e-9)))
