@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""Round benchmark. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "frontier_urls_per_sec": ...}
+
+Headline queries run at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]; the frontier-scheduling bench (the
+north-rule metric: URLs scheduled+deduped/sec) runs over a
+deterministically synthesized skewed frontier (column exprs only).
+Scaling evidence (local[8] vs local[32]) lives in
+scripts/bench_scaling.py → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+SF_DIR = os.environ["SPARK_GRAFT_SF_DIR"]
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+FRONTIER_N = int(os.environ.get("BENCH_FRONTIER_N", 2_000_000))
+
+
+def synth_raw_frontier(spark, n: int, partitions: int | None = None):
+    """Skewed messy frontier: host0 is a mega-host (~30%), the rest
+    spread over 200 hosts; URLs arrive messy (case/port/unsorted
+    params/fragment) — the canonicalization stage has real work."""
+    from pyspark.sql import functions as F
+
+    ids = spark.range(0, n, numPartitions=partitions or int(CPUS) * 4)
+    h = F.xxhash64(F.col("id"))
+    host = (
+        F.when(F.pmod(h, F.lit(10)) < 3, F.lit("host0"))
+        .otherwise(F.concat(F.lit("host"), F.pmod(h, F.lit(200)).cast("string")))
+    )
+    raw = F.concat(
+        F.lit("HTTPS://WWW."), host, F.lit(".Example.COM:443/p/"),
+        F.col("id").cast("string"),
+        F.lit(".html?b="), F.pmod(F.col("id"), F.lit(7)).cast("string"),
+        F.lit("&a="), F.pmod(F.col("id"), F.lit(3)).cast("string"),
+        F.lit("#frag"),
+    )
+    return ids.select(F.col("id").alias("seq"), raw.alias("raw_url"))
+
+
+def canonicalize_stage(raw_frontier):
+    """raw_url → (seq, url, url_hash, host): the north-rule hot path,
+    all JVM-side column expressions (whole-stage codegen)."""
+    from pyspark.sql import functions as F
+
+    from seo_crawler_spark.functions import urls as U
+
+    return raw_frontier.select(
+        "seq",
+        U.canonicalize_url(F.col("raw_url")).alias("url"),
+    ).select(
+        "seq",
+        "url",
+        U.url_hash(F.col("url")).alias("url_hash"),
+        U.url_host(F.col("url")).alias("host"),
+    )
+
+
+def synth_frontier(spark, n: int):
+    return canonicalize_stage(synth_raw_frontier(spark, n))
+
+
+def frontier_bench(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    from seo_crawler_spark.operators.politeness import politeness_tag
+    from seo_crawler_spark.operators.seen import bloom_build, dedupe_against_seen
+
+    raw = synth_raw_frontier(spark, FRONTIER_N).localCheckpoint(eager=True)
+    # seen = every third URL (prior waves), pre-materialized state
+    seen = (
+        canonicalize_stage(raw)
+        .filter(F.pmod(F.col("url_hash"), F.lit(3)) == 0)
+        .select("url_hash", "url", F.lit(0).alias("wave"))
+        .localCheckpoint(eager=True)
+    )
+
+    # primary timed path = the full north-rule hot loop from raw URLs:
+    # canonicalize → xxhash → seen anti-join → politeness rank.
+    # Dedup strategy here is what the engine picks at this seen size —
+    # exact anti-join (bloom pays off when |seen| dwarfs candidates and
+    # lives bucketed on disk; measured separately below).
+    t0 = time.monotonic()
+    cand = (
+        canonicalize_stage(raw)
+        .withColumn("depth", F.lit(1))
+        .withColumn("wave", F.lit(1))
+    )
+    fresh = dedupe_against_seen(cand, seen, None)
+    tagged = politeness_tag(fresh, default_budget=5000, salt_buckets=8)
+    counts = {
+        bool(r["admitted"]): r["n"]
+        for r in tagged.groupBy("admitted").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    dt = time.monotonic() - t0
+    n_sched, n_def = counts.get(True, 0), counts.get(False, 0)
+
+    # secondary: bloom-path numbers (build once + probe per wave)
+    tb0 = time.monotonic()
+    bloom = bloom_build(seen).localCheckpoint(eager=True)
+    bloom_build_sec = time.monotonic() - tb0
+    tb1 = time.monotonic()
+    n_bloom = dedupe_against_seen(cand, seen, bloom).count()
+    bloom_probe_sec = time.monotonic() - tb1
+    assert n_bloom == n_sched + n_def, (n_bloom, n_sched, n_def)
+
+    return {
+        "frontier_n": FRONTIER_N,
+        "frontier_scheduled": n_sched,
+        "frontier_deferred": n_def,
+        "frontier_sec": round(dt, 3),
+        "frontier_urls_per_sec": round(FRONTIER_N / dt),
+        "frontier_bloom_build_sec": round(bloom_build_sec, 3),
+        "frontier_bloom_dedupe_sec": round(bloom_probe_sec, 3),
+    }
+
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "top_orders_per_segment",
+    "status_histogram",
+    "canonicalize_urls",
+    "seen_anti_join",
+    "word_counts",
+    "linked_from_counts",
+]
+
+
+def main() -> int:
+    from seo_crawler_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=int(CPUS))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.monotonic()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    fb = frontier_bench(spark)
+    total = round(sum(timings.values()) + fb["frontier_sec"], 3)
+    out = {
+        "metric": "headline_suite_plus_frontier_sched",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("/")[-1],
+        **fb,
+        "cpus": int(CPUS),
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -62,6 +62,9 @@ class CrawlConfig:
     wave_seconds: float = 60.0
     salt_buckets: int = 1
     use_bloom: bool = True
+    # bloom is a win only once the seen table dwarfs per-wave candidates;
+    # below this row count the exact anti-join is strictly faster
+    bloom_min_seen: int = 2_000_000
     base_domain: str | None = None
     max_waves: int = 64
 
@@ -201,7 +204,7 @@ class CrawlEngine:
         )
 
         seen = frontier.select("url_hash", "url", "wave").localCheckpoint(eager=True)
-        bloom = bloom_build(seen).localCheckpoint(eager=True) if cfg.use_bloom else None
+        bloom = None
         next_seq = frontier.count()
         crawled_total = 0
         wave = 0
@@ -307,6 +310,8 @@ class CrawlEngine:
                     .drop("__rn")
                 )
                 cand = cand.withColumn("url_hash", U.url_hash(F.col("url")))
+                if cfg.use_bloom and bloom is None and next_seq >= cfg.bloom_min_seen:
+                    bloom = bloom_build(seen).localCheckpoint(eager=True)
                 fresh = dedupe_against_seen(cand, seen, bloom)
                 fresh = ordered_seq(
                     fresh, ["src_seq", "anchor_pos"], seq_col="seq", start=next_seq
@@ -323,9 +328,9 @@ class CrawlEngine:
                     )
                     seen = seen.unionByName(new_seen).localCheckpoint(eager=True)
                     if bloom is not None:
-                        bloom = bloom_merge(bloom, bloom_build(new_seen)).localCheckpoint(
-                            eager=True
-                        )
+                        bloom = bloom_merge(
+                            bloom, bloom_build(new_seen)
+                        ).localCheckpoint(eager=True)
             else:
                 n_new = 0
 

@@ -20,12 +20,28 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def politeness_tag(
+    frontier: DataFrame,
+    default_budget: int,
+    robots: DataFrame | None = None,
+    wave_seconds: float = 60.0,
+    salt_buckets: int = 1,
+) -> DataFrame:
+    """Tag frontier rows with ``admitted`` under per-host budgets
+    (single pass; lets callers count both sides in one job)."""
+    scheduled, deferred = politeness_gate(
+        frontier, default_budget, robots, wave_seconds, salt_buckets, _tag_only=True
+    )
+    return scheduled  # _tag_only returns the tagged frame as first element
+
+
 def politeness_gate(
     frontier: DataFrame,
     default_budget: int,
     robots: DataFrame | None = None,
     wave_seconds: float = 60.0,
     salt_buckets: int = 1,
+    _tag_only: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Split frontier into (scheduled, deferred) under per-host budgets.
 
@@ -57,9 +73,12 @@ def politeness_gate(
             "__admit", F.col("__rnk") <= budget_col
         )
 
-    drop = [c for c in ("__rnk", "__admit", "__rbudget") if c in df.columns]
-    scheduled = df.filter(F.col("__admit")).drop(*drop)
-    deferred = df.filter(~F.col("__admit")).drop(*drop)
+    drop = [c for c in ("__rnk", "__rbudget") if c in df.columns]
+    df = df.drop(*drop).withColumnRenamed("__admit", "admitted")
+    if _tag_only:
+        return df, df
+    scheduled = df.filter(F.col("admitted")).drop("admitted")
+    deferred = df.filter(~F.col("admitted")).drop("admitted")
     return scheduled, deferred
 
 

@@ -100,33 +100,43 @@ def bloom_prune(
     bits: int = DEFAULT_BITS,
     k: int = DEFAULT_K,
 ) -> DataFrame:
-    """Tag candidates with ``maybe_seen`` by cogrouped per-bucket probe.
+    """url_hash → ``maybe_seen`` flags via cogrouped per-bucket probe.
 
-    Candidates and state shuffle on the same bucket key → the bitmap
-    never replicates per row, each task touches exactly one bucket.
+    Only the 8-byte hash column crosses the Python boundary (Arrow both
+    ways); candidate payloads never leave the JVM. Candidates and state
+    shuffle on the same bucket key → each task touches exactly one
+    bucket's bitmap, no per-row bitmap replication.
+
+    Returns a DataFrame (url_hash, maybe_seen) — join it back or feed it
+    to :func:`dedupe_against_seen`.
     """
-    cand = with_bucket(candidates, n_buckets)
+    cand = with_bucket(candidates.select("url_hash"), n_buckets)
     out_schema = T.StructType(
-        cand.schema.fields + [T.StructField("maybe_seen", T.BooleanType(), False)]
+        [
+            T.StructField("url_hash", T.LongType(), False),
+            T.StructField("maybe_seen", T.BooleanType(), False),
+        ]
     )
-    cols = [f.name for f in cand.schema.fields]
 
-    def probe(cand_pdfs: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
-        if cand_pdfs.empty:
-            return pd.DataFrame(columns=cols + ["maybe_seen"])
+    def probe(cand_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cand_pdf.empty:
+            return pd.DataFrame({"url_hash": [], "maybe_seen": []}).astype(
+                {"url_hash": "int64", "maybe_seen": "bool"}
+            )
+        hashes = cand_pdf["url_hash"].to_numpy()
         if state_pdf.empty:
-            out = cand_pdfs.copy()
-            out["maybe_seen"] = False
-            return out
+            return pd.DataFrame(
+                {"url_hash": hashes, "maybe_seen": np.zeros(len(hashes), dtype=bool)}
+            )
         bm = np.frombuffer(state_pdf["bitmap"].iloc[0], dtype=np.uint8)
-        pos = _probe_positions(cand_pdfs["url_hash"].to_numpy(), bits, k)
-        hit = np.ones(len(cand_pdfs), dtype=bool)
+        pos = _probe_positions(hashes, bits, k)
+        hit = np.ones(len(hashes), dtype=bool)
         for i in range(k):
             p = pos[:, i]
-            hit &= (bm[(p >> np.uint64(3)).astype(np.int64)] >> (p & np.uint64(7)).astype(np.uint8)) & 1 == 1
-        out = cand_pdfs.copy()
-        out["maybe_seen"] = hit
-        return out
+            hit &= (
+                (bm[(p >> np.uint64(3)).astype(np.int64)] >> (p & np.uint64(7)).astype(np.uint8)) & 1
+            ).astype(bool)
+        return pd.DataFrame({"url_hash": hashes, "maybe_seen": hit})
 
     return (
         cand.groupBy("bucket")
@@ -156,12 +166,18 @@ def dedupe_against_seen(
             candidates.url == F.col("__seen_url"),
             "left_anti",
         )
-    tagged = bloom_prune(candidates, bloom_state, n_buckets, bits, k)
-    sure_new = tagged.filter(~F.col("maybe_seen")).drop("maybe_seen", "bucket")
-    suspect = tagged.filter(F.col("maybe_seen")).drop("maybe_seen", "bucket")
-    verified_new = suspect.join(
-        seen.select(F.col("url").alias("__seen_url")),
-        suspect.url == F.col("__seen_url"),
-        "left_anti",
+    # hash-only probe: maybe-seen hashes form a (usually tiny) filter set;
+    # the exact verify join then only has to consider candidates whose
+    # hash is bloom-positive — at 10^10 scale that is what saves the
+    # all-candidates-vs-all-seen shuffle.
+    maybe = (
+        bloom_prune(candidates, bloom_state, n_buckets, bits, k)
+        .filter(F.col("maybe_seen"))
+        .select(F.col("url_hash").alias("__maybe_hash"))
     )
-    return sure_new.unionByName(verified_new)
+    suspect_seen = seen.join(
+        maybe, seen.url_hash == F.col("__maybe_hash"), "left_semi"
+    ).select(F.col("url").alias("__seen_url"))
+    return candidates.join(
+        suspect_seen, candidates.url == F.col("__seen_url"), "left_anti"
+    )

@@ -52,4 +52,20 @@ def get_spark(
         builder = builder.master(f"local[{cpus}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # multi-JVM masters need the package shipped to executor Python
+    # workers — the local equivalent of `spark-submit --py-files`
+    if master and not master.startswith("local["):
+        spark.sparkContext.addPyFile(_package_zip())
+    return spark
+
+
+def _package_zip() -> str:
+    """Zip seo_crawler_spark for --py-files-style shipping."""
+    import shutil
+    import tempfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    base = os.path.join(tempfile.gettempdir(), "seo_crawler_spark_pyfiles")
+    root = os.path.dirname(pkg_dir)
+    return shutil.make_archive(base, "zip", root_dir=root, base_dir="seo_crawler_spark")

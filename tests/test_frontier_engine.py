@@ -85,7 +85,7 @@ def test_crawl_exhaustive_small(spark, corpus_df, corpus_dict, robots_df, robots
 def test_no_bloom_same_result(spark, corpus_df, corpus_dict, robots_df, robots_dict):
     """Bloom filter is a prune, never a semantics change."""
     seeds = seed_urls(N_HOSTS)
-    cfg_b = CrawlConfig(max_depth=2, max_urls=150, use_bloom=True)
+    cfg_b = CrawlConfig(max_depth=2, max_urls=150, use_bloom=True, bloom_min_seen=0)
     cfg_n = CrawlConfig(max_depth=2, max_urls=150, use_bloom=False)
     r_b = CrawlEngine(spark, corpus_df, robots_df, cfg_b).run(seeds)
     r_n = CrawlEngine(spark, corpus_df, robots_df, cfg_n).run(seeds)
