@@ -11,6 +11,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from seo_crawler_spark.operators import dedup as D
+from seo_crawler_spark.operators import simsearch as S
+from seo_crawler_spark.operators import textstats as TS
 from seo_crawler_spark.plans import crawl_queries as CQ
 from seo_crawler_spark.plans import relational as R
 
@@ -41,6 +44,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_counts": CQ.word_counts,
         "thin_content_issues": CQ.thin_content_issues,
         "linked_from_counts": CQ.linked_from_counts,
+        # training-data pipeline: dedup family
+        "dedup_exact": D.dedup_exact,
+        "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
+        "dedup_minhash_lsh": D.dedup_minhash_lsh,
+        "dedup_simhash": D.dedup_simhash,
+        "dedup_embedding_cosine": D.dedup_embedding_cosine,
+        # similarity search
+        "ann_brute_topk": S.ann_brute_topk,
+        "ann_lsh_buckets": S.ann_lsh_bucketed,
+        # text analysis
+        "lang_id": TS.lang_id,
+        "quality_scores": TS.quality_scores,
+        "token_counts": TS.token_counts,
+        "fingerprints": TS.fingerprints,
     }
 
 
@@ -60,4 +77,15 @@ def oracle_sql() -> dict[str, str]:
         "word_counts": CQ.WORD_COUNTS_SQL,
         "thin_content_issues": CQ.THIN_CONTENT_SQL,
         "linked_from_counts": CQ.LINKED_FROM_COUNTS_SQL,
+        "dedup_exact": D.DEDUP_EXACT_SQL,
+        "dedup_ngram_jaccard": D.dedup_ngram_jaccard_sql(),
+        "dedup_minhash_lsh": D.dedup_minhash_lsh_sql(),
+        "dedup_simhash": D.dedup_simhash_sql(),
+        "dedup_embedding_cosine": D.dedup_embedding_cosine_sql(),
+        "ann_brute_topk": S.ANN_BRUTE_SQL,
+        "ann_lsh_buckets": S.ann_lsh_bucketed_sql(),
+        "lang_id": TS.lang_id_sql(),
+        "quality_scores": TS.quality_scores_sql(),
+        "token_counts": TS.TOKEN_COUNTS_SQL,
+        "fingerprints": TS.fingerprints_sql(),
     }

@@ -133,6 +133,12 @@ HEADLINE = [
     "seen_anti_join",
     "word_counts",
     "linked_from_counts",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_brute_topk",
+    "lang_id",
+    "fingerprints",
+    "token_counts",
 ]
 
 
@@ -152,6 +158,7 @@ def main() -> int:
         t0 = time.monotonic()
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
+        spark.catalog.clearCache()  # some plans cache intermediates
 
     fb = frontier_bench(spark)
     total = round(sum(timings.values()) + fb["frontier_sec"], 3)

@@ -8,6 +8,8 @@ import importlib.util
 import math
 import sys
 
+sys.path.insert(0, "/root/repo")  # script lives in scripts/
+
 import duckdb
 
 SF_SMOKE = "/root/testdata/sf0.001"

@@ -1,0 +1,402 @@
+"""Deduplication operator family for large-scale corpus pipelines.
+
+Five strategies, each a (spark, sf_dir) query over the driver
+``documents`` table with a DuckDB oracle twin (SQL strings below kept
+in lockstep with the DataFrame plans — same md5-derived hashes, so the
+candidate sets are bit-identical across engines):
+
+  * exact          — hash-groupBy on md5(text); scale: pure map-side
+                     partial agg, one shuffle of (hash, doc_id)
+  * ngram_jaccard  — 3-gram shingle explode → self-join on shingle →
+                     per-pair intersection counts → exact Jaccard ≥ τ;
+                     scale: the shingle join IS the blocker (pairs with
+                     zero shared shingles never materialize)
+  * minhash_lsh    — 32 permutations → 8 bands × 4 rows → band-bucket
+                     join → exact-Jaccard verify of band collisions;
+                     scale: candidates shrink from O(n²) to near-linear
+  * simhash        — 48-bit sign-sum fingerprint → 4×12-bit band join →
+                     hamming ≤ 3 verify (bit_count(xor))
+  * embedding near-dup — cosine ≥ τ pairs (simsearch.py holds the
+                     ANN/brute-force search variants)
+
+The reference has only the O(n²) difflib duplication pass
+(issue_detector.py:315-375, rewritten in operators/issues.py); these
+generalize it to corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    MD5INT_SQL,
+    MOD,
+    TOKENS_SQL,
+    md5int,
+    shingles,
+    shingles_sql,
+    tokens,
+)
+from ..sources.tables import load
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("keeper_doc_id")
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS keeper_doc_id,
+       count(*)    AS n_copies
+FROM documents
+GROUP BY md5(text)
+ORDER BY keeper_doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup
+# ---------------------------------------------------------------------------
+
+
+def _doc_shingles(docs: DataFrame) -> DataFrame:
+    # materialize the token array BEFORE shingling: inlining tokens()
+    # into the transform lambda makes Catalyst re-run the tokenize regex
+    # for every element_at access (no CSE inside lambdas) — 3 regex
+    # passes per shingle instead of 1 per document
+    return (
+        docs.select("doc_id", tokens(F.col("text")).alias("tok"))
+        .select("doc_id", F.array_distinct(shingles(F.col("tok"))).alias("sh"))
+        .withColumn("n_sh", F.size("sh"))
+    )
+
+
+def dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    # cached: the shingle table feeds both sides of the self-join
+    docs = _doc_shingles(load(spark, "documents", sf_dir)).cache()
+    ex = docs.select("doc_id", "n_sh", F.explode("sh").alias("s"))
+    a = ex.select(
+        F.col("doc_id").alias("a"), F.col("n_sh").alias("na"), "s"
+    )
+    b = ex.select(
+        F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"), "s"
+    )
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard", F.round(jac, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+        .orderBy("a", "b")
+    )
+
+
+def dedup_ngram_jaccard_sql(threshold: float = 0.5) -> str:
+    tok = TOKENS_SQL.format(c="text")
+    return f"""
+WITH tokd AS (SELECT doc_id, {tok} AS tok FROM documents),
+shd AS (SELECT doc_id, list_distinct({shingles_sql("tok")}) AS sh FROM tokd),
+ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM shd),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, a.n_sh AS na, b.n_sh AS nb,
+         count(*) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT a, b, round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
+FROM inter
+WHERE round(inter * 1.0 / (na + nb - inter), 4) >= {threshold}
+ORDER BY a, b
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+N_PERM, N_BANDS = 32, 8  # r = 4 rows/band
+_R = N_PERM // N_BANDS
+
+
+def dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+) -> DataFrame:
+    # cached: scanned for signatures AND both sides of the verify join
+    docs = (
+        _doc_shingles(load(spark, "documents", sf_dir))
+        .filter(F.col("n_sh") > 0)
+        .cache()
+    )
+    sh = docs.select("doc_id", F.explode("sh").alias("s")).withColumn(
+        "h", md5int(F.col("s")) % MOD
+    )
+    # all 32 permutation minima in ONE hash-agg pass (a 32× crossJoin
+    # explode would shuffle 32·|shingles| rows; this shuffles |docs|·32
+    # partial-agg cells — map-side combined)
+    sig_wide = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(2 * i + 1) * F.col("h") + F.lit(7919 * i + 13)) % MOD).alias(
+                f"mh{i}"
+            )
+            for i in range(N_PERM)
+        ]
+    )
+    bands = sig_wide.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col(f"mh{k * _R + j}").cast("string")
+                                for j in range(_R)
+                            ],
+                        ).alias("sig"),
+                    )
+                    for k in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.sig")
+    pa = bands.select(F.col("doc_id").alias("a"), "band", "sig")
+    pb = bands.select(F.col("doc_id").alias("b"), "band", "sig")
+    cand = (
+        pa.join(pb, ["band", "sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    # exact verify of band collisions
+    d1 = docs.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"),
+                     F.col("n_sh").alias("na"))
+    d2 = docs.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"),
+                     F.col("n_sh").alias("nb"))
+    verified = (
+        cand.join(d1, "a")
+        .join(d2, "b")
+        .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+        .orderBy("a", "b")
+    )
+    return verified
+
+
+def dedup_minhash_lsh_sql(threshold: float = 0.5) -> str:
+    tok = TOKENS_SQL.format(c="text")
+    h = MD5INT_SQL.format(c="s")
+    return f"""
+WITH tokd AS (SELECT doc_id, {tok} AS tok FROM documents),
+shd AS (SELECT doc_id, list_distinct({shingles_sql("tok")}) AS sh FROM tokd
+        WHERE len(list_distinct({shingles_sql("tok")})) > 0),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shd),
+hashed AS (SELECT doc_id, {h} % {MOD} AS h FROM ex),
+perms AS (SELECT i, i*2+1 AS pa, i*7919+13 AS pb FROM (SELECT unnest(range(0,{N_PERM})) AS i)),
+sig AS (
+  SELECT doc_id, i, min((pa * h + pb) % {MOD}) AS mh
+  FROM hashed CROSS JOIN perms GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, (i // {_R}) AS band,
+         string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS sig
+  FROM sig GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.sig = y.sig
+                             AND x.doc_id < y.doc_id
+),
+verified AS (
+  SELECT c.a, c.b,
+         len(list_intersect(d1.sh, d2.sh)) AS inter,
+         len(d1.sh) AS na, len(d2.sh) AS nb
+  FROM cand c JOIN shd d1 ON c.a = d1.doc_id JOIN shd d2 ON c.b = d2.doc_id
+)
+SELECT a, b, round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
+FROM verified WHERE round(inter * 1.0 / (na + nb - inter), 4) >= {threshold}
+ORDER BY a, b
+"""
+
+
+# ---------------------------------------------------------------------------
+# SimHash (48-bit to stay clear of int64 sign games in both engines)
+# ---------------------------------------------------------------------------
+
+N_BITS = 48
+_BAND_BITS = 12  # 4 bands
+
+
+def _simhash_col():
+    """Aggregation columns building the 48-bit simhash from exploded
+    token hashes — one hash-agg pass, no per-row Python."""
+    h = F.col("h")
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(N_BITS)
+    ]
+    return bit_sums
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, "documents", sf_dir)
+    ex = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    ).withColumn("h", md5int(F.col("t")))
+    agg = ex.groupBy("doc_id").agg(*_simhash_col())
+    sim = None
+    for i in range(N_BITS):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select("doc_id", sim.alias("simhash")).orderBy("doc_id")
+
+
+def simhash_signatures_sql() -> str:
+    tok = TOKENS_SQL.format(c="text")
+    h = MD5INT_SQL.format(c="t")
+    sums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(N_BITS)
+    )
+    bits = " + ".join(
+        f"CASE WHEN s{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END" for i in range(N_BITS)
+    )
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest({tok}) AS t FROM documents
+),
+hashed AS (SELECT doc_id, {h} AS h FROM ex),
+agg AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
+SELECT doc_id, {bits} AS simhash FROM agg ORDER BY doc_id
+"""
+
+
+def dedup_simhash(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    sig = simhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftright("simhash", k * _BAND_BITS)
+                        .bitwiseAND(F.lit((1 << _BAND_BITS) - 1))
+                        .alias("key"),
+                    )
+                    for k in range(N_BITS // _BAND_BITS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    x = bands.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"), "band", "key")
+    y = bands.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"), "band", "key")
+    return (
+        x.join(y, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+        .orderBy("a", "b")
+    )
+
+
+def dedup_simhash_sql(max_hamming: int = 3) -> str:
+    base = simhash_signatures_sql().strip().rstrip()
+    # reuse the signature query as a CTE
+    inner = base[: base.rfind("ORDER BY")]
+    bands = ", ".join(str(k) for k in range(N_BITS // _BAND_BITS))
+    return f"""
+WITH sigq AS ({inner}),
+bands AS (
+  SELECT doc_id, simhash, k AS band,
+         (simhash >> (k * {_BAND_BITS})) & {(1 << _BAND_BITS) - 1} AS key
+  FROM sigq, (SELECT unnest([{bands}]) AS k)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.simhash AS ha, y.simhash AS hb
+  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+                            AND x.doc_id < y.doc_id
+)
+SELECT a, b, bit_count(xor(ha, hb)) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+ORDER BY a, b
+"""
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def _cosine(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
+    )
+    return dot / (na * nb)
+
+
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.45
+) -> DataFrame:
+    emb = load(spark, "embeddings", sf_dir)
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    return (
+        pairs.withColumn("cos", F.round(_cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+        .orderBy("a", "b")
+    )
+
+
+def dedup_embedding_cosine_sql(threshold: float = 0.45) -> str:
+    return f"""
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round(list_cosine_similarity(x.embedding, y.embedding), 4) AS cos
+FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE round(list_cosine_similarity(x.embedding, y.embedding), 4) >= {threshold}
+ORDER BY a, b
+"""

