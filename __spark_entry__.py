@@ -16,14 +16,53 @@ from seo_crawler_spark.operators import simsearch as S
 from seo_crawler_spark.operators import textstats as TS
 from seo_crawler_spark.plans import crawl_queries as CQ
 from seo_crawler_spark.plans import relational as R
+from seo_crawler_spark.streaming import events as E
 
 SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: histogram + share-of-total (status-code histogram
-    semantics, reference web/static/js/app.js:1285-1355) on sf0.001."""
-    return R.order_priority_counts(spark, SF0001)
+    """Flagship: the full crawl slice end-to-end — seeds → canonicalize →
+    xxhash → seen anti-join → politeness gate → corpus-join "fetch" →
+    Arrow span/link extraction → wave expansion — then the status-code
+    histogram over crawled pages (reference semantics:
+    web/static/js/app.js:1285-1355). Corpus size is derived from the
+    sf0.001 documents table (loaded per the driver contract); the
+    synthetic web itself is the deterministic generator (seed 42)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from seo_crawler_spark.operators.frontier import CrawlConfig, CrawlEngine
+    from seo_crawler_spark.sources.corpus import (
+        generate_corpus,
+        generate_robots,
+        seed_urls,
+    )
+    from seo_crawler_spark.sources.tables import load
+
+    n_docs = min(load(spark, "documents", SF0001).count(), 300)
+    corpus = generate_corpus(spark, n_docs=n_docs, n_hosts=5, seed=42).localCheckpoint(
+        eager=True
+    )
+    robots = generate_robots(spark, n_hosts=5, seed=42)
+    result = CrawlEngine(
+        spark,
+        corpus,
+        robots,
+        CrawlConfig(
+            max_depth=3,
+            max_urls=200,
+            crawl_external=True,  # multi-host crawl: politeness + skew paths exercised
+            politeness_budget=40,
+            salt_buckets=2,
+        ),
+    ).run(seed_urls(5))
+
+    agg = result.pages.groupBy("status_code").agg(F.count(F.lit(1)).alias("cnt"))
+    total = Window.partitionBy()
+    return agg.withColumn(
+        "pct", F.round(F.col("cnt") * 100.0 / F.sum("cnt").over(total), 2)
+    ).orderBy("status_code")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -58,6 +97,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": TS.quality_scores,
         "token_counts": TS.token_counts,
         "fingerprints": TS.fingerprints,
+        # event-stream operators (batch form; streaming twins in
+        # seo_crawler_spark/streaming/events.py, pytest-verified)
+        "events_tumbling_counts": E.tumbling_counts,
+        "events_sessionize": E.sessionize,
+        "events_user_rates": E.user_event_rates,
     }
 
 
@@ -88,4 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": TS.quality_scores_sql(),
         "token_counts": TS.TOKEN_COUNTS_SQL,
         "fingerprints": TS.fingerprints_sql(),
+        "events_tumbling_counts": E.TUMBLING_COUNTS_SQL,
+        "events_sessionize": E.SESSIONIZE_SQL,
+        "events_user_rates": E.USER_EVENT_RATES_SQL,
     }

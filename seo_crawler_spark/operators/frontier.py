@@ -204,13 +204,70 @@ class CrawlEngine:
         )
 
         seen = frontier.select("url_hash", "url", "wave").localCheckpoint(eager=True)
+        return self._execute(
+            base_domain=base_domain,
+            frontier=frontier,
+            seen=seen,
+            next_seq=frontier.count(),
+            crawled_total=0,
+            start_wave=0,
+            pages_parts=[],
+            links_parts=[],
+            metrics=[],
+        )
+
+    def resume(self) -> CrawlResult:
+        """Restart from the latest committed wave snapshot (waves are the
+        atomic unit — no partial-wave state; contrast the reference's
+        lossy 1000-URL checkpoint, crawler.py:585-613)."""
+        if not self.state_dir:
+            raise ValueError("resume requires a state_dir")
+        from ..state.snapshots import SnapshotStore
+
+        store = SnapshotStore(self.state_dir)
+        latest = store.latest_wave()
+        if latest is None:
+            raise ValueError(f"no committed waves under {self.state_dir}")
+        manifest = store.manifest()
+        frontier = store.read_frontier(self.spark, latest).localCheckpoint(eager=True)
+        seen = store.read_seen(self.spark, latest).localCheckpoint(eager=True)
+        pages = store.read_pages(self.spark, latest).localCheckpoint(eager=True)
+        links = store.read_links(self.spark, latest).localCheckpoint(eager=True)
+        metrics = sorted(manifest["metrics"], key=lambda m: m["wave"])
+        crawled_total = sum(m["scheduled"] for m in metrics)
+        cfg = self.cfg
+        if cfg.base_domain:
+            base_domain = cfg.base_domain
+        else:
+            base_domain = manifest["base_domain"]
+        return self._execute(
+            base_domain=base_domain,
+            frontier=frontier,
+            seen=seen,
+            next_seq=seen.count(),
+            crawled_total=crawled_total,
+            start_wave=latest + 1,
+            pages_parts=[pages],
+            links_parts=[links],
+            metrics=list(metrics),
+        )
+
+    def _execute(
+        self,
+        base_domain: str,
+        frontier: DataFrame,
+        seen: DataFrame,
+        next_seq: int,
+        crawled_total: int,
+        start_wave: int,
+        pages_parts: list,
+        links_parts: list,
+        metrics: list,
+    ) -> CrawlResult:
+        spark, cfg = self.spark, self.cfg
         bloom = None
-        next_seq = frontier.count()
-        crawled_total = 0
-        wave = 0
-        pages_parts: list[DataFrame] = []
-        links_parts: list[DataFrame] = []
-        metrics: list[dict] = []
+        wave = start_wave
+        self._base_domain = base_domain
 
         while wave < cfg.max_waves and crawled_total < cfg.max_urls:
             t0 = time.monotonic()
@@ -408,4 +465,12 @@ class CrawlEngine:
         from ..state.snapshots import SnapshotStore
 
         store = SnapshotStore(self.state_dir)
-        store.commit_wave(wave, frontier=frontier, seen=seen, pages=pages, links=links, metric=metric)
+        store.commit_wave(
+            wave,
+            frontier=frontier,
+            seen=seen,
+            pages=pages,
+            links=links,
+            metric=metric,
+            base_domain=getattr(self, "_base_domain", None),
+        )

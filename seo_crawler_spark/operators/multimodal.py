@@ -1,0 +1,216 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The container has no image/audio codecs (no PIL/ffmpeg), so the DECODE
+step is stubbed behind an import-try with a clearly-marked deterministic
+fake — but everything Spark-side is real and tested: the schema, the
+binary payloads, kind-partitioned layout, Arrow batch shapes, the
+mapInPandas UDF signatures, and the deterministic feature extraction
+(numpy over payload bytes).
+
+At 100 TB the media table is partitioned by ``kind`` and bucketed by
+``media_ref`` hash; decode/feature stages are mapInPandas over Arrow
+batches so payload bytes never materialize as Python row objects.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("n_frames", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                ]
+            ),
+            False,
+        ),
+    ]
+)
+
+
+def synthesize_media(spark: SparkSession, corpus: DataFrame) -> DataFrame:
+    """Build the media table from the corpus's media spans: one row per
+    distinct media_ref, payload = deterministic bytes derived from the
+    ref hash (stands in for real image bytes; header carries the fake
+    dims the stub decoder reads back)."""
+    refs = (
+        corpus.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "media")
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .distinct()
+    )
+
+    # meta derived with column exprs (xxhash64 seeds everything);
+    # payload attached in one Arrow pass below
+    h = F.xxhash64("media_ref")
+    kind = (
+        F.when(F.pmod(h, F.lit(10)) < 7, F.lit("image"))
+        .when(F.pmod(h, F.lit(10)) < 9, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    width = (F.pmod(h, F.lit(1920)) + 32).cast("int")
+    height = (F.pmod(h, F.lit(1080)) + 32).cast("int")
+    n_frames = F.when(kind == "video", (F.pmod(h, F.lit(240)) + 24).cast("int")).otherwise(
+        F.lit(None).cast("int")
+    )
+    sample_rate = F.when(kind == "audio", F.lit(16000)).otherwise(F.lit(None).cast("int"))
+    tagged = refs.select(
+        "media_ref",
+        kind.alias("kind"),
+        F.struct(
+            width.alias("width"),
+            height.alias("height"),
+            n_frames.alias("n_frames"),
+            sample_rate.alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+    out_schema = MEDIA_SCHEMA
+
+    def attach_payload(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for ref, meta in zip(pdf["media_ref"], pdf["meta"]):
+                seed = np.uint64(
+                    int.from_bytes(
+                        __import__("hashlib").md5(ref.encode()).digest()[:8], "big"
+                    )
+                )
+                rng_bytes = _fake_bytes(seed, 128)
+                header = struct.pack(
+                    ">II", int(meta["width"] or 0), int(meta["height"] or 0)
+                )
+                payloads.append(header + rng_bytes)
+            out = pdf.copy()
+            out["payload"] = payloads
+            yield out[["media_ref", "kind", "payload", "meta"]]
+
+    return tagged.mapInPandas(attach_payload, schema=out_schema)
+
+
+def _fake_bytes(seed: np.uint64, n: int) -> bytes:
+    """splitmix64 byte stream — pure function of seed."""
+    out = np.empty(n // 8, dtype=np.uint64)
+    x = np.uint64(seed)
+    with np.errstate(over="ignore"):
+        for i in range(len(out)):
+            x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+            z = x
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            out[i] = z ^ (z >> np.uint64(31))
+    return out.tobytes()
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("decoder", T.StringType(), False),
+    ]
+)
+
+
+def decode_images(media: DataFrame) -> DataFrame:
+    """Decode stage. With a real codec installed (PIL) it would decode
+    payload bytes; offline it falls back to the DETERMINISTIC FAKE:
+    reading the dims from the synthetic payload header. The Spark
+    plumbing (filter→mapInPandas→Arrow batches) is identical either way."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            from PIL import Image  # noqa: F401  (absent in this container)
+
+            decoder = "pillow"
+        except ImportError:
+            decoder = "fake-header"
+
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                if decoder == "pillow":  # pragma: no cover (no PIL offline)
+                    raise NotImplementedError(
+                        "real decode path requires pillow; stubbed per brief"
+                    )
+                w, h = struct.unpack(">II", bytes(payload[:8]))
+                rows.append({"media_ref": ref, "width": w, "height": h,
+                             "decoder": decoder})
+            yield pd.DataFrame(rows, columns=["media_ref", "width", "height", "decoder"])
+
+    return media.filter(F.col("kind") == "image").mapInPandas(run, DECODED_SCHEMA)
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Deterministic feature extraction — REAL computation (L2-normalized
+    byte histogram of the payload, numpy-vectorized per Arrow batch),
+    standing where a vision/audio encoder would run."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist, _ = np.histogram(arr, bins=dim, range=(0, 256))
+                v = hist.astype(np.float64)
+                n = np.linalg.norm(v)
+                feats.append((v / n if n else v).astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {"media_ref": pdf["media_ref"], "features": feats}
+            )
+
+    return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_plan(media: DataFrame, max_side: int = 512) -> DataFrame:
+    """Resize planning as pure column exprs (aspect-preserving target
+    dims); the pixel work would live in the decode stage."""
+    w, h = F.col("meta.width"), F.col("meta.height")
+    scale = F.least(
+        F.lit(1.0), F.lit(max_side) / F.greatest(w, h).cast("double")
+    )
+    return media.filter(F.col("kind") == "image").select(
+        "media_ref",
+        w.alias("width"),
+        h.alias("height"),
+        F.round(w * scale).cast("int").alias("target_width"),
+        F.round(h * scale).cast("int").alias("target_height"),
+    )
+
+
+def sample_frames(media: DataFrame, every_n: int = 24) -> DataFrame:
+    """Video frame sampling plan: one row per sampled frame index
+    (posexplode of a sequence — the shuffle-free fan-out shape)."""
+    v = media.filter(F.col("kind") == "video")
+    idx = F.sequence(
+        F.lit(0), F.col("meta.n_frames") - 1, F.lit(every_n)
+    )
+    return v.select(
+        "media_ref",
+        F.col("meta.n_frames").alias("n_frames"),
+        F.explode(idx).alias("frame_idx"),
+    )

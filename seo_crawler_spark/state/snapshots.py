@@ -61,6 +61,7 @@ class SnapshotStore:
         pages: DataFrame,
         links: DataFrame,
         metric: dict,
+        base_domain: str | None = None,
     ) -> None:
         """Write wave-N snapshots, then atomically publish the manifest."""
         frontier.write.mode("overwrite").parquet(self._wave_dir("frontier", wave))
@@ -68,13 +69,15 @@ class SnapshotStore:
         # resume, but per-wave deltas would also work; we snapshot full at
         # small scale and note the delta layout as the 10^10 path.
         seen.write.mode("overwrite").parquet(self._wave_dir("seen", wave))
-        pages.drop("links").write.mode("overwrite").parquet(self._wave_dir("pages", wave))
+        pages.write.mode("overwrite").parquet(self._wave_dir("pages", wave))
         links.write.mode("overwrite").parquet(self._wave_dir("links", wave))
 
         prev = self.manifest() or {"waves": [], "metrics": []}
         prev["waves"] = sorted(set(prev["waves"]) | {wave})
         prev["latest_wave"] = wave
         prev["metrics"] = [m for m in prev["metrics"] if m["wave"] != wave] + [metric]
+        if base_domain is not None:
+            prev["base_domain"] = base_domain
         self._commit_manifest(prev)
 
     # -- resume ------------------------------------------------------------

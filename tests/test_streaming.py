@@ -1,0 +1,85 @@
+"""Structured Streaming semantics: availableNow micro-batches must
+reproduce batch results; custom state accumulates across micro-batches."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from seo_crawler_spark.streaming.events import (
+    run_stream_to_memory,
+    sessionize,
+    stream_running_user_totals,
+    stream_tumbling_counts,
+    tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """events.parquet split into 3 files in a stream-input directory."""
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    ev.repartition(3).write.mode("overwrite").parquet(d)
+    return d
+
+
+def test_stream_tumbling_equals_batch(spark, events_dir):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    schema = ev.schema
+    sdf = stream_tumbling_counts(spark, events_dir, schema)
+    run_stream_to_memory(sdf, "tumb", output_mode="complete")
+    got = {
+        (r["hour_bucket"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM tumb").collect()
+    }
+    want = {
+        (r["hour_bucket"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in tumbling_counts(spark, SF).collect()
+    }
+    assert got == want
+    assert len(want) > 10
+
+
+def test_stateful_running_totals(spark, events_dir):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    schema = ev.schema
+    sdf = stream_running_user_totals(spark, events_dir, schema, max_files_per_trigger=1)
+    run_stream_to_memory(sdf, "running", output_mode="update")
+    upd = spark.sql("SELECT * FROM running")
+    # state is cumulative → final value per user = max n_events row
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        upd.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"]) for r in final.collect()
+    }
+    want = {
+        r["user_id"]: (r["n"], r["tv"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_sessionize_sane(spark):
+    s = sessionize(spark, SF).collect()
+    assert len(s) > 0
+    by_user = {}
+    for r in s:
+        by_user.setdefault(r["user_id"], []).append(r)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    n_events = ev.count()
+    assert sum(r["n_events"] for r in s) == n_events
+    for rows in by_user.values():
+        sids = [r["session_id"] for r in sorted(rows, key=lambda x: x["session_id"])]
+        assert sids == list(range(1, len(sids) + 1))  # dense per-user ids
