@@ -80,9 +80,14 @@ class _Doc(HTMLParser):
         self.hreflang: list[dict] = []
         self.json_ld: list[str] = []
         self.images: list[dict] = []
+        self.schema_org: list[dict] = []
         self.internal_links = 0
         self.external_links = 0
         self._n_imgs_seen = 0
+        # microdata state (seo_extractor.py:218-255): open itemtype
+        # scopes + pending itemprop text captures
+        self._md_scopes: list[tuple[int, dict]] = []  # (elem_depth, scope)
+        self._prop_caps: list[dict] = []
         # capture state
         self._cap: list[str] | None = None
         self._cap_tag = ""
@@ -192,6 +197,38 @@ class _Doc(HTMLParser):
         if tag not in _VOID and tag != "script":
             self.stack.append((tag, classes, eid))
 
+        # -- microdata (reference walks subtrees with find_all; here the
+        # same semantics stream: a prop belongs to every scope open at
+        # its start tag) --------------------------------------------------
+        if "itemtype" in a and (a.get("itemtype") or ""):
+            scope = {"type": a["itemtype"], "properties": {}}
+            self.schema_org.append(scope)
+            if tag not in _VOID:
+                self._md_scopes.append((len(self.stack), scope))
+        if "itemprop" in a and self._md_scopes:
+            name = a.get("itemprop") or ""
+            if tag == "meta":
+                content = a.get("content", "") or ""
+            elif tag == "img":
+                content = a.get("src", "") or ""
+            elif tag == "a":
+                content = a.get("href", "") or ""
+            else:
+                content = None  # captured from subtree text
+            if content is not None:
+                if name and content:
+                    for _d, scope in self._md_scopes:
+                        scope["properties"][name] = content
+            elif tag not in _VOID:
+                self._prop_caps.append(
+                    {
+                        "name": name,
+                        "elem_depth": len(self.stack),
+                        "buf": [],
+                        "scopes": [s for _d, s in self._md_scopes],
+                    }
+                )
+
     def handle_endtag(self, tag):
         if tag == "script":
             self._end_script()
@@ -205,6 +242,19 @@ class _Doc(HTMLParser):
         for idx in range(len(self.stack) - 1, -1, -1):
             if self.stack[idx][0] == tag:
                 del self.stack[idx:]
+                # close microdata scopes/props at or below the popped depth
+                self._md_scopes = [
+                    (d, s) for d, s in self._md_scopes if d <= idx
+                ]
+                done = [c for c in self._prop_caps if c["elem_depth"] > idx]
+                self._prop_caps = [
+                    c for c in self._prop_caps if c["elem_depth"] <= idx
+                ]
+                for c in done:
+                    text = "".join(c["buf"]).strip()
+                    if c["name"] and text:
+                        for scope in c["scopes"]:
+                            scope["properties"][c["name"]] = text
                 break
 
     def handle_data(self, data):
@@ -217,6 +267,8 @@ class _Doc(HTMLParser):
             self._cap.append(data)
         if self._anchor is not None:
             self._anchor_buf.append(data)
+        for c in self._prop_caps:
+            c["buf"].append(data)
 
     # -- element finalizers ---------------------------------------------
     def _end_capture(self, tag):
@@ -343,6 +395,7 @@ def parse_document(url: str, html: str, base_domain: str | None = None) -> dict:
         "json_ld": doc.json_ld,
         "analytics": analytics,
         "images": doc.images,
+        "schema_org": doc.schema_org,
         "internal_links": doc.internal_links,
         "external_links": doc.external_links,
         "hreflang": doc.hreflang,

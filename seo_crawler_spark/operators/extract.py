@@ -35,6 +35,13 @@ _PASSTHROUGH = [
     ("error", T.StringType()),
 ]
 
+SCHEMA_ORG_ITEM = T.StructType(
+    [
+        T.StructField("type", T.StringType(), True),
+        T.StructField("properties", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
 _LINK_ITEM = T.StructType(
     [
         T.StructField("target_url", T.StringType(), False),
@@ -70,6 +77,7 @@ EXTRACTED_SCHEMA = T.StructType(
         T.StructField("json_ld", T.ArrayType(T.StringType()), True),
         T.StructField("analytics", ANALYTICS_SCHEMA, True),
         T.StructField("images", T.ArrayType(IMAGE_SCHEMA), True),
+        T.StructField("schema_org", T.ArrayType(SCHEMA_ORG_ITEM), True),
         T.StructField("internal_links", T.IntegerType(), True),
         T.StructField("external_links", T.IntegerType(), True),
         T.StructField("hreflang", T.ArrayType(HREFLANG_SCHEMA), True),
@@ -89,7 +97,7 @@ _EMPTY_FIELDS = {
         "gtm_id": "", "facebook_pixel": False, "hotjar": False,
         "mixpanel": False,
     },
-    "images": [], "internal_links": 0, "external_links": 0,
+    "images": [], "schema_org": [], "internal_links": 0, "external_links": 0,
     "hreflang": [], "spans": [], "links": [],
 }
 

@@ -61,6 +61,7 @@ class CrawlConfig:
     politeness_budget: int | None = None  # None → no per-wave host cap
     wave_seconds: float = 60.0
     salt_buckets: int = 1
+    discover_sitemaps: bool = False  # reference default is True; opt-in here
     use_bloom: bool = True
     # bloom is a win only once the seen table dwarfs per-wave candidates;
     # below this row count the exact anti-join is strictly faster
@@ -101,6 +102,7 @@ class CrawlEngine:
         robots: DataFrame | None = None,
         config: CrawlConfig | None = None,
         state_dir: str | None = None,
+        sitemaps: DataFrame | None = None,
     ):
         self.spark = spark
         self.cfg = config or CrawlConfig()
@@ -109,6 +111,7 @@ class CrawlEngine:
             "response_time_ms", "raw_html",
         )
         self.robots = robots
+        self.sitemaps = sitemaps
         self.state_dir = state_dir
         self._robots_dim = None
         if robots is not None:
@@ -175,20 +178,38 @@ class CrawlEngine:
             first = seeds[0] if "://" in seeds[0] else f"https://{seeds[0]}"
             base_domain = urlparse(_canonicalize_py(first)).netloc
 
-        # wave 0: canonicalize seeds, first-listed wins (reference add_url
-        # order = caller order); seeds bypass the admission predicate
-        # (crawler.py:245 add_url has no should_crawl callback)
+        # wave 0: seeds first (bypass admission — crawler.py:245 add_url
+        # has no should_crawl callback), then sitemap-discovered URLs in
+        # traversal order (admission-gated, crawler.py:305-320);
+        # first-listed wins the dedupe (add_url membership check)
+        rows = [(u, i, True) for i, u in enumerate(seeds)]
+        if cfg.discover_sitemaps and self.sitemaps is not None:
+            from .sitemap import (
+                discover_sitemap_locs,
+                robots_df_to_sitemap_dict,
+                sitemaps_df_to_dict,
+            )
+
+            locs = discover_sitemap_locs(
+                sitemaps_df_to_dict(self.sitemaps),
+                robots_df_to_sitemap_dict(self.robots) if self.robots is not None else {},
+                seeds,
+            )
+            rows += [(u, len(seeds) + j, False) for j, u in enumerate(locs)]
         seeds_df = spark.createDataFrame(
-            [(u, i) for i, u in enumerate(seeds)], "raw string, list_pos long"
+            rows, "raw string, list_pos long, is_seed boolean"
+        )
+        cand0 = seeds_df.select(
+            U.canonicalize_url(F.col("raw")).alias("url"), "list_pos", "is_seed"
+        ).withColumn("host", U.url_host(F.col("url")))
+        admitted0 = cand0.filter(F.col("is_seed")).unionByName(
+            self._admit(cand0.filter(~F.col("is_seed")), base_domain)
         )
         w = Window.partitionBy("url").orderBy("list_pos")
         f0 = (
-            seeds_df.select(
-                U.canonicalize_url(F.col("raw")).alias("url"), "list_pos"
-            )
-            .withColumn("__rn", F.row_number().over(w))
+            admitted0.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            .drop("__rn", "is_seed", "host")
         )
         frontier = (
             ordered_seq(f0, ["list_pos"], seq_col="seq", start=0)
@@ -321,7 +342,10 @@ class CrawlEngine:
                 )
             )
 
-            extracted = extract_pages(fetched, base_domain).localCheckpoint(eager=True)
+            from ..metrics import observe_fetch, partition_lineage
+
+            extracted, fetch_obs = observe_fetch(extract_pages(fetched, base_domain))
+            extracted = extracted.localCheckpoint(eager=True)  # materializes obs
             pages_parts.append(extracted)
             wave_links = explode_links(
                 extracted.withColumn(
@@ -407,6 +431,15 @@ class CrawlEngine:
             else:
                 frontier = spark.createDataFrame([], frontier.schema)
 
+            # north rule: per-partition lineage + fetch metrics each wave
+            lineage_rows = [
+                {"partition_id": r["partition_id"], "rows": r["rows"]}
+                for r in partition_lineage(scheduled, wave, "scheduled").collect()
+            ]
+            fetch_stats = {
+                k: (float(v) if v is not None else None)
+                for k, v in fetch_obs.get.items()
+            }
             metrics.append(
                 {
                     "wave": wave,
@@ -415,6 +448,8 @@ class CrawlEngine:
                     "new_urls": n_new,
                     "crawled_total": crawled_total,
                     "seconds": round(time.monotonic() - t0, 3),
+                    "fetch": fetch_stats,
+                    "partitions": lineage_rows,
                 }
             )
             if self.state_dir:

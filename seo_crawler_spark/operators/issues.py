@@ -203,8 +203,10 @@ def detect_issues(pages: DataFrame, exclusion_patterns: list[str] | None = None)
     )
 
     # -- structured data (:238-249) -----------------------------------------
+    no_schema = F.size(F.coalesce(F.col("schema_org"), F.array())) == 0
     issues.append(
-        p.filter(F.size(F.coalesce(F.col("json_ld"), F.array())) == 0).select(
+        p.filter((F.size(F.coalesce(F.col("json_ld"), F.array())) == 0) & no_schema)
+        .select(
             _issue(url, "info", "Structured Data", "No Structured Data",
                    F.lit("Page has no JSON-LD or Schema.org markup")).alias("i"))
     )

@@ -51,6 +51,9 @@ class ReferenceModel:
         exclude_extensions: tuple = ("pdf", "doc", "docx", "zip", "exe", "dmg"),
         include_patterns: tuple = (),
         exclude_patterns: tuple = (),
+        sitemaps: dict[str, dict] | None = None,
+        robots_sitemaps: dict[str, list[str]] | None = None,
+        discover_sitemaps: bool = False,
     ):
         self.corpus = corpus
         self.robots = robots or {}
@@ -62,6 +65,9 @@ class ReferenceModel:
         self.exclude_extensions = exclude_extensions
         self.include_patterns = include_patterns
         self.exclude_patterns = exclude_patterns
+        self.sitemaps = sitemaps or {}
+        self.robots_sitemaps = robots_sitemaps or {}
+        self.discover_sitemaps = discover_sitemaps
         self.base_domain = ""
 
     def _should_crawl(self, url: str) -> bool:
@@ -100,6 +106,22 @@ class ReferenceModel:
         for s in seeds:
             u = _canonicalize_py(s)
             if u not in all_discovered and u not in visited:
+                all_discovered.add(u)
+                q.append((u, 0))
+
+        # sitemap discovery after seeds (crawler.py:245-252): depth 0,
+        # admission-gated, add_url membership dedupe
+        if self.discover_sitemaps:
+            from .operators.sitemap import discover_sitemap_locs
+
+            for loc in discover_sitemap_locs(
+                self.sitemaps, self.robots_sitemaps, seeds
+            ):
+                u = _canonicalize_py(loc)
+                if u in all_discovered or u in visited:
+                    continue
+                if not self._should_crawl(u):
+                    continue
                 all_discovered.add(u)
                 q.append((u, 0))
 

@@ -103,6 +103,20 @@ PAGE_SCHEMA = T.StructType(
         T.StructField("json_ld", T.ArrayType(T.StringType()), True),  # JSON strings
         T.StructField("analytics", ANALYTICS_SCHEMA, True),
         T.StructField("images", T.ArrayType(IMAGE_SCHEMA), True),
+        T.StructField(
+            "schema_org",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("type", T.StringType(), True),
+                        T.StructField(
+                            "properties", T.MapType(T.StringType(), T.StringType()), True
+                        ),
+                    ]
+                )
+            ),
+            True,
+        ),
         T.StructField("external_links", T.IntegerType(), True),
         T.StructField("internal_links", T.IntegerType(), True),
         T.StructField("response_time", T.DoubleType(), True),

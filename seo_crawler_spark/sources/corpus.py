@@ -189,6 +189,14 @@ def _gen_doc(i: int, bounds: list[tuple[str, int, int]], n_docs: int, seed: int)
     if ch % 7 == 0:
         html.append("<script>window.GTM='GTM-ABC123';</script>")
     html.append("</head><body>")
+    if ch % 8 == 0:
+        art = title or "untitled"
+        html.append(
+            f'<div itemtype="https://schema.org/Article">'
+            f'<span itemprop="headline">{art}</span>'
+            f'<meta itemprop="datePublished" content="2024-01-{1 + ch % 28:02d}">'
+            f"</div>"
+        )
     html.append(f'<nav><a href="https://{host}/page/0.html">Home</a></nav>')
     emit("link", "Home", f"https://{host}/page/0.html")
     if h1:
@@ -324,6 +332,69 @@ def generate_robots(spark: SparkSession, n_hosts: int = 20, seed: int = 42) -> D
             }
         )
     return spark.createDataFrame(pd.DataFrame(rows), schema=ROBOTS_SCHEMA)
+
+
+SITEMAP_SCHEMA_DDL = "sitemap_url string, kind string, locs array<string>"
+
+
+def generate_sitemaps(
+    spark: SparkSession, n_docs: int = 2000, n_hosts: int = 20, seed: int = 42
+) -> DataFrame:
+    """Sitemap / sitemapindex fixture docs (reference:
+    src/core/sitemap_parser.py:68-132 — recursion, urlset vs index).
+
+    Per host (when the host has one at all): the mega-host gets a
+    sitemapindex → two child urlsets; other hosts a flat urlset. Lists
+    include a robots-blocked /private/ path and a pdf to exercise the
+    admission gate on the sitemap path (crawler.py:305-320).
+    """
+    bounds = host_boundaries(n_docs, n_hosts)
+    rows = []
+    for h, (host, start, end) in enumerate(bounds):
+        hh = _h(h, 78, seed)
+        if hh % 3 == 1:  # some hosts have no sitemap at all
+            continue
+        size = end - start
+
+        def page(k):
+            return f"https://{host}/page/{k % size}.html"
+
+        if h == 0:
+            rows.append(
+                {
+                    "sitemap_url": f"https://{host}/sitemap.xml",
+                    "kind": "sitemapindex",
+                    "locs": [
+                        f"https://{host}/sitemap-a.xml",
+                        f"https://{host}/sitemap-b.xml",
+                    ],
+                }
+            )
+            rows.append(
+                {
+                    "sitemap_url": f"https://{host}/sitemap-a.xml",
+                    "kind": "urlset",
+                    "locs": [page(k) for k in range(2, 14, 2)]
+                    + [f"https://{host}/private/page/1.html"],
+                }
+            )
+            rows.append(
+                {
+                    "sitemap_url": f"https://{host}/sitemap-b.xml",
+                    "kind": "urlset",
+                    "locs": [page(k) for k in range(3, 15, 2)]
+                    + [f"https://{host}/assets/whitepaper.pdf"],
+                }
+            )
+        else:
+            rows.append(
+                {
+                    "sitemap_url": f"https://{host}/sitemap.xml",
+                    "kind": "urlset",
+                    "locs": [page(2 + (hh + j) % max(size, 1)) for j in range(6)],
+                }
+            )
+    return spark.createDataFrame(pd.DataFrame(rows), schema=SITEMAP_SCHEMA_DDL)
 
 
 def seed_urls(n_hosts: int = 20, messy: bool = True) -> list[str]:

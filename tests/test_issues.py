@@ -104,7 +104,7 @@ def python_issue_oracle(rows):
         if not (r["twitter_tags"] or {}):
             add(u, "warning", "Social", "Missing Twitter Card Tags",
                 "Page has no Twitter Card tags")
-        if not (r["json_ld"] or []):
+        if not (r["json_ld"] or []) and not (r["schema_org"] or []):
             add(u, "info", "Structured Data", "No Structured Data",
                 "Page has no JSON-LD or Schema.org markup")
         rt = r["response_time"] or 0
