@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_tumbling_counts": E.tumbling_counts,
         "events_sessionize": E.sessionize,
         "events_user_rates": E.user_event_rates,
+        "pagespeed_selection": CQ.pagespeed_selection,
+        "text_search_filter": CQ.text_search_filter,
     }
 
 
@@ -135,4 +137,6 @@ def oracle_sql() -> dict[str, str]:
         "events_tumbling_counts": E.TUMBLING_COUNTS_SQL,
         "events_sessionize": E.SESSIONIZE_SQL,
         "events_user_rates": E.USER_EVENT_RATES_SQL,
+        "pagespeed_selection": CQ.PAGESPEED_SELECTION_SQL,
+        "text_search_filter": CQ.TEXT_SEARCH_SQL,
     }

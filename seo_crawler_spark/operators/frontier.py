@@ -496,6 +496,41 @@ class CrawlEngine:
         order = pages.select("url", "wave", "seq").orderBy("seq")
         return CrawlResult(pages=pages, links=links, seen=seen, order=order, metrics=metrics)
 
+    def rebuild_frontier_from_links(
+        self, links: DataFrame, pages: DataFrame, base_domain: str, next_seq: int
+    ) -> DataFrame:
+        """Queue-rebuild fallback (crawler.py:455-476): when no frontier
+        snapshot survives, pending = internal link targets not yet
+        crawled — a left-anti join against the pages table, first-seen
+        order preserved."""
+        crawled = pages.select(F.col("url").alias("__crawled"))
+        cand = (
+            links.filter(F.col("is_internal"))
+            .select(
+                U.canonicalize_url(F.col("target_url")).alias("url"),
+                F.col("src_seq"),
+                F.col("anchor_pos"),
+            )
+            .join(crawled, F.col("url") == F.col("__crawled"), "left_anti")
+        )
+        cand = cand.withColumn("host", U.url_host(F.col("url")))
+        cand = self._admit(cand, base_domain)
+        wfirst = Window.partitionBy("url").orderBy("src_seq", "anchor_pos")
+        cand = (
+            cand.withColumn("__rn", F.row_number().over(wfirst))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        rebuilt = ordered_seq(cand, ["src_seq", "anchor_pos"], seq_col="seq", start=next_seq)
+        return rebuilt.select(
+            "url",
+            U.url_hash(F.col("url")).alias("url_hash"),
+            "host",
+            F.lit(1).alias("depth"),  # reference: link.get('depth', 1)
+            F.lit(0).alias("wave"),
+            "seq",
+        )
+
     def _snapshot(self, wave, frontier, seen, pages, links, metric):
         from ..state.snapshots import SnapshotStore
 

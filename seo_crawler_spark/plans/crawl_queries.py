@@ -258,3 +258,97 @@ edges AS (
 SELECT target_id, count(*) AS n_sources, min(source_id) AS first_source
 FROM edges GROUP BY target_id ORDER BY target_id
 """
+
+
+def pagespeed_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageSpeed page selection (reference: crawler.py:1248-1284):
+    homepage = first empty path else shortest path; plus first 2
+    one-segment 'category' pages — expressed as one ranking."""
+    docs = load(spark, "documents", sf_dir)
+    path = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit(""))
+        .when(F.col("doc_id") % 5 == 1, F.lit("/"))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("/about"), (F.col("doc_id") % 7).cast("string")))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.lit("/docs/"), F.col("doc_id").cast("string"), F.lit(".html")))
+        .otherwise(F.concat(F.lit("/blog/"), F.col("doc_id").cast("string"), F.lit("/post")))
+    )
+    pages = docs.select("doc_id", path.alias("path"))
+    trimmed = F.regexp_replace(F.col("path"), r"/+$", "")
+    w = Window.orderBy(
+        F.when(trimmed == "", 0).otherwise(1), F.length(trimmed), F.col("doc_id")
+    )
+    ranked = pages.withColumn("hp_rank", F.row_number().over(w))
+    homepage = ranked.filter(F.col("hp_rank") == 1).select(
+        "doc_id", "path", F.lit("homepage").alias("role")
+    )
+    stripped = F.regexp_replace(F.regexp_replace(F.col("path"), r"^/+", ""), r"/+$", "")
+    cats = (
+        ranked.filter(F.col("hp_rank") > 1)
+        .filter((stripped != "") & (~stripped.contains("/")))
+        .orderBy("doc_id")
+        .limit(2)
+        .select("doc_id", "path", F.lit("category").alias("role"))
+    )
+    return homepage.unionByName(cats).orderBy("role", "doc_id")
+
+
+PAGESPEED_SELECTION_SQL = """
+WITH pages AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN ''
+           WHEN 1 THEN '/'
+           WHEN 2 THEN '/about' || CAST(doc_id % 7 AS VARCHAR)
+           WHEN 3 THEN '/docs/' || CAST(doc_id AS VARCHAR) || '.html'
+           ELSE '/blog/' || CAST(doc_id AS VARCHAR) || '/post'
+         END AS path
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, path,
+         row_number() OVER (
+           ORDER BY CASE WHEN regexp_replace(path, '/+$', '') = '' THEN 0 ELSE 1 END,
+                    length(regexp_replace(path, '/+$', '')), doc_id
+         ) AS hp_rank
+  FROM pages
+),
+homepage AS (
+  SELECT doc_id, path, 'homepage' AS role FROM ranked WHERE hp_rank = 1
+),
+cats AS (
+  SELECT doc_id, path, 'category' AS role
+  FROM ranked
+  WHERE hp_rank > 1
+    AND regexp_replace(regexp_replace(path, '^/+', ''), '/+$', '') <> ''
+    AND NOT contains(regexp_replace(regexp_replace(path, '^/+', ''), '/+$', ''), '/')
+  ORDER BY doc_id LIMIT 2
+)
+SELECT * FROM homepage UNION ALL SELECT * FROM cats
+ORDER BY role, doc_id
+"""
+
+
+def text_search_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive substring search + facet filter (reference links
+    UI search, app.js:769-836: lower(col).contains(q) disjunction)."""
+    docs = load(spark, "documents", sf_dir)
+    q = "merge"
+    return (
+        docs.filter(
+            (F.lower(F.col("text")).contains(q) | F.lower(F.col("source")).contains(q))
+            & F.col("lang").isin("en", "de")
+        )
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+TEXT_SEARCH_SQL = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE (contains(lower(text), 'merge') OR contains(lower(source), 'merge'))
+  AND lang IN ('en', 'de')
+ORDER BY doc_id
+"""

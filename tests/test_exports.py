@@ -1,0 +1,93 @@
+"""Export sinks: CSV scalarization semantics, JSON/XML sinks, links CSV,
+issues-grouped JSON shape, seq>since status feed, viz projection."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from seo_crawler_spark.operators.frontier import CrawlConfig, CrawlEngine
+from seo_crawler_spark.operators.issues import detect_issues
+from seo_crawler_spark.sources.corpus import generate_corpus, generate_robots, seed_urls
+from seo_crawler_spark.sources.exports import (
+    _csv_scalarize,
+    export_links_csv,
+    export_pages_csv,
+    export_pages_json,
+    export_pages_xml,
+    issues_grouped_json,
+    status_feed,
+    visualization_projection,
+)
+
+
+@pytest.fixture(scope="module")
+def crawl(spark):
+    corpus = generate_corpus(spark, n_docs=200, n_hosts=4, seed=9).localCheckpoint(
+        eager=True
+    )
+    robots = generate_robots(spark, n_hosts=4, seed=9)
+    return CrawlEngine(
+        spark, corpus, robots, CrawlConfig(max_depth=2, max_urls=120, crawl_external=True)
+    ).run(seed_urls(4))
+
+
+def test_csv_scalarization_semantics(spark, crawl):
+    """Reference main.py:275-314 rules: '<n> tags', '<n> images',
+    'N internal links', h2 first-3 + ellipsis, analytics codes."""
+    out = _csv_scalarize(crawl.pages, ["url", "og_tags", "images", "internal_links", "h2", "analytics"])
+    rows = {r["url"]: r for r in out.collect()}
+    src = {r["url"]: r for r in crawl.pages.collect()}
+    for u, r in rows.items():
+        s = src[u]
+        n_og = len(s["og_tags"] or {})
+        assert r["og_tags"] == (f"{n_og} tags" if n_og else "")
+        n_img = len(s["images"] or [])
+        assert r["images"] == (f"{n_img} images" if n_img else "")
+        assert r["internal_links"] == f"{s['internal_links']} internal links"
+        h2 = s["h2"] or []
+        want = ", ".join(h2[:3]) + ("..." if len(h2) > 3 else "")
+        assert r["h2"] == want
+        if s["analytics"]["gtag"] or s["analytics"]["ga4_id"]:
+            assert "GA4" in r["analytics"]
+
+
+def test_file_sinks_roundtrip(spark, crawl, tmp_path):
+    export_pages_csv(crawl.pages, str(tmp_path / "csv"))
+    export_pages_json(crawl.pages, str(tmp_path / "json"))
+    export_pages_xml(crawl.pages, str(tmp_path / "xml"))
+    export_links_csv(crawl.links, str(tmp_path / "links"))
+    n = crawl.pages.count()
+    back = spark.read.option("header", "true").csv(str(tmp_path / "csv"))
+    assert back.count() == n
+    assert spark.read.json(str(tmp_path / "json")).count() == n
+    xml_lines = spark.read.text(str(tmp_path / "xml")).collect()
+    assert len(xml_lines) == n
+    assert all(r["value"].startswith("<url>") for r in xml_lines)
+
+
+def test_issues_grouped_json_shape(spark, crawl):
+    issues = detect_issues(crawl.pages)
+    grouped = issues_grouped_json(issues)
+    row = grouped.first()
+    assert row["issue_count"] == len(row["issues"])
+    total = grouped.agg(F.sum("issue_count")).collect()[0][0]
+    assert total == issues.count()
+
+
+def test_status_feed_incremental(spark, crawl):
+    mid = crawl.pages.agg(F.expr("percentile_approx(seq, 0.5)")).collect()[0][0]
+    feed = status_feed(crawl.pages, since=int(mid))
+    assert feed.count() == crawl.pages.filter(F.col("seq") > int(mid)).count()
+    assert feed.count() < crawl.pages.count()
+
+
+def test_visualization_projection(spark, crawl):
+    nodes, edges = visualization_projection(crawl.pages, crawl.links, node_cap=50)
+    assert nodes.count() <= 50
+    ids = {r["node_id"] for r in nodes.collect()}
+    for e in edges.collect():
+        assert e["source_id"] in ids and e["target_id"] in ids
+    assert edges.count() == edges.dropDuplicates(["source_id", "target_id"]).count()
