@@ -72,37 +72,42 @@ ORDER BY keeper_doc_id
 # ---------------------------------------------------------------------------
 
 
-def _doc_shingles(docs: DataFrame) -> DataFrame:
-    # materialize the token array BEFORE shingling: inlining tokens()
-    # into the transform lambda makes Catalyst re-run the tokenize regex
-    # for every element_at access (no CSE inside lambdas) — 3 regex
-    # passes per shingle instead of 1 per document
+def _shingle_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, s): DISTINCT exploded shingles. Array-level
+    array_distinct is O(n²) per document AND Catalyst's CollapseProject
+    re-evaluates the whole shingle expression in every projection that
+    references it — exploding first and deduping with a hash shuffle is
+    both linear and evaluated exactly once."""
     return (
         docs.select("doc_id", tokens(F.col("text")).alias("tok"))
-        .select("doc_id", F.array_distinct(shingles(F.col("tok"))).alias("sh"))
-        .withColumn("n_sh", F.size("sh"))
+        .select("doc_id", F.explode(shingles(F.col("tok"))).alias("s"))
+        .distinct()
+    )
+
+
+def _shingle_sizes(sh_ex: DataFrame, out: str) -> DataFrame:
+    return sh_ex.groupBy(F.col("doc_id").alias(out)).agg(
+        F.count(F.lit(1)).alias(f"n_{out}")
     )
 
 
 def dedup_ngram_jaccard(
     spark: SparkSession, sf_dir: str, threshold: float = 0.5
 ) -> DataFrame:
-    # cached: the shingle table feeds both sides of the self-join
-    docs = _doc_shingles(load(spark, "documents", sf_dir)).cache()
-    ex = docs.select("doc_id", "n_sh", F.explode("sh").alias("s"))
-    a = ex.select(
-        F.col("doc_id").alias("a"), F.col("n_sh").alias("na"), "s"
-    )
-    b = ex.select(
-        F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"), "s"
-    )
+    # cached: the shingle rows feed both sides of the self-join + sizes
+    sh_ex = _shingle_rows(load(spark, "documents", sf_dir)).cache()
+    a = sh_ex.select(F.col("doc_id").alias("a"), "s")
+    b = sh_ex.select(F.col("doc_id").alias("b"), "s")
     inter = (
         a.join(b, "s")
         .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b", "na", "nb")
+        .groupBy("a", "b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    inter = inter.join(_shingle_sizes(sh_ex, "a"), "a").join(
+        _shingle_sizes(sh_ex, "b"), "b"
+    )
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     return (
         inter.withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= threshold)
@@ -141,15 +146,9 @@ _R = N_PERM // N_BANDS
 def dedup_minhash_lsh(
     spark: SparkSession, sf_dir: str, threshold: float = 0.5
 ) -> DataFrame:
-    # cached: scanned for signatures AND both sides of the verify join
-    docs = (
-        _doc_shingles(load(spark, "documents", sf_dir))
-        .filter(F.col("n_sh") > 0)
-        .cache()
-    )
-    sh = docs.select("doc_id", F.explode("sh").alias("s")).withColumn(
-        "h", md5int(F.col("s")) % MOD
-    )
+    # cached: scanned for signatures, sizes, AND the pair verify
+    sh_ex = _shingle_rows(load(spark, "documents", sf_dir)).cache()
+    sh = sh_ex.withColumn("h", md5int(F.col("s")) % MOD)
     # all 32 permutation minima in ONE hash-agg pass (a 32× crossJoin
     # explode would shuffle 32·|shingles| rows; this shuffles |docs|·32
     # partial-agg cells — map-side combined)
@@ -189,18 +188,26 @@ def dedup_minhash_lsh(
         .select("a", "b")
         .distinct()
     )
-    # exact verify of band collisions
-    d1 = docs.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"),
-                     F.col("n_sh").alias("na"))
-    d2 = docs.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"),
-                     F.col("n_sh").alias("nb"))
+    # exact verify of band collisions: intersect via the shingle rows
+    # restricted to candidate pairs (candidates are few — broadcast)
+    pa_sh = cand.join(
+        sh_ex.select(F.col("doc_id").alias("a"), "s"), "a"
+    )
+    inter = (
+        pa_sh.join(
+            sh_ex.select(F.col("doc_id").alias("b2"), F.col("s").alias("s2")),
+            (F.col("b") == F.col("b2")) & (F.col("s") == F.col("s2")),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    inter = inter.join(_shingle_sizes(sh_ex, "a"), "a").join(
+        _shingle_sizes(sh_ex, "b"), "b"
+    )
     verified = (
-        cand.join(d1, "a")
-        .join(d2, "b")
-        .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
-        .withColumn(
+        inter.withColumn(
             "jaccard",
-            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4),
+            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
