@@ -41,8 +41,8 @@ from pyspark.sql import types as T
 
 from ..functions import urls as U
 from .extract import extract_pages, explode_links
-from .ordering import ordered_seq
-from .politeness import politeness_gate
+from .ordering import ordered_seq, ordered_seq_counted
+from .politeness import politeness_tag
 from .seen import bloom_build, bloom_merge, dedupe_against_seen
 
 
@@ -289,32 +289,61 @@ class CrawlEngine:
         bloom = None
         wave = start_wave
         self._base_domain = base_domain
+        # seen is a LIST of checkpointed delta parts — re-checkpointing
+        # the full seen table every wave would copy O(|seen|) per wave
+        # (quadratic total; at 10^10 fatal). The anti-join scans the
+        # lazy union of parts instead.
+        seen_parts: list[DataFrame] = [seen]
+        seen = None
+        n_frontier = frontier.count()  # only upfront count; tracked after
+
+        from ..metrics import observe_fetch, partition_lineage
 
         while wave < cfg.max_waves and crawled_total < cfg.max_urls:
             t0 = time.monotonic()
-            n_frontier = frontier.count()
             if n_frontier == 0:
                 break
+            n_front_wave = n_frontier
+            seen_df = seen_parts[0]
+            for p in seen_parts[1:]:
+                seen_df = seen_df.unionByName(p)
+            wave_deltas: list[DataFrame] = [seen_parts[0]] if wave == start_wave else []
 
-            # politeness rank-gate (logical budget, not wall-clock sleep)
+            # politeness rank-gate (logical budget, not wall-clock sleep);
+            # one checkpoint + one count job covers both sides of the split
             if cfg.politeness_budget is not None:
-                scheduled, deferred = politeness_gate(
+                tagged = politeness_tag(
                     frontier,
                     cfg.politeness_budget,
                     robots=self.robots,
                     wave_seconds=cfg.wave_seconds,
                     salt_buckets=cfg.salt_buckets,
+                ).localCheckpoint(eager=True)
+                cnt = {
+                    bool(r["admitted"]): r["n"]
+                    for r in tagged.groupBy("admitted")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                n_sched = cnt.get(True, 0)
+                n_def = cnt.get(False, 0)
+                scheduled = tagged.filter(F.col("admitted")).drop("admitted")
+                deferred = (
+                    tagged.filter(~F.col("admitted")).drop("admitted")
+                    if n_def
+                    else None
                 )
             else:
                 scheduled, deferred = frontier, None
+                n_sched, n_def = n_frontier, 0
 
             # global max_urls budget: first N in BFS order (crawler.py:680)
             remaining = cfg.max_urls - crawled_total
-            n_sched = scheduled.count()
             if n_sched > remaining:
-                scheduled = scheduled.orderBy("seq").limit(remaining)
+                scheduled = (
+                    scheduled.orderBy("seq").limit(remaining).localCheckpoint(eager=True)
+                )
                 n_sched = remaining
-            scheduled = scheduled.localCheckpoint(eager=True)
 
             # "fetch" = join against the corpus (no live network; a miss is
             # the moral equivalent of a dead link → empty error result,
@@ -341,8 +370,6 @@ class CrawlEngine:
                     F.coalesce(self.corpus.raw_html, F.lit("")).alias("raw_html"),
                 )
             )
-
-            from ..metrics import observe_fetch, partition_lineage
 
             extracted, fetch_obs = observe_fetch(extract_pages(fetched, base_domain))
             extracted = extracted.localCheckpoint(eager=True)  # materializes obs
@@ -392,22 +419,23 @@ class CrawlEngine:
                 )
                 cand = cand.withColumn("url_hash", U.url_hash(F.col("url")))
                 if cfg.use_bloom and bloom is None and next_seq >= cfg.bloom_min_seen:
-                    bloom = bloom_build(seen).localCheckpoint(eager=True)
-                fresh = dedupe_against_seen(cand, seen, bloom)
-                fresh = ordered_seq(
+                    bloom = bloom_build(seen_df).localCheckpoint(eager=True)
+                fresh = dedupe_against_seen(cand, seen_df, bloom)
+                # checkpointed + counted inside ordered_seq (no extra job)
+                fresh, n_new = ordered_seq_counted(
                     fresh, ["src_seq", "anchor_pos"], seq_col="seq", start=next_seq
-                ).localCheckpoint(eager=True)
-                n_new = fresh.count()
-                next_seq += n_new
-                new_frontier = fresh.select(
-                    "url", "url_hash", "host", "depth",
-                    F.lit(wave + 1).alias("wave"), "seq",
                 )
+                next_seq += n_new
                 if n_new:
+                    new_frontier = fresh.select(
+                        "url", "url_hash", "host", "depth",
+                        F.lit(wave + 1).alias("wave"), "seq",
+                    )
                     new_seen = fresh.select(
                         "url_hash", "url", F.lit(wave + 1).alias("wave")
                     )
-                    seen = seen.unionByName(new_seen).localCheckpoint(eager=True)
+                    seen_parts.append(new_seen)
+                    wave_deltas.append(new_seen)
                     if bloom is not None:
                         bloom = bloom_merge(
                             bloom, bloom_build(new_seen)
@@ -415,21 +443,16 @@ class CrawlEngine:
             else:
                 n_new = 0
 
-            parts = [
-                p
-                for p in (
-                    deferred,
-                    new_frontier,
-                )
-                if p is not None
-            ]
+            # next frontier: lazy union over this wave's checkpoints —
+            # one lineage level deep, nothing recomputes across waves
+            parts = [p for p in (deferred, new_frontier) if p is not None]
             if parts:
-                nxt = parts[0]
+                frontier = parts[0]
                 for p in parts[1:]:
-                    nxt = nxt.unionByName(p)
-                frontier = nxt.localCheckpoint(eager=True)
+                    frontier = frontier.unionByName(p)
             else:
                 frontier = spark.createDataFrame([], frontier.schema)
+            n_frontier = n_def + n_new
 
             # north rule: per-partition lineage + fetch metrics each wave
             lineage_rows = [
@@ -443,7 +466,7 @@ class CrawlEngine:
             metrics.append(
                 {
                     "wave": wave,
-                    "frontier": n_frontier,
+                    "frontier": n_front_wave,
                     "scheduled": n_sched,
                     "new_urls": n_new,
                     "crawled_total": crawled_total,
@@ -453,7 +476,13 @@ class CrawlEngine:
                 }
             )
             if self.state_dir:
-                self._snapshot(wave, frontier, seen, extracted, wave_links, metrics[-1])
+                if wave_deltas:
+                    delta = wave_deltas[0]
+                    for p in wave_deltas[1:]:
+                        delta = delta.unionByName(p)
+                else:
+                    delta = spark.createDataFrame([], seen_parts[0].schema)
+                self._snapshot(wave, frontier, delta, extracted, wave_links, metrics[-1])
             wave += 1
 
         pages = pages_parts[0]
@@ -494,7 +523,12 @@ class CrawlEngine:
         )
 
         order = pages.select("url", "wave", "seq").orderBy("seq")
-        return CrawlResult(pages=pages, links=links, seen=seen, order=order, metrics=metrics)
+        seen_final = seen_parts[0]
+        for p in seen_parts[1:]:
+            seen_final = seen_final.unionByName(p)
+        return CrawlResult(
+            pages=pages, links=links, seen=seen_final, order=order, metrics=metrics
+        )
 
     def rebuild_frontier_from_links(
         self, links: DataFrame, pages: DataFrame, base_domain: str, next_seq: int

@@ -21,17 +21,21 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def ordered_seq(
+def ordered_seq_counted(
     df: DataFrame,
     order_cols: list[str],
     seq_col: str = "seq",
     start: int = 0,
     num_partitions: int | None = None,
-) -> DataFrame:
-    """Assign ``seq_col`` = start + (0-based dense global rank by order_cols).
+) -> tuple[DataFrame, int]:
+    """Assign ``seq_col`` = start + (0-based dense global rank by
+    order_cols); also return the row count (known for free from the
+    per-partition sizes — callers must NOT spend another job on it).
 
-    Rows must be unique on order_cols (the crawl contract guarantees it:
-    one (parent seq, anchor position) per discovery).
+    The returned frame is backed by a localCheckpoint; the seq column is
+    a shuffle-free projection on top. Rows must be unique on order_cols
+    (the crawl contract guarantees it: one (parent seq, anchor position)
+    per discovery).
     """
     cols = [F.col(c) for c in order_cols]
     n_shuffle = num_partitions or df.sparkSession.conf.get(
@@ -47,7 +51,10 @@ def ordered_seq(
         for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
     if not sizes:  # empty wave
-        return ranged.drop("__pid").withColumn(seq_col, F.lit(start).cast("long"))
+        return (
+            ranged.drop("__pid").withColumn(seq_col, F.lit(start).cast("long")),
+            0,
+        )
 
     offsets, acc = {}, start
     for pid in sorted(sizes):
@@ -58,10 +65,21 @@ def ordered_seq(
         *[F.lit(x) for kv in offsets.items() for x in kv]
     )
     w = Window.partitionBy("__pid").orderBy(*cols)
-    return (
+    out = (
         ranged.withColumn(
             seq_col,
             (omap[F.col("__pid")] + F.row_number().over(w) - 1).cast("long"),
         )
         .drop("__pid")
     )
+    return out, acc - start
+
+
+def ordered_seq(
+    df: DataFrame,
+    order_cols: list[str],
+    seq_col: str = "seq",
+    start: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    return ordered_seq_counted(df, order_cols, seq_col, start, num_partitions)[0]

@@ -65,9 +65,8 @@ class SnapshotStore:
     ) -> None:
         """Write wave-N snapshots, then atomically publish the manifest."""
         frontier.write.mode("overwrite").parquet(self._wave_dir("frontier", wave))
-        # seen is append-only: only the latest full snapshot is needed for
-        # resume, but per-wave deltas would also work; we snapshot full at
-        # small scale and note the delta layout as the 10^10 path.
+        # seen arrives as the wave's DELTA — appends stay O(new URLs)
+        # per wave instead of O(|seen|)
         seen.write.mode("overwrite").parquet(self._wave_dir("seen", wave))
         pages.write.mode("overwrite").parquet(self._wave_dir("pages", wave))
         links.write.mode("overwrite").parquet(self._wave_dir("links", wave))
@@ -88,8 +87,12 @@ class SnapshotStore:
     def read_frontier(self, spark: SparkSession, wave: int) -> DataFrame:
         return spark.read.parquet(self._wave_dir("frontier", wave))
 
-    def read_seen(self, spark: SparkSession, wave: int) -> DataFrame:
-        return spark.read.parquet(self._wave_dir("seen", wave))
+    def read_seen(self, spark: SparkSession, upto_wave: int) -> DataFrame:
+        """seen is stored as per-wave DELTAS (append-only); the full set
+        is the union of deltas up to the wave."""
+        dirs = [self._wave_dir("seen", w) for w in range(upto_wave + 1)
+                if os.path.isdir(self._wave_dir("seen", w))]
+        return spark.read.parquet(*dirs)
 
     def read_pages(self, spark: SparkSession, upto_wave: int) -> DataFrame:
         dirs = [self._wave_dir("pages", w) for w in range(upto_wave + 1)
