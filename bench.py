@@ -134,6 +134,7 @@ HEADLINE = [
     "word_counts",
     "linked_from_counts",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "dedup_simhash",
     "ann_brute_topk",
     "lang_id",
