@@ -40,6 +40,11 @@ def entry(spark: SparkSession) -> DataFrame:
     )
     from seo_crawler_spark.sources.tables import load
 
+    # the driver's session may default to 200 shuffle partitions — far
+    # too many tiny tasks for this data size (runtime-settable knobs)
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
     n_docs = min(load(spark, "documents", SF0001).count(), 300)
     corpus = generate_corpus(spark, n_docs=n_docs, n_hosts=5, seed=42).localCheckpoint(
         eager=True

@@ -26,14 +26,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "sum_disc_price"
-            ),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            # rounded in BOTH engines: double accumulation order differs
+            # across engines/partitionings, a strict value-hash needs a
+            # fixed-point surface
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -42,12 +45,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       sum(l_quantity)                                     AS sum_qty,
-       sum(l_extendedprice)                                AS sum_base_price,
-       sum(l_extendedprice * (1 - l_discount))             AS sum_disc_price,
-       avg(l_quantity)                                     AS avg_qty,
-       avg(l_extendedprice)                                AS avg_price,
-       avg(l_discount)                                     AS avg_disc,
+       round(sum(l_quantity), 2)                           AS sum_qty,
+       round(sum(l_extendedprice), 2)                      AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)   AS sum_disc_price,
+       round(avg(l_quantity), 6)                           AS avg_qty,
+       round(avg(l_extendedprice), 6)                      AS avg_price,
+       round(avg(l_discount), 6)                           AS avg_disc,
        count(*)                                            AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -74,7 +77,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -83,7 +88,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q3_SQL = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       sum(l_extendedprice * (1 - l_discount)) AS revenue
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
