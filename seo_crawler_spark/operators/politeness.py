@@ -26,11 +26,13 @@ def politeness_tag(
     robots: DataFrame | None = None,
     wave_seconds: float = 60.0,
     salt_buckets: int = 1,
+    order_by: tuple[str, ...] = ("seq",),
 ) -> DataFrame:
     """Tag frontier rows with ``admitted`` under per-host budgets
     (single pass; lets callers count both sides in one job)."""
     scheduled, deferred = politeness_gate(
-        frontier, default_budget, robots, wave_seconds, salt_buckets, _tag_only=True
+        frontier, default_budget, robots, wave_seconds, salt_buckets,
+        order_by=order_by, _tag_only=True,
     )
     return scheduled  # _tag_only returns the tagged frame as first element
 
@@ -41,13 +43,15 @@ def politeness_gate(
     robots: DataFrame | None = None,
     wave_seconds: float = 60.0,
     salt_buckets: int = 1,
+    order_by: tuple[str, ...] = ("seq",),
     _tag_only: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Split frontier into (scheduled, deferred) under per-host budgets.
 
     Budget per host = floor(wave_seconds / crawl_delay) when robots has a
     crawl_delay for the host, else ``default_budget``. Admission order
-    within a host is strictly by frontier ``seq`` (FIFO priority).
+    within a host is ``order_by`` — (seq,) is FIFO; pass e.g.
+    ("priority", "seq") for a true per-host priority queue.
     """
     df = frontier
     if robots is not None:
@@ -63,12 +67,12 @@ def politeness_gate(
     if salt_buckets > 1:
         salt = F.pmod(F.col("url_hash"), F.lit(salt_buckets))
         per_bucket = F.ceil(budget_col / F.lit(salt_buckets)).cast("int")
-        w = Window.partitionBy("host", salt).orderBy("seq")
+        w = Window.partitionBy("host", salt).orderBy(*order_by)
         df = df.withColumn("__rnk", F.row_number().over(w)).withColumn(
             "__admit", F.col("__rnk") <= per_bucket
         )
     else:
-        w = Window.partitionBy("host").orderBy("seq")
+        w = Window.partitionBy("host").orderBy(*order_by)
         df = df.withColumn("__rnk", F.row_number().over(w)).withColumn(
             "__admit", F.col("__rnk") <= budget_col
         )
