@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_rates": E.user_event_rates,
         "pagespeed_selection": CQ.pagespeed_selection,
         "text_search_filter": CQ.text_search_filter,
+        "analytics_detection": CQ.analytics_detection,
     }
 
 
@@ -144,4 +145,5 @@ def oracle_sql() -> dict[str, str]:
         "events_user_rates": E.USER_EVENT_RATES_SQL,
         "pagespeed_selection": CQ.PAGESPEED_SELECTION_SQL,
         "text_search_filter": CQ.TEXT_SEARCH_SQL,
+        "analytics_detection": CQ.ANALYTICS_DETECTION_SQL,
     }

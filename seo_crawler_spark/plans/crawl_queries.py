@@ -352,3 +352,52 @@ WHERE (contains(lower(text), 'merge') OR contains(lower(source), 'merge'))
   AND lang IN ('en', 'de')
 ORDER BY doc_id
 """
+
+
+def analytics_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytics/tracking regex detection (reference:
+    seo_extractor.py:118-156 — GA4 id, GTM id, pixel/hotjar/mixpanel
+    flags) over deterministically synthesized script snippets."""
+    docs = load(spark, "documents", sf_dir)
+    html = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit('<script>gtag("config","G-AB12CD34EF");</script>'), F.col("text")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("<script>window.g='GTM-XYZ789';fbq('init');</script>"), F.col("text")))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit('<script src="https://static.hotjar.com/h.js"></script>'), F.col("text")))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.lit("<script>mixpanel.track('x');</script>"), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    d = docs.select("doc_id", html.alias("html"))
+    return d.select(
+        "doc_id",
+        F.regexp_extract(F.col("html"), "G-[A-Z0-9]{10}", 0).alias("ga4_id"),
+        F.regexp_extract(F.col("html"), "GTM-[A-Z0-9]+", 0).alias("gtm_id"),
+        F.when(F.col("html").rlike("(?i)fbq\\(|facebook\\.com/tr"), 1).otherwise(0).alias("facebook_pixel"),
+        F.when(F.col("html").rlike("(?i)hotjar\\.com|hj\\("), 1).otherwise(0).alias("hotjar"),
+        F.when(F.col("html").rlike("(?i)mixpanel\\.com|mixpanel\\.track"), 1).otherwise(0).alias("mixpanel"),
+    ).orderBy("doc_id")
+
+
+ANALYTICS_DETECTION_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN '<script>gtag("config","G-AB12CD34EF");</script>' || text
+           WHEN 1 THEN '<script>window.g=''GTM-XYZ789'';fbq(''init'');</script>' || text
+           WHEN 2 THEN '<script src="https://static.hotjar.com/h.js"></script>' || text
+           WHEN 3 THEN '<script>mixpanel.track(''x'');</script>' || text
+           ELSE text
+         END AS html
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(html, 'G-[A-Z0-9]{10}', 0) AS ga4_id,
+       regexp_extract(html, 'GTM-[A-Z0-9]+', 0) AS gtm_id,
+       CASE WHEN regexp_matches(html, '(?i)fbq\\(|facebook\\.com/tr') THEN 1 ELSE 0 END AS facebook_pixel,
+       CASE WHEN regexp_matches(html, '(?i)hotjar\\.com|hj\\(') THEN 1 ELSE 0 END AS hotjar,
+       CASE WHEN regexp_matches(html, '(?i)mixpanel\\.com|mixpanel\\.track') THEN 1 ELSE 0 END AS mixpanel
+FROM d ORDER BY doc_id
+"""
