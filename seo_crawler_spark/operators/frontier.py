@@ -68,6 +68,10 @@ class CrawlConfig:
     bloom_min_seen: int = 2_000_000
     base_domain: str | None = None
     max_waves: int = 64
+    # reference start_crawl: a seed URL carrying a path limits the crawl
+    # to that single page (max_depth := 0, crawler.py:218-222); opt-in
+    # because the synthetic fixtures use path-bearing seeds everywhere
+    single_page_if_path: bool = False
 
 
 @dataclass
@@ -177,6 +181,17 @@ class CrawlEngine:
 
             first = seeds[0] if "://" in seeds[0] else f"https://{seeds[0]}"
             base_domain = urlparse(_canonicalize_py(first)).netloc
+
+        if cfg.single_page_if_path:
+            from urllib.parse import urlparse as _up
+
+            f0_url = seeds[0] if "://" in seeds[0] else f"https://{seeds[0]}"
+            if _up(f0_url).path not in ("", "/"):
+                # single-page mode (crawler.py:218-222)
+                import dataclasses
+
+                cfg = dataclasses.replace(cfg, max_depth=0)
+                self.cfg = cfg
 
         # wave 0: seeds first (bypass admission — crawler.py:245 add_url
         # has no should_crawl callback), then sitemap-discovered URLs in

@@ -54,6 +54,7 @@ class ReferenceModel:
         sitemaps: dict[str, dict] | None = None,
         robots_sitemaps: dict[str, list[str]] | None = None,
         discover_sitemaps: bool = False,
+        single_page_if_path: bool = False,
     ):
         self.corpus = corpus
         self.robots = robots or {}
@@ -68,6 +69,7 @@ class ReferenceModel:
         self.sitemaps = sitemaps or {}
         self.robots_sitemaps = robots_sitemaps or {}
         self.discover_sitemaps = discover_sitemaps
+        self.single_page_if_path = single_page_if_path
         self.base_domain = ""
 
     def _should_crawl(self, url: str) -> bool:
@@ -97,6 +99,8 @@ class ReferenceModel:
     def crawl(self, seeds: list[str]) -> dict:
         first = seeds[0] if "://" in seeds[0] else f"https://{seeds[0]}"
         self.base_domain = urlparse(_canonicalize_py(first)).netloc
+        if self.single_page_if_path and urlparse(first).path not in ("", "/"):
+            self.max_depth = 0  # single-page mode (crawler.py:218-222)
 
         q: deque[tuple[str, int]] = deque()
         all_discovered: set[str] = set()
