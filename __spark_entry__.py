@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_brute_topk": S.ann_brute_topk,
         "ann_lsh_buckets": S.ann_lsh_bucketed,
+        "embedding_neardup_lsh": S.embedding_neardup_lsh,
         # text analysis
         "lang_id": TS.lang_id,
         "quality_scores": TS.quality_scores,
@@ -136,6 +137,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": D.dedup_embedding_cosine_sql(),
         "ann_brute_topk": S.ANN_BRUTE_SQL,
         "ann_lsh_buckets": S.ann_lsh_bucketed_sql(),
+        "embedding_neardup_lsh": S.embedding_neardup_lsh_sql(),
         "lang_id": TS.lang_id_sql(),
         "quality_scores": TS.quality_scores_sql(),
         "token_counts": TS.TOKEN_COUNTS_SQL,

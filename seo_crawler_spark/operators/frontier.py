@@ -334,14 +334,20 @@ class CrawlEngine:
                     wave_seconds=cfg.wave_seconds,
                     salt_buckets=cfg.salt_buckets,
                 ).localCheckpoint(eager=True)
-                cnt = {
-                    bool(r["admitted"]): r["n"]
-                    for r in tagged.groupBy("admitted")
+                # one job yields admitted/deferred counts AND the
+                # per-partition lineage of the scheduled side
+                grp = (
+                    tagged.groupBy("admitted", F.spark_partition_id().alias("pid"))
                     .agg(F.count(F.lit(1)).alias("n"))
                     .collect()
-                }
-                n_sched = cnt.get(True, 0)
-                n_def = cnt.get(False, 0)
+                )
+                n_sched = sum(r["n"] for r in grp if r["admitted"])
+                n_def = sum(r["n"] for r in grp if not r["admitted"])
+                lineage_rows = [
+                    {"partition_id": r["pid"], "rows": r["n"]}
+                    for r in grp
+                    if r["admitted"]
+                ]
                 scheduled = tagged.filter(F.col("admitted")).drop("admitted")
                 deferred = (
                     tagged.filter(~F.col("admitted")).drop("admitted")
@@ -354,7 +360,8 @@ class CrawlEngine:
 
             # global max_urls budget: first N in BFS order (crawler.py:680)
             remaining = cfg.max_urls - crawled_total
-            if n_sched > remaining:
+            truncated = n_sched > remaining
+            if truncated:
                 scheduled = (
                     scheduled.orderBy("seq").limit(remaining).localCheckpoint(eager=True)
                 )
@@ -470,10 +477,11 @@ class CrawlEngine:
             n_frontier = n_def + n_new
 
             # north rule: per-partition lineage + fetch metrics each wave
-            lineage_rows = [
-                {"partition_id": r["partition_id"], "rows": r["rows"]}
-                for r in partition_lineage(scheduled, wave, "scheduled").collect()
-            ]
+            if cfg.politeness_budget is None or truncated:
+                lineage_rows = [
+                    {"partition_id": r["partition_id"], "rows": r["rows"]}
+                    for r in partition_lineage(scheduled, wave, "scheduled").collect()
+                ]
             fetch_stats = {
                 k: (float(v) if v is not None else None)
                 for k, v in fetch_obs.get.items()

@@ -142,3 +142,77 @@ SELECT vec_id,
        sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
 FROM dots GROUP BY vec_id ORDER BY vec_id
 """
+
+
+def embedding_neardup_lsh(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.45
+) -> DataFrame:
+    """Scale path for embedding near-dup: candidate pairs share an LSH
+    bucket (16 hyperplane signs) or differ in exactly one plane
+    (multi-probe, hamming-1) — then exact cosine verify. Deterministic
+    (md5-derived planes), so recall is fixed and the DuckDB oracle
+    matches exactly. At 10^10 vectors this replaces the O(n²) cross
+    join with per-bucket joins over a bucket-partitioned table."""
+    emb = load(spark, "embeddings", sf_dir)
+    buckets = ann_lsh_bucketed(spark, sf_dir)
+    tagged = emb.join(buckets, "vec_id")
+    # multi-probe: each vector appears under its own bucket and every
+    # hamming-1 neighbor bucket of the probe side
+    probes = tagged.select(
+        "vec_id", "embedding",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                    for p in range(N_PLANES)
+                ],
+            )
+        ).alias("probe_bucket"),
+    )
+    left = probes.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("va"),
+        F.col("probe_bucket").alias("bk"),
+    )
+    right = tagged.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("vb"),
+        F.col("bucket").alias("bk"),
+    )
+    cand = (
+        left.join(right, ["bk"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "va", "vb")
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cand.withColumn("cos", F.round(_cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+        .orderBy("a", "b")
+    )
+
+
+def embedding_neardup_lsh_sql(threshold: float = 0.45) -> str:
+    base = ann_lsh_bucketed_sql().strip()
+    inner = base[: base.rfind("ORDER BY")]
+    probes = ", ".join(str(1 << p) for p in range(N_PLANES))
+    return f"""
+WITH bucketq AS ({inner}),
+tagged AS (
+  SELECT e.vec_id, e.embedding, b.bucket
+  FROM embeddings e JOIN bucketq b ON e.vec_id = b.vec_id
+),
+probes AS (
+  SELECT vec_id, embedding, unnest([bucket] || list_transform([{probes}], m -> xor(bucket, m))) AS probe_bucket
+  FROM tagged
+),
+cand AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM probes l JOIN tagged r ON l.probe_bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT c.a, c.b,
+       round(list_cosine_similarity(x.embedding, y.embedding), 4) AS cos
+FROM cand c JOIN embeddings x ON c.a = x.vec_id JOIN embeddings y ON c.b = y.vec_id
+WHERE round(list_cosine_similarity(x.embedding, y.embedding), 4) >= {threshold}
+ORDER BY a, b
+"""
