@@ -18,7 +18,8 @@ compute stage is the honest scaling unit. Aggregates are asserted
 identical across cluster sizes (determinism).
 
 Results land in BENCH/BASELINE.md. Run: python scripts/bench_scaling.py
-(env: SCALING_CORPUS_DOCS, default 60000).
+(env: SCALING_CORPUS_DOCS, default 120000 — large enough that
+per-stage fixed overheads do not mask the scaling signal).
 """
 
 from __future__ import annotations
@@ -29,7 +30,7 @@ import shutil
 import subprocess
 import sys
 
-N_DOCS = int(os.environ.get("SCALING_CORPUS_DOCS", 60_000))
+N_DOCS = int(os.environ.get("SCALING_CORPUS_DOCS", 120_000))
 CORPUS_PATH = "/dev/shm/scaling_corpus.parquet"
 
 GEN_SNIPPET = r"""
