@@ -32,3 +32,29 @@ def test_native_matches_python(spark):
     }
     for u in CASES:
         assert got[u] == _canonicalize_py(u), (u, got[u], _canonicalize_py(u))
+
+
+def test_native_matches_python_generated(spark):
+    """Differential check over a generated messy-URL corpus (one Spark
+    batch; catches Catalyst-vs-urllib drift beyond the fixed cases)."""
+    import itertools
+
+    schemes = ["http", "HTTPS", "Http"]
+    hosts = ["Example.COM", "www.h-1.io", "a.b.c.d"]
+    ports = ["", ":80", ":443", ":9090"]
+    paths = ["", "/", "/x", "/x/y.HTML", "/a.b/c", "/%7Ez"]
+    queries = ["", "?b=2&a=1", "?k=v&k=u", "?only"]
+    frags = ["", "#f"]
+    urls = [
+        f"{s}://{h}{po}{pa}{q}{fr}"
+        for s, h, po, pa, q, fr in itertools.product(
+            schemes, hosts, ports, paths, queries, frags
+        )
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "raw string")
+    got = {
+        r["raw"]: r["c"]
+        for r in df.select("raw", canonicalize_url(F.col("raw")).alias("c")).collect()
+    }
+    bad = [(u, got[u], _canonicalize_py(u)) for u in urls if got[u] != _canonicalize_py(u)]
+    assert not bad, bad[:5]
