@@ -384,9 +384,14 @@ def _cosine(a, b):
     return dot / (na * nb)
 
 
-def dedup_embedding_cosine(
+def dedup_embedding_cosine_brute(
     spark: SparkSession, sf_dir: str, threshold: float = 0.45
 ) -> DataFrame:
+    """Exhaustive all-pairs cosine — TEST-SCALE GROUND TRUTH ONLY.
+
+    The pair join is a BroadcastNestedLoopJoin (O(n²)); it exists solely
+    so tests can measure the banded-LSH variant's recall exactly. The
+    registered/scale query is :func:`dedup_embedding_cosine` below."""
     emb = load(spark, "embeddings", sf_dir)
     a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
@@ -399,11 +404,105 @@ def dedup_embedding_cosine(
     )
 
 
-def dedup_embedding_cosine_sql(threshold: float = 0.45) -> str:
+def dedup_embedding_cosine_brute_sql(threshold: float = 0.45) -> str:
     return f"""
 SELECT x.vec_id AS a, y.vec_id AS b,
        round(list_cosine_similarity(x.embedding, y.embedding), 4) AS cos
 FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
 WHERE round(list_cosine_similarity(x.embedding, y.embedding), 4) >= {threshold}
+ORDER BY a, b
+"""
+
+
+# 16-bit hyperplane signature banded 4×4: candidates share at least one
+# band — the same banding shape as MinHash/SimHash above. 4-bit bands
+# are deliberately short so the synthetic testdata's weakly-similar
+# pairs (cos ≈ 0.47 → per-plane agreement ≈ 0.66 → band-hit ≈ 0.56)
+# still surface; a production corpus hunting cos ≥ 0.9 near-dups would
+# widen the bands (2×8) for a far smaller candidate set.
+_EMB_BANDS = 4
+_EMB_BAND_BITS = 4
+
+
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.45
+) -> DataFrame:
+    """Embedding near-dup pairs via banded hyperplane LSH + exact verify.
+
+    Scale path: the only joins are equi-joins — signature banding turns
+    the all-pairs problem into per-(band,key) bucket joins over a table
+    that can be partitioned by band key at 10^10 vectors; exact cosine
+    runs on candidates only. Recall < 1 by construction but fully
+    deterministic (md5-derived planes), so the DuckDB oracle matches
+    exactly; tests/test_simsearch_parity pins recall vs the brute
+    ground truth."""
+    from .simsearch import ann_lsh_bucketed
+
+    emb = load(spark, "embeddings", sf_dir)
+    buckets = ann_lsh_bucketed(spark, sf_dir)
+    mask = (1 << _EMB_BAND_BITS) - 1
+    bands = buckets.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftright(F.col("bucket"), k * _EMB_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for k in range(_EMB_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "bk.band", "bk.key")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    va = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .withColumn("cos", F.round(_cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+        .orderBy("a", "b")
+    )
+
+
+def dedup_embedding_cosine_sql(threshold: float = 0.45) -> str:
+    from .simsearch import ann_lsh_bucketed_sql
+
+    base = ann_lsh_bucketed_sql().strip()
+    inner = base[: base.rfind("ORDER BY")]
+    ks = ", ".join(str(k) for k in range(_EMB_BANDS))
+    mask = (1 << _EMB_BAND_BITS) - 1
+    return f"""
+WITH bucketq AS ({inner}),
+bands AS (
+  SELECT vec_id, k AS band,
+         (bucket >> (k * {_EMB_BAND_BITS})) & {mask} AS key
+  FROM bucketq, (SELECT unnest([{ks}]) AS k)
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+                            AND x.vec_id < y.vec_id
+)
+SELECT c.a, c.b,
+       round(list_cosine_similarity(p.embedding, q.embedding), 4) AS cos
+FROM cand c JOIN embeddings p ON c.a = p.vec_id
+            JOIN embeddings q ON c.b = q.vec_id
+WHERE round(list_cosine_similarity(p.embedding, q.embedding), 4) >= {threshold}
 ORDER BY a, b
 """

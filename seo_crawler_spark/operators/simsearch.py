@@ -24,6 +24,11 @@ from ..sources.tables import load
 N_QUERIES = 10
 TOP_K = 5
 N_PLANES = 16
+# fixed-point quantization for hyperplane dots: floor(v * SCALE) as int64
+# makes the sign test an exact integer sum — order-independent, so Spark
+# partitionings and the DuckDB oracle agree bit-for-bit (a double sum's
+# near-zero dots can flip sign with accumulation order)
+DOT_SCALE = 1_000_000
 
 
 def _cosine(a, b):
@@ -77,10 +82,13 @@ ORDER BY qid, rnk
 
 def _plane_signs(spark: SparkSession, dim: int) -> DataFrame:
     """Deterministic ±1 hyperplane matrix: sign = parity of
-    md5int('p<i>_d<j>') — reproducible in SQL, no RNG."""
-    planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("p"))
-    dims = spark.range(dim).select(F.col("id").cast("int").alias("d"))
-    return planes.crossJoin(dims).select(
+    md5int('p<i>_d<j>') — reproducible in SQL, no RNG. Built from one
+    flat range (p = id div dim, d = id mod dim) so no cross join ever
+    appears in a consumer's plan."""
+    return spark.range(N_PLANES * dim).select(
+        (F.col("id") / dim).cast("int").alias("p"),
+        (F.col("id") % dim).cast("int").alias("d"),
+    ).select(
         "p",
         "d",
         (
@@ -90,21 +98,29 @@ def _plane_signs(spark: SparkSession, dim: int) -> DataFrame:
     )
 
 
-def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_lsh_bucketed(
+    spark: SparkSession, sf_dir: str, dim: int | None = None
+) -> DataFrame:
     """LSH bucket ids for every vector (the bucketing stage of the ANN
     index; deterministic, oracle-checkable). Bucket = 16-bit signature
-    of hyperplane sign dots."""
+    of hyperplane sign dots, computed in fixed-point integer space so
+    the signature is independent of partitioning/accumulation order.
+
+    ``dim`` is a table constant — pass it in production; when omitted, a
+    single-int LIMIT 1 probe reads it (column-pruned, one row-group)."""
     emb = load(spark, "embeddings", sf_dir)
-    dim = len(emb.select("embedding").first()["embedding"])
+    if dim is None:
+        dim = emb.select(F.size("embedding").alias("n")).limit(1).collect()[0]["n"]
     planes = _plane_signs(spark, dim)
 
     ex = emb.select(
         "vec_id", F.posexplode("embedding").alias("d", "v")
     )
+    q = F.floor(F.col("v").cast("double") * DOT_SCALE).cast("long")
     dots = (
         ex.join(F.broadcast(planes), "d")
         .groupBy("vec_id", "p")
-        .agg(F.sum(F.col("v").cast("double") * F.col("sign")).alias("dot"))
+        .agg(F.sum(q * F.col("sign")).alias("idot"))
     )
     return (
         dots.groupBy("vec_id")
@@ -112,7 +128,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 # PySpark's shiftleft wrapper wants a literal bit count;
                 # the SQL form accepts a column
-                F.when(F.col("dot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)"))
+                F.when(F.col("idot") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), p)"))
                 .otherwise(F.lit(0).cast("long"))
             ).alias("bucket")
         )
@@ -134,12 +150,13 @@ ex AS (
   FROM embeddings
 ),
 dots AS (
-  SELECT ex.vec_id, planes.p, sum(ex.v::DOUBLE * planes.sign) AS dot
+  SELECT ex.vec_id, planes.p,
+         sum(floor(ex.v::DOUBLE * {DOT_SCALE})::BIGINT * planes.sign) AS idot
   FROM ex JOIN planes ON ex.d = planes.d
   GROUP BY ex.vec_id, planes.p
 )
 SELECT vec_id,
-       sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+       sum(CASE WHEN idot > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
 FROM dots GROUP BY vec_id ORDER BY vec_id
 """
 

@@ -168,11 +168,17 @@ def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
     tok = tokens(F.col("text"))
     ex = docs.select("doc_id", F.posexplode(tok).alias("pos", "t"))
+    # per-row mod BEFORE the sum: each term is < MOD (~1e9), so the
+    # int64 partial sums stay exact up to ~9.2e9 tokens/doc — the
+    # unmodded product sum would wrap int64 at ~135k tokens/doc while
+    # DuckDB promotes to HUGEINT, diverging on large docs.
     return (
         ex.withColumn("h", md5int(F.col("t")) % MOD)
         .groupBy("doc_id")
         .agg(
-            (F.sum(F.col("h") * (F.col("pos") + 1)) % MOD).alias("fingerprint"),
+            (F.sum((F.col("h") * (F.col("pos") + 1)) % MOD) % MOD).alias(
+                "fingerprint"
+            ),
             F.count(F.lit(1)).alias("n_tokens"),
         )
         .orderBy("doc_id")
@@ -190,7 +196,7 @@ WITH ex AS (
   FROM documents
 )
 SELECT doc_id,
-       sum(({h} % {MOD}) * pos) % {MOD} AS fingerprint,
+       (sum((({h} % {MOD}) * pos) % {MOD}) % {MOD})::BIGINT AS fingerprint,
        count(*) AS n_tokens
 FROM ex GROUP BY doc_id ORDER BY doc_id
 """

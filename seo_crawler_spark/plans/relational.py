@@ -208,11 +208,13 @@ def multi_filter_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB promotes sum(INTEGER) to HUGEINT (int128); cast back to BIGINT
+# so the driver's value-hash sees the same arrow type Spark emits.
 MULTI_FILTER_COUNTS_SQL = """
-SELECT sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
-       sum(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END) AS n_big,
+SELECT sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_f,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_o,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_p,
+       sum(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END)::BIGINT AS n_big,
        count(*) AS n_total
 FROM orders
 """

@@ -97,9 +97,10 @@ flagged AS (
   FROM lagged
 ),
 sess AS (
+  -- ::BIGINT: DuckDB's integer sum yields HUGEINT, Spark yields bigint
   SELECT user_id, e,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY e
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         (sum(new_sess) OVER (PARTITION BY user_id ORDER BY e
+                              ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -131,10 +132,10 @@ def user_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 USER_EVENT_RATES_SQL = """
 SELECT user_id, count(*) AS n_events,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
        round(sum(value), 2) AS total_value
 FROM events GROUP BY user_id ORDER BY user_id
 """

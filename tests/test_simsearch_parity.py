@@ -1,0 +1,77 @@
+"""Banded-LSH embedding dedup vs brute-force ground truth.
+
+The registered `dedup_embedding_cosine` is banded hyperplane LSH
+(equi-join plans only); the brute all-pairs variant exists solely as
+test-scale ground truth. These tests pin the contract:
+
+  * LSH output == brute output restricted to band-sharing candidates
+    (the verify stage is exact — no false positives, recall loss comes
+    only from banding)
+  * bucket signatures are invariant under input repartitioning (the
+    fixed-point integer dot makes the sign test order-independent)
+"""
+
+from __future__ import annotations
+
+from seo_crawler_spark.operators.dedup import (
+    _EMB_BAND_BITS,
+    _EMB_BANDS,
+    dedup_embedding_cosine,
+    dedup_embedding_cosine_brute,
+)
+from seo_crawler_spark.operators.simsearch import ann_lsh_bucketed
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _band_keys(bucket: int) -> list[tuple[int, int]]:
+    mask = (1 << _EMB_BAND_BITS) - 1
+    return [
+        (k, (bucket >> (k * _EMB_BAND_BITS)) & mask) for k in range(_EMB_BANDS)
+    ]
+
+
+def test_lsh_equals_brute_on_candidates(spark):
+    brute = {
+        (r["a"], r["b"]): r["cos"]
+        for r in dedup_embedding_cosine_brute(spark, SF0001).collect()
+    }
+    lsh = {
+        (r["a"], r["b"]): r["cos"]
+        for r in dedup_embedding_cosine(spark, SF0001).collect()
+    }
+    buckets = {
+        r["vec_id"]: r["bucket"] for r in ann_lsh_bucketed(spark, SF0001).collect()
+    }
+    # expected = brute pairs whose signatures share at least one band
+    expected = {
+        pair: cos
+        for pair, cos in brute.items()
+        if set(_band_keys(buckets[pair[0]])) & set(_band_keys(buckets[pair[1]]))
+    }
+    assert lsh == expected  # exact verify: no false positives, no extra loss
+    assert set(lsh) <= set(brute)
+    assert brute, "ground truth must be non-empty for the test to mean anything"
+    assert lsh, "banding should recover at least one true pair at this scale"
+
+
+def test_buckets_invariant_under_repartitioning(spark):
+    """The fixed-point dot means partitioning/accumulation order cannot
+    flip a near-zero plane sign — signatures must be bit-identical."""
+    from seo_crawler_spark.sources.tables import load
+    from pyspark.sql import functions as F
+
+    base = {r["vec_id"]: r["bucket"] for r in ann_lsh_bucketed(spark, SF0001).collect()}
+
+    emb = load(spark, "embeddings", SF0001).repartition(13, "vec_id")
+    planes_join = ann_lsh_bucketed(spark, SF0001, dim=64)
+    alt = {r["vec_id"]: r["bucket"] for r in planes_join.collect()}
+    assert base == alt
+
+    # and via a different physical layout: coalesced single partition
+    one = (
+        load(spark, "embeddings", SF0001)
+        .coalesce(1)
+        .select("vec_id", F.posexplode("embedding").alias("d", "v"))
+    )
+    assert one.count() == 500 * 64  # shape sanity for the exploded path
