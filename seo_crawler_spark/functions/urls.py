@@ -57,8 +57,11 @@ def url_query(url: Column) -> Column:
 
 def strip_www(host: Column) -> Column:
     """Reference semantics: netloc.replace('www.', '', 1)
-    (src/core/link_manager.py:161-163) — strips only a leading 'www.'."""
-    return F.regexp_replace(host, r"^www\.", "")
+    (src/core/link_manager.py:161-163) — removes the FIRST 'www.'
+    occurrence anywhere, matching html.py/_strip_www and
+    reference_model.py exactly (a leading-only ^www\\. anchor disagrees
+    on hosts with an embedded 'www.')."""
+    return F.regexp_replace(host, r"^(.*?)www\.", "$1")
 
 
 def sorted_query(url: Column) -> Column:
@@ -134,10 +137,13 @@ def clean_url_reference(url: Column) -> Column:
 
 
 def is_internal(url: Column, base_domain: Column | str) -> Column:
-    """www-stripped host equality vs base domain
-    (reference: src/core/link_manager.py:158-163)."""
+    """www-stripped netloc equality vs base domain (reference:
+    src/core/link_manager.py:158-163 compares urlparse().netloc, which
+    KEEPS a non-default port — so the comparison uses the full
+    authority on both sides; a seed on 'host:8080' matches its own
+    links instead of classifying everything external)."""
     base = F.lit(base_domain) if isinstance(base_domain, str) else base_domain
-    return strip_www(url_host(url)) == strip_www(F.lower(base))
+    return strip_www(url_authority(url)) == strip_www(F.lower(base))
 
 
 def url_extension(url: Column) -> Column:

@@ -118,7 +118,12 @@ def extract_pages(fetched: DataFrame, base_domain: str) -> DataFrame:
                 base = {name: getattr(row, name) for name, _t in _PASSTHROUGH}
                 html = getattr(row, "raw_html", None)
                 ctype = row.content_type or ""
-                if html and "html" in ctype and row.status_code == 200:
+                # content-type gate only (reference crawler.py ~870 parses
+                # any text/html body regardless of status — a 404 with an
+                # HTML body still gets titles/meta/issues); the 200-only
+                # rule applies solely to link EXPANSION, which the wave
+                # loop enforces by zeroing links on non-200 rows
+                if html and "html" in ctype:
                     fields = parse_document(row.url, html, base_domain)
                 else:
                     fields = dict(_EMPTY_FIELDS)

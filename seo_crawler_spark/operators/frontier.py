@@ -59,6 +59,10 @@ class CrawlConfig:
     include_patterns: tuple = ()
     exclude_patterns: tuple = ()
     politeness_budget: int | None = None  # None → no per-wave host cap
+    # HEAD content-length gate (crawler.py:789-803): a doc whose size
+    # exceeds this becomes an empty error row (status 0, body skipped,
+    # links never expanded). None → no limit (reference maxFileSize=0).
+    max_file_size: int | None = None
     wave_seconds: float = 60.0
     salt_buckets: int = 1
     discover_sitemaps: bool = False  # reference default is True; opt-in here
@@ -72,6 +76,9 @@ class CrawlConfig:
     # to that single page (max_depth := 0, crawler.py:218-222); opt-in
     # because the synthetic fixtures use path-bearing seeds everywhere
     single_page_if_path: bool = False
+    # crawl-row timestamp for status transitions (no wall clock inside
+    # the engine — callers pass it, reference crawl_db rows carry it)
+    started_at: str | None = None
 
 
 @dataclass
@@ -117,6 +124,11 @@ class CrawlEngine:
         self.robots = robots
         self.sitemaps = sitemaps
         self.state_dir = state_dir
+        # pause/stop control (crawler.py:344-372 is_paused/stop flags):
+        # a callable polled between waves returning None|'pause'|'stop' —
+        # waves are the atomic unit, so pausing commits the finished wave
+        # and marks the crawl row paused (graceful-shutdown semantics)
+        self.control = None
         self._robots_dim = None
         if robots is not None:
             self._robots_dim = (
@@ -240,6 +252,12 @@ class CrawlEngine:
         )
 
         seen = frontier.select("url_hash", "url", "wave").localCheckpoint(eager=True)
+        if self.state_dir:
+            from ..state.snapshots import SnapshotStore
+
+            SnapshotStore(self.state_dir).set_crawl_status(
+                "running", cfg.started_at
+            )
         return self._execute(
             base_domain=base_domain,
             frontier=frontier,
@@ -261,9 +279,14 @@ class CrawlEngine:
         from ..state.snapshots import SnapshotStore
 
         store = SnapshotStore(self.state_dir)
+        # crash recovery first (main.py:1507-1524): a manifest still
+        # 'running' means the prior process died mid-crawl → mark failed,
+        # then this resume flips it back to running
+        store.mark_crashed_if_running(self.cfg.started_at)
         latest = store.latest_wave()
         if latest is None:
             raise ValueError(f"no committed waves under {self.state_dir}")
+        store.set_crawl_status("running", self.cfg.started_at)
         manifest = store.manifest()
         frontier = store.read_frontier(self.spark, latest).localCheckpoint(eager=True)
         seen = store.read_seen(self.spark, latest).localCheckpoint(eager=True)
@@ -276,11 +299,20 @@ class CrawlEngine:
             base_domain = cfg.base_domain
         else:
             base_domain = manifest["base_domain"]
+        # gap-free (wave,seq) contract: the next seq is max(assigned)+1
+        # over everything that ever got one (crawled pages ∪ pending
+        # frontier) — robust even if the seen table were ever inflated,
+        # unlike seen.count()
+        max_seq = -1
+        for df in (pages, frontier):
+            row = df.agg(F.max("seq").alias("m")).collect()[0]
+            if row["m"] is not None:
+                max_seq = max(max_seq, row["m"])
         return self._execute(
             base_domain=base_domain,
             frontier=frontier,
             seen=seen,
-            next_seq=seen.count(),
+            next_seq=max_seq + 1,
             crawled_total=crawled_total,
             start_wave=latest + 1,
             pages_parts=[pages],
@@ -314,15 +346,27 @@ class CrawlEngine:
 
         from ..metrics import observe_fetch, partition_lineage
 
+        final_status = "completed"
         while wave < cfg.max_waves and crawled_total < cfg.max_urls:
             t0 = time.monotonic()
             if n_frontier == 0:
+                break
+            # pause/stop poll (crawler.py:344-372) — between waves, so the
+            # previous wave's snapshot is already committed atomically
+            req = self.control() if self.control is not None else None
+            if req in ("pause", "stop"):
+                final_status = "paused" if req == "pause" else "stopped"
                 break
             n_front_wave = n_frontier
             seen_df = seen_parts[0]
             for p in seen_parts[1:]:
                 seen_df = seen_df.unionByName(p)
-            wave_deltas: list[DataFrame] = [seen_parts[0]] if wave == start_wave else []
+            # seed-seen rows belong to wave 0's delta ONLY on a fresh run;
+            # on resume seen_parts[0] is the whole restored seen set and is
+            # already persisted in earlier wave dirs — re-emitting it would
+            # duplicate every prior row in the append-only snapshot store
+            # (and inflate seen.count() on the next resume)
+            wave_deltas: list[DataFrame] = [seen_parts[0]] if wave == 0 else []
 
             # politeness rank-gate (logical budget, not wall-clock sleep);
             # one checkpoint + one count job covers both sides of the split
@@ -370,13 +414,23 @@ class CrawlEngine:
             # "fetch" = join against the corpus (no live network; a miss is
             # the moral equivalent of a dead link → empty error result,
             # reference seo_extractor.create_empty_result)
+            # file-size gate (crawler.py:789-803): content-length beyond
+            # max_file_size ⇒ empty error row — status 0, body dropped
+            # before parse, so its links never expand
+            too_big = (
+                (self.corpus["size"] > cfg.max_file_size)
+                if cfg.max_file_size is not None
+                else F.lit(False)
+            )
             fetched = (
                 scheduled.join(
                     self.corpus, scheduled.url == self.corpus.doc_id, "left"
                 )
                 .select(
                     scheduled.url,
-                    F.coalesce(self.corpus.status_code, F.lit(0)).alias("status_code"),
+                    F.when(too_big, F.lit(0))
+                    .otherwise(F.coalesce(self.corpus.status_code, F.lit(0)))
+                    .alias("status_code"),
                     F.coalesce(self.corpus.content_type, F.lit("")).alias("content_type"),
                     F.coalesce(self.corpus["size"], F.lit(0)).alias("size"),
                     scheduled.depth,
@@ -386,10 +440,20 @@ class CrawlEngine:
                     F.coalesce(self.corpus.response_time_ms, F.lit(0.0)).alias(
                         "response_time"
                     ),
-                    F.when(self.corpus.doc_id.isNull(), F.lit("fetch failed"))
+                    F.when(
+                        too_big,
+                        F.concat(
+                            F.lit("File too large: "),
+                            self.corpus["size"].cast("string"),
+                            F.lit(" bytes"),
+                        ),
+                    )
+                    .when(self.corpus.doc_id.isNull(), F.lit("fetch failed"))
                     .otherwise(F.lit(None).cast("string"))
                     .alias("error"),
-                    F.coalesce(self.corpus.raw_html, F.lit("")).alias("raw_html"),
+                    F.when(too_big, F.lit(""))
+                    .otherwise(F.coalesce(self.corpus.raw_html, F.lit("")))
+                    .alias("raw_html"),
                 )
             )
 
@@ -408,62 +472,67 @@ class CrawlEngine:
             crawled_total += n_sched
 
             # -- expansion (crawler.py:895-902) ---------------------------
+            # Runs for EVERY crawled wave — including one truncated by the
+            # max_urls budget: the reference extracts links from every
+            # crawled page and records them in the seen set via add_url
+            # (link_manager.py:48-55) even when the budget stops further
+            # scheduling. Only the *next frontier* is gated on budget.
             new_frontier = None
-            if crawled_total < cfg.max_urls:
-                src = extracted.select(
-                    F.col("url").alias("source_url"),
-                    F.col("depth").alias("src_depth"),
-                    U.is_internal(F.col("url"), base_domain).alias("src_internal"),
+            src = extracted.select(
+                F.col("url").alias("source_url"),
+                F.col("depth").alias("src_depth"),
+                U.is_internal(F.col("url"), base_domain).alias("src_internal"),
+            )
+            cand = (
+                wave_links.join(src, "source_url")
+                .filter(
+                    (F.col("src_depth") < cfg.max_depth)
+                    & (F.col("src_internal") | F.lit(cfg.crawl_external))
                 )
-                cand = (
-                    wave_links.join(src, "source_url")
-                    .filter(
-                        (F.col("src_depth") < cfg.max_depth)
-                        & (F.col("src_internal") | F.lit(cfg.crawl_external))
-                    )
-                    .select(
-                        U.canonicalize_url(F.col("target_url")).alias("url"),
-                        F.col("source_url"),
-                        (F.col("src_depth") + 1).alias("depth"),
-                        F.col("src_seq"),
-                        F.col("anchor_pos"),
-                    )
-                    .filter(F.col("url") != U.canonicalize_url(F.col("source_url")))
+                .select(
+                    U.canonicalize_url(F.col("target_url")).alias("url"),
+                    F.col("source_url"),
+                    (F.col("src_depth") + 1).alias("depth"),
+                    F.col("src_seq"),
+                    F.col("anchor_pos"),
                 )
-                cand = cand.withColumn("host", U.url_host(F.col("url")))
-                cand = self._admit(cand, base_domain)
-                # first-discovery-wins within the wave
-                wdisc = Window.partitionBy("url").orderBy("src_seq", "anchor_pos")
-                cand = (
-                    cand.withColumn("__rn", F.row_number().over(wdisc))
-                    .filter(F.col("__rn") == 1)
-                    .drop("__rn")
+                .filter(F.col("url") != U.canonicalize_url(F.col("source_url")))
+            )
+            cand = cand.withColumn("host", U.url_host(F.col("url")))
+            cand = self._admit(cand, base_domain)
+            # first-discovery-wins within the wave
+            wdisc = Window.partitionBy("url").orderBy("src_seq", "anchor_pos")
+            cand = (
+                cand.withColumn("__rn", F.row_number().over(wdisc))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+            cand = cand.withColumn("url_hash", U.url_hash(F.col("url")))
+            if cfg.use_bloom and bloom is None and next_seq >= cfg.bloom_min_seen:
+                bloom = bloom_build(seen_df).localCheckpoint(eager=True)
+            fresh = dedupe_against_seen(cand, seen_df, bloom)
+            # checkpointed + counted inside ordered_seq (no extra job)
+            fresh, n_new = ordered_seq_counted(
+                fresh, ["src_seq", "anchor_pos"], seq_col="seq", start=next_seq
+            )
+            next_seq += n_new
+            if n_new:
+                new_seen = fresh.select(
+                    "url_hash", "url", F.lit(wave + 1).alias("wave")
                 )
-                cand = cand.withColumn("url_hash", U.url_hash(F.col("url")))
-                if cfg.use_bloom and bloom is None and next_seq >= cfg.bloom_min_seen:
-                    bloom = bloom_build(seen_df).localCheckpoint(eager=True)
-                fresh = dedupe_against_seen(cand, seen_df, bloom)
-                # checkpointed + counted inside ordered_seq (no extra job)
-                fresh, n_new = ordered_seq_counted(
-                    fresh, ["src_seq", "anchor_pos"], seq_col="seq", start=next_seq
-                )
-                next_seq += n_new
-                if n_new:
+                seen_parts.append(new_seen)
+                wave_deltas.append(new_seen)
+                if bloom is not None:
+                    bloom = bloom_merge(
+                        bloom, bloom_build(new_seen)
+                    ).localCheckpoint(eager=True)
+                if crawled_total < cfg.max_urls:
                     new_frontier = fresh.select(
                         "url", "url_hash", "host", "depth",
                         F.lit(wave + 1).alias("wave"), "seq",
                     )
-                    new_seen = fresh.select(
-                        "url_hash", "url", F.lit(wave + 1).alias("wave")
-                    )
-                    seen_parts.append(new_seen)
-                    wave_deltas.append(new_seen)
-                    if bloom is not None:
-                        bloom = bloom_merge(
-                            bloom, bloom_build(new_seen)
-                        ).localCheckpoint(eager=True)
-            else:
-                n_new = 0
+                else:
+                    n_new = 0  # nothing scheduled; discoveries recorded in seen
 
             # next frontier: lazy union over this wave's checkpoints —
             # one lineage level deep, nothing recomputes across waves
@@ -507,6 +576,13 @@ class CrawlEngine:
                     delta = spark.createDataFrame([], seen_parts[0].schema)
                 self._snapshot(wave, frontier, delta, extracted, wave_links, metrics[-1])
             wave += 1
+
+        if self.state_dir:
+            from ..state.snapshots import SnapshotStore
+
+            SnapshotStore(self.state_dir).set_crawl_status(
+                final_status, cfg.started_at
+            )
 
         pages = pages_parts[0]
         for p in pages_parts[1:]:

@@ -89,27 +89,129 @@ def export_pages_json(pages: DataFrame, path: str, fields: list[str] | None = No
     pages.select(*fields).write.mode("overwrite").json(path)
 
 
-def export_pages_xml(pages: DataFrame, path: str, fields: list[str] | None = None) -> None:
-    """Flat stringification per field (main.py:344-358) via to_xml-style
-    concat (no spark-xml jar offline — a text sink of <url> rows)."""
+def pages_json_envelope(
+    pages: DataFrame, export_date: str, fields: list[str] | None = None
+) -> DataFrame:
+    """Reference JSON envelope (main.py:322-341):
+    ``{export_date, total_urls, fields, data}`` as ONE json document row.
+
+    Small-export path (UI download parity) — the envelope requires a
+    global count + materialized list, so it funnels through one reducer
+    by construction; the scale sink stays :func:`export_pages_json`.
+    ``export_date`` is passed in — the engine holds no wall clock."""
+    fields = fields or _DEFAULT_FIELDS
+    rows = pages.select(F.struct(*fields).alias("u"), F.col("seq"))
+    return (
+        rows.agg(
+            F.count(F.lit(1)).alias("total_urls"),
+            # crawl order, as the reference iterates its url list
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seq", "u"))), lambda s: s["u"]
+            ).alias("data"),
+        )
+        .select(
+            F.to_json(
+                F.struct(
+                    F.lit(export_date).alias("export_date"),
+                    F.col("total_urls"),
+                    F.array(*[F.lit(f) for f in fields]).alias("fields"),
+                    F.col("data"),
+                )
+            ).alias("value")
+        )
+    )
+
+
+def export_pages_json_envelope(
+    pages: DataFrame, path: str, export_date: str, fields: list[str] | None = None
+) -> None:
+    pages_json_envelope(pages, export_date, fields).coalesce(1).write.mode(
+        "overwrite"
+    ).text(path)
+
+
+def _xml_escape(c):
+    """Element-content escaping exactly as ElementTree does for text
+    nodes (& first, then angle brackets) — the reference exporter goes
+    through ET.tostring (main.py:344-358), so unescaped '&'/'<' would
+    produce malformed XML here."""
+    c = F.regexp_replace(c, "&", "&amp;")
+    c = F.regexp_replace(c, "<", "&lt;")
+    return F.regexp_replace(c, ">", "&gt;")
+
+
+def pages_xml_envelope(
+    pages: DataFrame, export_date: str, fields: list[str] | None = None
+) -> DataFrame:
+    """Reference XML shape (main.py:344-358): single
+    ``<librecrawl_export export_date total_urls>`` root wrapping
+    ``<urls><url>…`` rows, field text escaped like ElementTree. One
+    document row (small-export path, like the JSON envelope)."""
     fields = fields or _DEFAULT_FIELDS
     parts = [F.lit("<url>")]
     for f in fields:
         parts += [
             F.lit(f"<{f}>"),
-            F.coalesce(F.col(f).cast("string"), F.lit("")),
+            _xml_escape(F.coalesce(F.col(f).cast("string"), F.lit(""))),
             F.lit(f"</{f}>"),
         ]
     parts.append(F.lit("</url>"))
-    pages.select(F.concat(*parts).alias("value")).write.mode("overwrite").text(path)
+    rows = pages.select(F.concat(*parts).alias("x"), F.col("seq"))
+    return rows.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seq", "x"))), lambda s: s["x"]
+            ),
+            "",
+        ).alias("body"),
+    ).select(
+        F.concat(
+            F.lit('<librecrawl_export export_date="'),
+            _xml_escape(F.lit(export_date)),
+            F.lit('" total_urls="'),
+            F.col("n").cast("string"),
+            F.lit('"><urls>'),
+            F.col("body"),
+            F.lit("</urls></librecrawl_export>"),
+        ).alias("value")
+    )
+
+
+def export_pages_xml(
+    pages: DataFrame,
+    path: str,
+    fields: list[str] | None = None,
+    export_date: str = "",
+) -> None:
+    pages_xml_envelope(pages, export_date, fields).coalesce(1).write.mode(
+        "overwrite"
+    ).text(path)
+
+
+def links_csv_projection(links: DataFrame) -> DataFrame:
+    """Fixed columns with the reference's value mapping
+    (main.py:361-393): is_internal → Yes/No, missing target_status →
+    'Not crawled', missing placement → 'body'."""
+    return links.select(
+        "source_url",
+        "target_url",
+        F.coalesce(F.col("anchor_text"), F.lit("")).alias("anchor_text"),
+        F.when(F.col("is_internal"), F.lit("Yes")).otherwise(F.lit("No")).alias(
+            "is_internal"
+        ),
+        F.coalesce(F.col("target_domain"), F.lit("")).alias("target_domain"),
+        F.coalesce(F.col("target_status").cast("string"), F.lit("Not crawled")).alias(
+            "target_status"
+        ),
+        F.coalesce(F.col("placement"), F.lit("body")).alias("placement"),
+    )
 
 
 def export_links_csv(links: DataFrame, path: str) -> None:
-    """Fixed columns (main.py:361-393)."""
-    links.select(
-        "source_url", "target_url", "anchor_text", "is_internal",
-        "target_domain", "target_status", "placement",
-    ).write.mode("overwrite").option("header", "true").csv(path)
+    links_csv_projection(links).write.mode("overwrite").option(
+        "header", "true"
+    ).csv(path)
 
 
 def issues_grouped_json(issues: DataFrame) -> DataFrame:

@@ -79,6 +79,38 @@ class SnapshotStore:
             prev["base_domain"] = base_domain
         self._commit_manifest(prev)
 
+    # -- crawl-level metadata ---------------------------------------------
+    # The reference keeps a crawls table with a status column
+    # (running/paused/completed/failed/stopped — src/crawl_db.py via
+    # set_crawl_status; crash recovery marks stale 'running' rows failed,
+    # main.py:1507-1524). Here the crawl row lives in the manifest; each
+    # transition appends to a history list (timestamps are passed in —
+    # the engine holds no wall clock).
+
+    def set_crawl_status(self, status: str, at: str | None = None) -> None:
+        m = self.manifest() or {"waves": [], "metrics": []}
+        crawl = m.get("crawl") or {"history": []}
+        crawl["status"] = status
+        crawl["history"] = crawl.get("history", []) + [
+            {"status": status, "at": at}
+        ]
+        m["crawl"] = crawl
+        self._commit_manifest(m)
+
+    def crawl_status(self) -> str | None:
+        m = self.manifest()
+        return None if m is None else (m.get("crawl") or {}).get("status")
+
+    def mark_crashed_if_running(self, at: str | None = None) -> bool:
+        """Crash recovery (main.py:1507-1524): a manifest still claiming
+        'running' when a new process attaches means the old one died —
+        mark it failed (resumable). Returns True when a crash was
+        detected."""
+        if self.crawl_status() == "running":
+            self.set_crawl_status("failed", at)
+            return True
+        return False
+
     # -- resume ------------------------------------------------------------
     def latest_wave(self) -> int | None:
         m = self.manifest()
@@ -103,3 +135,28 @@ class SnapshotStore:
         dirs = [self._wave_dir("links", w) for w in range(upto_wave + 1)
                 if os.path.isdir(self._wave_dir("links", w))]
         return spark.read.parquet(*dirs)
+
+
+def crawls_by_status(spark: SparkSession, roots: list[str]) -> DataFrame:
+    """Crawls-by-status aggregate (reference main.py:1313-1325:
+    ``SELECT status, COUNT(*) FROM crawls GROUP BY status``). Crawl
+    metadata is one manifest row per crawl — driver-side reads of tiny
+    JSON, then a DataFrame groupBy for the aggregate itself."""
+    rows = []
+    for root in roots:
+        store = SnapshotStore(root)
+        m = store.manifest() or {}
+        rows.append(
+            (
+                root,
+                (m.get("crawl") or {}).get("status") or "unknown",
+                m.get("base_domain"),
+                m.get("latest_wave"),
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "root string, status string, base_domain string, latest_wave int"
+    )
+    from pyspark.sql import functions as F
+
+    return df.groupBy("status").agg(F.count(F.lit(1)).alias("n")).orderBy("status")

@@ -57,15 +57,77 @@ def test_csv_scalarization_semantics(spark, crawl):
 def test_file_sinks_roundtrip(spark, crawl, tmp_path):
     export_pages_csv(crawl.pages, str(tmp_path / "csv"))
     export_pages_json(crawl.pages, str(tmp_path / "json"))
-    export_pages_xml(crawl.pages, str(tmp_path / "xml"))
+    export_pages_xml(crawl.pages, str(tmp_path / "xml"), export_date="2026-08-16 00:00:00")
     export_links_csv(crawl.links, str(tmp_path / "links"))
     n = crawl.pages.count()
     back = spark.read.option("header", "true").csv(str(tmp_path / "csv"))
     assert back.count() == n
     assert spark.read.json(str(tmp_path / "json")).count() == n
-    xml_lines = spark.read.text(str(tmp_path / "xml")).collect()
-    assert len(xml_lines) == n
-    assert all(r["value"].startswith("<url>") for r in xml_lines)
+    # XML is now ONE envelope document (reference main.py:344-358 shape)
+    [xml_row] = spark.read.text(str(tmp_path / "xml")).collect()
+    doc = xml_row["value"]
+    assert doc.startswith('<librecrawl_export export_date="2026-08-16 00:00:00"')
+    assert f'total_urls="{n}"' in doc
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(doc)  # well-formed despite &/< in field values
+    assert len(root.find("urls")) == n
+
+
+def test_xml_escaping_and_json_envelope(spark, tmp_path):
+    """Field values with &, <, > must survive the XML round-trip (the
+    reference escapes via ElementTree); the JSON envelope carries the
+    reference's {export_date, total_urls, fields, data} keys."""
+    import json
+    import xml.etree.ElementTree as ET
+
+    from seo_crawler_spark.sources.exports import (
+        pages_json_envelope,
+        pages_xml_envelope,
+    )
+
+    df = spark.createDataFrame(
+        [("https://x.com/?a=1&b=2", "Ben & Jerry <3", 7, 0)],
+        "url string, title string, seq long, depth int",
+    )
+    [xml_row] = pages_xml_envelope(
+        df, "2026-01-01 00:00:00", ["url", "title"]
+    ).collect()
+    root = ET.fromstring(xml_row["value"])
+    url_el = root.find("urls")[0]
+    assert url_el.find("title").text == "Ben & Jerry <3"
+    assert url_el.find("url").text == "https://x.com/?a=1&b=2"
+
+    [json_row] = pages_json_envelope(
+        df, "2026-01-01 00:00:00", ["url", "title"]
+    ).collect()
+    env = json.loads(json_row["value"])
+    assert env["export_date"] == "2026-01-01 00:00:00"
+    assert env["total_urls"] == 1
+    assert env["fields"] == ["url", "title"]
+    assert env["data"][0]["title"] == "Ben & Jerry <3"
+
+
+def test_links_csv_value_mapping(spark):
+    """Reference main.py:361-393: Yes/No booleans, 'Not crawled' for a
+    missing target status, 'body' default placement."""
+    from seo_crawler_spark.sources.exports import links_csv_projection
+
+    df = spark.createDataFrame(
+        [
+            ("a", "b", "t", True, "d", 200, "nav"),
+            ("a", "c", None, False, "d", None, None),
+        ],
+        "source_url string, target_url string, anchor_text string, "
+        "is_internal boolean, target_domain string, target_status int, "
+        "placement string",
+    )
+    rows = {r["target_url"]: r for r in links_csv_projection(df).collect()}
+    assert rows["b"]["is_internal"] == "Yes"
+    assert rows["b"]["target_status"] == "200"
+    assert rows["c"]["is_internal"] == "No"
+    assert rows["c"]["target_status"] == "Not crawled"
+    assert rows["c"]["placement"] == "body"
 
 
 def test_issues_grouped_json_shape(spark, crawl):

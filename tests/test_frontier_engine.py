@@ -82,6 +82,24 @@ def test_crawl_exhaustive_small(spark, corpus_df, corpus_dict, robots_df, robots
     assert got.pages.count() == len(expected["order"])
 
 
+def test_budget_cap_seen_matches_model(
+    spark, corpus_df, corpus_dict, robots_df, robots_dict
+):
+    """When max_urls truncates the final wave, the reference still
+    extracts + records links from every crawled page (link_manager
+    add_url) — the seen set must match the model even under the cap."""
+    expected, got = _run_pair(
+        spark, corpus_df, corpus_dict, robots_df, robots_dict,
+        max_depth=3, max_urls=15,
+    )
+    assert len(expected["order"]) == 15  # the cap actually bit
+    got_urls = [r["url"] for r in got.order.collect()]
+    assert got_urls == [u for u, _ in expected["order"]]
+    assert {r["url"] for r in got.seen.collect()} == expected["seen"]
+    # non-vacuous: discoveries beyond the crawled 15 are in seen
+    assert len(expected["seen"]) > 15
+
+
 def test_no_bloom_same_result(spark, corpus_df, corpus_dict, robots_df, robots_dict):
     """Bloom filter is a prune, never a semantics change."""
     seeds = seed_urls(N_HOSTS)

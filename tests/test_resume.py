@@ -65,3 +65,86 @@ def test_resume_equals_uninterrupted(spark, corpus_df, robots_df, tmp_path):
         (r["source_url"], r["target_url"], r["anchor_text"]) for r in df.collect()
     )
     assert key(resumed.links) == key(full.links)
+
+    # append-only seen store must stay duplicate-free across resumes:
+    # the restored seen set is already persisted in earlier wave dirs,
+    # so a resumed run may only append genuine deltas
+    from seo_crawler_spark.state.snapshots import SnapshotStore
+
+    store = SnapshotStore(state)
+    stored_seen = store.read_seen(spark, store.latest_wave())
+    assert stored_seen.count() == stored_seen.select("url").distinct().count()
+    assert stored_seen.count() == full.seen.count()
+
+    # a second resume must not shift the (wave, seq) contract either:
+    # frontier is exhausted, so it returns the same tables untouched
+    again = CrawlEngine(
+        spark, corpus_df, robots_df,
+        CrawlConfig(max_depth=3, max_urls=10_000),
+        state_dir=state,
+    ).resume()
+    assert [(r["url"], r["wave"]) for r in again.order.collect()] == full_order
+    assert again.seen.count() == full.seen.count()
+
+
+def test_pause_resume_and_status_lifecycle(spark, corpus_df, robots_df, tmp_path):
+    """Pause after wave 1 → crawl row 'paused' → resume → identical final
+    tables and 'completed'; a stale 'running' row is crash-marked
+    'failed' on resume (reference crawler.py:344-372, main.py:1507-1524)."""
+    from seo_crawler_spark.state.snapshots import SnapshotStore
+
+    seeds = seed_urls(N_HOSTS)
+    state = str(tmp_path / "pausestate")
+    cfg = CrawlConfig(max_depth=2, max_urls=10_000, started_at="2026-08-16T00:00:00")
+
+    full = CrawlEngine(spark, corpus_df, robots_df, cfg).run(seeds)
+    full_order = [r["url"] for r in full.order.collect()]
+
+    eng = CrawlEngine(spark, corpus_df, robots_df, cfg, state_dir=state)
+    calls = iter([None, "pause"])  # wave 0 runs, then pause before wave 1
+    eng.control = lambda: next(calls, "pause")
+    paused = eng.run(seeds)
+    store = SnapshotStore(state)
+    assert store.crawl_status() == "paused"
+    assert len(paused.metrics) == 1
+
+    resumed = CrawlEngine(
+        spark, corpus_df, robots_df, cfg, state_dir=state
+    ).resume()
+    assert store.crawl_status() == "completed"
+    assert [r["url"] for r in resumed.order.collect()] == full_order
+    history = [h["status"] for h in store.manifest()["crawl"]["history"]]
+    assert history == ["running", "paused", "running", "completed"]
+
+    # crash-marking: fake a process that died while 'running'
+    store.set_crawl_status("running", "2026-08-16T01:00:00")
+    assert store.mark_crashed_if_running() is True
+    assert store.crawl_status() == "failed"
+    assert store.mark_crashed_if_running() is False
+
+
+def test_stop_marks_stopped(spark, corpus_df, robots_df, tmp_path):
+    from seo_crawler_spark.state.snapshots import SnapshotStore
+
+    state = str(tmp_path / "stopstate")
+    eng = CrawlEngine(
+        spark, corpus_df, robots_df,
+        CrawlConfig(max_depth=2, max_urls=10_000), state_dir=state,
+    )
+    calls = iter([None, "stop"])
+    eng.control = lambda: next(calls, "stop")
+    eng.run(seed_urls(N_HOSTS))
+    assert SnapshotStore(state).crawl_status() == "stopped"
+
+
+def test_crawls_by_status_aggregate(spark, tmp_path):
+    """Reference main.py:1313-1325: GROUP BY status over crawl rows."""
+    from seo_crawler_spark.state.snapshots import SnapshotStore, crawls_by_status
+
+    roots = []
+    for i, st in enumerate(["completed", "completed", "paused", "failed"]):
+        root = str(tmp_path / f"c{i}")
+        SnapshotStore(root).set_crawl_status(st)
+        roots.append(root)
+    got = {r["status"]: r["n"] for r in crawls_by_status(spark, roots).collect()}
+    assert got == {"completed": 2, "paused": 1, "failed": 1}
