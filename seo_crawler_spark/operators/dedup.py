@@ -91,11 +91,33 @@ def _shingle_sizes(sh_ex: DataFrame, out: str) -> DataFrame:
     )
 
 
+# document-frequency cap on shingles before the self-join: one shingle
+# appearing in d documents contributes d·(d-1)/2 candidate pairs, so a
+# boilerplate shingle (cookie banner, nav text) makes the join quadratic
+# in its posting list at corpus scale. Shingles with df > cap are
+# treated as stopwords — dropped from BOTH intersection and union
+# (standard near-dup practice). 100 is far above the observed max df in
+# the testdata (7 at sf0.01, 25 at sf0.1), so test-scale output is
+# byte-identical to the uncapped query.
+JACCARD_DF_CAP = 100
+
+
 def dedup_ngram_jaccard(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5,
+    df_cap: int = JACCARD_DF_CAP,
 ) -> DataFrame:
-    # cached: the shingle rows feed both sides of the self-join + sizes
-    sh_ex = _shingle_rows(load(spark, "documents", sf_dir)).cache()
+    # cached BEFORE the df-cap: the stop-shingle agg AND the anti-join
+    # input both scan it (uncached, the explode+distinct would run twice)
+    sh_all = _shingle_rows(load(spark, "documents", sf_dir)).cache()
+    stop = (
+        sh_all.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("s")
+    )
+    # cached too: the capped rows feed both sides of the self-join +
+    # the per-doc sizes (cheap — strictly smaller than sh_all)
+    sh_ex = sh_all.join(stop, "s", "left_anti").cache()
     a = sh_ex.select(F.col("doc_id").alias("a"), "s")
     b = sh_ex.select(F.col("doc_id").alias("b"), "s")
     inter = (
@@ -116,12 +138,18 @@ def dedup_ngram_jaccard(
     )
 
 
-def dedup_ngram_jaccard_sql(threshold: float = 0.5) -> str:
+def dedup_ngram_jaccard_sql(
+    threshold: float = 0.5, df_cap: int = JACCARD_DF_CAP
+) -> str:
     tok = TOKENS_SQL.format(c="text")
     return f"""
 WITH tokd AS (SELECT doc_id, {tok} AS tok FROM documents),
 shd AS (SELECT doc_id, list_distinct({shingles_sql("tok")}) AS sh FROM tokd),
-ex AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM shd),
+ex0 AS (SELECT doc_id, unnest(sh) AS s FROM shd),
+stop AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) > {df_cap}),
+exf AS (SELECT doc_id, s FROM ex0 WHERE s NOT IN (SELECT s FROM stop)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM exf GROUP BY doc_id),
+ex AS (SELECT exf.doc_id, sizes.n_sh, exf.s FROM exf JOIN sizes USING (doc_id)),
 inter AS (
   SELECT a.doc_id AS a, b.doc_id AS b, a.n_sh AS na, b.n_sh AS nb,
          count(*) AS inter
@@ -144,11 +172,25 @@ _R = N_PERM // N_BANDS
 
 
 def dedup_minhash_lsh(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.5
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5,
+    use_xxhash: bool = False,
 ) -> DataFrame:
+    """MinHash signatures + banded LSH + exact-Jaccard verify.
+
+    ``use_xxhash=True`` swaps the md5-derived shingle hash for native
+    xxhash64 — the md5 path exists only because DuckDB reproduces it
+    bit-for-bit for the oracle; xxhash64 is the production/bench fast
+    path (same plan shape, JVM hash, no hex round-trip). Candidate
+    recall differs only through which hash permutes shingles; the
+    verify stage is exact either way."""
     # cached: scanned for signatures, sizes, AND the pair verify
     sh_ex = _shingle_rows(load(spark, "documents", sf_dir)).cache()
-    sh = sh_ex.withColumn("h", md5int(F.col("s")) % MOD)
+    shingle_hash = (
+        F.pmod(F.xxhash64(F.col("s")), F.lit(MOD))
+        if use_xxhash
+        else md5int(F.col("s")) % MOD
+    )
+    sh = sh_ex.withColumn("h", shingle_hash)
     # all 32 permutation minima in ONE hash-agg pass (a 32× crossJoin
     # explode would shuffle 32·|shingles| rows; this shuffles |docs|·32
     # partial-agg cells — map-side combined)

@@ -28,25 +28,9 @@ def politeness_tag(
     salt_buckets: int = 1,
     order_by: tuple[str, ...] = ("seq",),
 ) -> DataFrame:
-    """Tag frontier rows with ``admitted`` under per-host budgets
-    (single pass; lets callers count both sides in one job)."""
-    scheduled, deferred = politeness_gate(
-        frontier, default_budget, robots, wave_seconds, salt_buckets,
-        order_by=order_by, _tag_only=True,
-    )
-    return scheduled  # _tag_only returns the tagged frame as first element
-
-
-def politeness_gate(
-    frontier: DataFrame,
-    default_budget: int,
-    robots: DataFrame | None = None,
-    wave_seconds: float = 60.0,
-    salt_buckets: int = 1,
-    order_by: tuple[str, ...] = ("seq",),
-    _tag_only: bool = False,
-) -> tuple[DataFrame, DataFrame]:
-    """Split frontier into (scheduled, deferred) under per-host budgets.
+    """Tag frontier rows with ``admitted`` under per-host budgets —
+    the primitive (single pass; lets callers count both sides in one
+    job). :func:`politeness_gate` filters this into the two-frame split.
 
     Budget per host = floor(wave_seconds / crawl_delay) when robots has a
     crawl_delay for the host, else ``default_budget``. Admission order
@@ -78,9 +62,22 @@ def politeness_gate(
         )
 
     drop = [c for c in ("__rnk", "__rbudget") if c in df.columns]
-    df = df.drop(*drop).withColumnRenamed("__admit", "admitted")
-    if _tag_only:
-        return df, df
+    return df.drop(*drop).withColumnRenamed("__admit", "admitted")
+
+
+def politeness_gate(
+    frontier: DataFrame,
+    default_budget: int,
+    robots: DataFrame | None = None,
+    wave_seconds: float = 60.0,
+    salt_buckets: int = 1,
+    order_by: tuple[str, ...] = ("seq",),
+) -> tuple[DataFrame, DataFrame]:
+    """Split frontier into (scheduled, deferred) under per-host budgets
+    (filtered view over :func:`politeness_tag`)."""
+    df = politeness_tag(
+        frontier, default_budget, robots, wave_seconds, salt_buckets, order_by
+    )
     scheduled = df.filter(F.col("admitted")).drop("admitted")
     deferred = df.filter(~F.col("admitted")).drop("admitted")
     return scheduled, deferred
