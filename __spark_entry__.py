@@ -103,9 +103,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": TS.quality_scores,
         "token_counts": TS.token_counts,
         "fingerprints": TS.fingerprints,
+        "tfidf_top_terms": TS.tfidf_top_terms,
         # event-stream operators (batch form; streaming twins in
         # seo_crawler_spark/streaming/events.py, pytest-verified)
         "events_tumbling_counts": E.tumbling_counts,
+        "events_sliding_counts": E.sliding_counts,
         "events_sessionize": E.sessionize,
         "events_user_rates": E.user_event_rates,
         "pagespeed_selection": CQ.pagespeed_selection,
@@ -142,7 +144,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_scores": TS.quality_scores_sql(),
         "token_counts": TS.TOKEN_COUNTS_SQL,
         "fingerprints": TS.fingerprints_sql(),
+        "tfidf_top_terms": TS.tfidf_top_terms_sql(),
         "events_tumbling_counts": E.TUMBLING_COUNTS_SQL,
+        "events_sliding_counts": E.SLIDING_COUNTS_SQL,
         "events_sessionize": E.SESSIONIZE_SQL,
         "events_user_rates": E.USER_EVENT_RATES_SQL,
         "pagespeed_selection": CQ.PAGESPEED_SELECTION_SQL,

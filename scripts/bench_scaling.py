@@ -126,11 +126,23 @@ def main() -> int:
         if "GENERATED" not in out:
             raise RuntimeError(out[-3000:])
 
-    r1 = run(4)
-    r4 = run(16)
+    # alternate the two cluster sizes and keep the best per config:
+    # single-run N times swing ±25% on this shared host (time-varying
+    # background load), which would dominate the efficiency ratio;
+    # interleaving samples both configs under the same conditions
+    runs_n, runs_4n = [], []
+    for _ in range(int(os.environ.get("SCALING_REPEATS", 2))):
+        runs_n.append(run(4))
+        runs_4n.append(run(16))
+    r1 = min(runs_n, key=lambda r: r["sec"])
+    r4 = min(runs_4n, key=lambda r: r["sec"])
     eff = (r4["docs_per_sec"] / r1["docs_per_sec"]) / 4.0
     for key in ("n_pages", "words", "n_links", "n_spans"):
         assert r1[key] == r4[key], (key, r1, r4)
+    print(json.dumps({
+        "all_N_sec": [r["sec"] for r in runs_n],
+        "all_4N_sec": [r["sec"] for r in runs_4n],
+    }))
 
     md = f"""# BENCH — scaling evidence (N vs 4N executors)
 

@@ -161,6 +161,69 @@ FROM m ORDER BY doc_id
 """
 
 
+TOP_TERMS_K = 5
+
+
+def tfidf_top_terms(
+    spark: SparkSession, sf_dir: str, k: int = TOP_TERMS_K
+) -> DataFrame:
+    """Top-k terms per document by tf·(N/df) — the rational-idf variant:
+    score = tf * N / df is ONE IEEE division over exact integers, so it
+    is bit-identical across Spark and DuckDB (a log-based idf depends on
+    libm rounding, which the JVM and C runtimes do not guarantee to
+    agree on). Ties break (score desc, term asc). The df side is a tiny
+    aggregate — broadcastable; the tf side is a map-side-combined count."""
+    docs = load(spark, "documents", sf_dir)
+    ex = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    n_docs = docs.count()
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (
+        ex.dropDuplicates(["doc_id", "term"])
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    from pyspark.sql import Window
+
+    scored = tf.join(df_, "term").withColumn(
+        "score", F.col("tf") * F.lit(n_docs) / F.col("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "doc_id", "term", "tf", "df",
+            F.round("score", 4).alias("score"), "rnk",
+        )
+        .orderBy("doc_id", "rnk")
+    )
+
+
+def tfidf_top_terms_sql(k: int = TOP_TERMS_K) -> str:
+    tok = TOKENS_SQL.format(c="text")
+    return f"""
+WITH ex AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM ex GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * (SELECT n_docs FROM n) / df.df AS score
+  FROM tf JOIN df USING (term)
+),
+ranked AS (
+  SELECT doc_id, term, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf::BIGINT AS tf, df::BIGINT AS df,
+       round(score, 4) AS score, rnk
+FROM ranked WHERE rnk <= {k}
+ORDER BY doc_id, rnk
+"""
+
+
 def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling document fingerprint:
     sum((md5int(token) mod M) * position) mod M — permuting tokens

@@ -112,6 +112,63 @@ ORDER BY user_id, session_id
 """
 
 
+def sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min: each event lands in exactly
+    two windows (the hopping-window shape; streaming twin =
+    stream_sliding_counts via native F.window). Batch form generates
+    the two window starts arithmetically so the DuckDB oracle is exact."""
+    ev = load(spark, "events", sf_dir)
+    e = F.col("ts").cast("timestamp").cast("double")
+    # window starts: (floor(e/1800) - k) * 1800 for k in {0, 1}
+    k = F.explode(F.array(F.lit(0), F.lit(1)))
+    d = ev.select(e.alias("e"), "event_type").withColumn("k", k)
+    start = ((F.floor(F.col("e") / 1800) - F.col("k")) * 1800).cast("long")
+    return (
+        d.groupBy(start.alias("win_start"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("win_start", "event_type")
+    )
+
+
+SLIDING_COUNTS_SQL = """
+WITH d AS (
+  SELECT epoch(ts) AS e, event_type, unnest([0, 1]) AS k
+  FROM events
+)
+SELECT ((floor(e / 1800) - k) * 1800)::BIGINT AS win_start,
+       event_type,
+       count(*) AS n_events
+FROM d
+GROUP BY 1, 2
+ORDER BY win_start, event_type
+"""
+
+
+def stream_sliding_counts(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType,
+    watermark: str = "1 hour",
+):
+    """Native sliding window (readStream → F.window(size=1h, slide=30m))
+    — the Structured Streaming twin of :func:`sliding_counts`."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("double").cast("long").alias("win_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+
+
 def user_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user activity profile: counts per type pivoted in one agg
     (the multi-counter single-pass pattern, app.js:1241-1283)."""

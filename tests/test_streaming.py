@@ -12,7 +12,9 @@ from pyspark.sql import functions as F
 from seo_crawler_spark.streaming.events import (
     run_stream_to_memory,
     sessionize,
+    sliding_counts,
     stream_running_user_totals,
+    stream_sliding_counts,
     stream_tumbling_counts,
     tumbling_counts,
 )
@@ -44,6 +46,26 @@ def test_stream_tumbling_equals_batch(spark, events_dir):
     }
     assert got == want
     assert len(want) > 10
+
+
+def test_stream_sliding_equals_batch(spark, events_dir):
+    """Native F.window(1h, 30m) sliding agg ≡ the batch arithmetic form
+    (each event in exactly two windows)."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    sdf = stream_sliding_counts(spark, events_dir, ev.schema)
+    run_stream_to_memory(sdf, "slide", output_mode="complete")
+    got = {
+        (r["win_start"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM slide").collect()
+    }
+    want = {
+        (r["win_start"], r["event_type"]): r["n_events"]
+        for r in sliding_counts(spark, SF).collect()
+    }
+    assert got == want
+    assert len(want) > 10
+    # sliding invariant: every event counted exactly twice overall
+    assert sum(want.values()) == 2 * ev.count()
 
 
 def test_stateful_running_totals(spark, events_dir):
