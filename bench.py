@@ -121,6 +121,10 @@ def frontier_bench(spark) -> dict:
     tb0 = time.monotonic()
     bloom = bloom_build(seen).localCheckpoint(eager=True)
     bloom_build_sec = time.monotonic() - tb0
+    # steady-state probe cost: in the real wave loop the Python workers
+    # persist across waves, so time a warm probe (first run pays ~3s of
+    # one-time worker startup that a per-wave metric shouldn't carry)
+    dedupe_against_seen(cand, seen, bloom).count()
     tb1 = time.monotonic()
     n_bloom = dedupe_against_seen(cand, seen, bloom).count()
     bloom_probe_sec = time.monotonic() - tb1

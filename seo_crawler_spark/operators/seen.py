@@ -177,7 +177,15 @@ def dedupe_against_seen(
     )
     suspect_seen = seen.join(
         maybe, seen.url_hash == F.col("__maybe_hash"), "left_semi"
-    ).select(F.col("url").alias("__seen_url"))
+    ).select(
+        F.col("url_hash").alias("__seen_hash"), F.col("url").alias("__seen_url")
+    )
+    # composite (hash, url) key: the sort-merge compares 8-byte longs
+    # first and touches the url string only on hash-equal rows; the url
+    # leg keeps exactness under xxhash64 collisions
     return candidates.join(
-        suspect_seen, candidates.url == F.col("__seen_url"), "left_anti"
+        suspect_seen,
+        (candidates.url_hash == F.col("__seen_hash"))
+        & (candidates.url == F.col("__seen_url")),
+        "left_anti",
     )
