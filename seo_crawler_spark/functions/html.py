@@ -271,6 +271,19 @@ class _Doc(HTMLParser):
             c["buf"].append(data)
 
     # -- element finalizers ---------------------------------------------
+    def close(self):
+        """EOF flush: finalize elements left open by sloppy HTML (an
+        unclosed trailing <p> or <a> still yields its span/link —
+        html.parser never auto-closes, unlike a tree builder)."""
+        super().close()
+        if self._in_script:
+            self._end_script()
+            self._in_script = False
+        if self._anchor is not None:
+            self._end_anchor()
+        if self._cap is not None:
+            self._end_capture(self._cap_tag)
+
     def _end_capture(self, tag):
         text = "".join(self._cap).strip()
         self._cap = None
