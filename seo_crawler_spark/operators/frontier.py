@@ -43,6 +43,7 @@ from ..functions import urls as U
 from .extract import extract_pages, explode_links
 from .ordering import ordered_seq, ordered_seq_counted
 from .politeness import politeness_tag
+from .cuckoo import cuckoo_build, cuckoo_merge, dedupe_against_seen_cuckoo
 from .seen import bloom_build, bloom_merge, dedupe_against_seen
 
 
@@ -70,6 +71,15 @@ class CrawlConfig:
     # bloom is a win only once the seen table dwarfs per-wave candidates;
     # below this row count the exact anti-join is strictly faster
     bloom_min_seen: int = 2_000_000
+    # probabilistic seen-state flavor: "bloom" (OR-mergeable bitmaps) or
+    # "cuckoo" (deletable fingerprints — recrawl/TTL eviction without a
+    # state rebuild; see operators/cuckoo.py). Same probe-then-exact-
+    # verify protocol either way; gated by use_bloom/bloom_min_seen.
+    seen_filter: str = "bloom"
+    # fixed per-bucket cuckoo cell count for one crawl (same-m tables
+    # merge losslessly; growth = rebuild from exact seen). 2^16 cells ×
+    # 4 slots × 64 buckets ≈ 14M URLs at 84% load, 32 MiB state.
+    cuckoo_m: int = 1 << 16
     base_domain: str | None = None
     max_waves: int = 64
     # reference start_crawl: a seed URL carrying a path limits the crawl
@@ -509,8 +519,16 @@ class CrawlEngine:
             )
             cand = cand.withColumn("url_hash", U.url_hash(F.col("url")))
             if cfg.use_bloom and bloom is None and next_seq >= cfg.bloom_min_seen:
-                bloom = bloom_build(seen_df).localCheckpoint(eager=True)
-            fresh = dedupe_against_seen(cand, seen_df, bloom)
+                if cfg.seen_filter == "cuckoo":
+                    bloom = cuckoo_build(seen_df, m=cfg.cuckoo_m).localCheckpoint(
+                        eager=True
+                    )
+                else:
+                    bloom = bloom_build(seen_df).localCheckpoint(eager=True)
+            if bloom is not None and cfg.seen_filter == "cuckoo":
+                fresh = dedupe_against_seen_cuckoo(cand, seen_df, bloom)
+            else:
+                fresh = dedupe_against_seen(cand, seen_df, bloom)
             # checkpointed + counted inside ordered_seq (no extra job)
             fresh, n_new = ordered_seq_counted(
                 fresh, ["src_seq", "anchor_pos"], seq_col="seq", start=next_seq
@@ -523,9 +541,14 @@ class CrawlEngine:
                 seen_parts.append(new_seen)
                 wave_deltas.append(new_seen)
                 if bloom is not None:
-                    bloom = bloom_merge(
-                        bloom, bloom_build(new_seen)
-                    ).localCheckpoint(eager=True)
+                    if cfg.seen_filter == "cuckoo":
+                        bloom = cuckoo_merge(
+                            bloom, cuckoo_build(new_seen, m=cfg.cuckoo_m)
+                        ).localCheckpoint(eager=True)
+                    else:
+                        bloom = bloom_merge(
+                            bloom, bloom_build(new_seen)
+                        ).localCheckpoint(eager=True)
                 if crawled_total < cfg.max_urls:
                     new_frontier = fresh.select(
                         "url", "url_hash", "host", "depth",
