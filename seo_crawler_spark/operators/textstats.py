@@ -224,6 +224,192 @@ ORDER BY doc_id, rnk
 """
 
 
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gates for training-data filtering
+    (Rae et al. 2021, "Scaling Language Models", §A1.1): fraction of
+    tokens taken by the most common word and by the most common word
+    bigram. Highly repetitive documents (boilerplate, keyword stuffing,
+    generation loops) are flagged.
+
+    Scale shape: bigrams are built row-locally with ``zip_with`` (no
+    shuffle to form grams), then two map-side-combined aggregations —
+    (doc, gram) counts and a per-doc max. No windows over the full
+    corpus; everything partitions by doc_id.
+    """
+    docs = load(spark, "documents", sf_dir)
+    tok = tokens(F.col("text"))
+    d = docs.select("doc_id", tok.alias("tok")).localCheckpoint(eager=False)
+
+    ex = d.select("doc_id", F.explode("tok").alias("t"))
+    top_word = (
+        ex.groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_word_count"), F.sum("c").alias("n_tokens"))
+    )
+    # bigram i = tok[i] + ' ' + tok[i+1], formed without leaving the row
+    grams = F.zip_with(
+        F.slice(F.col("tok"), 1, F.greatest(F.size("tok") - 1, F.lit(0))),
+        F.slice(F.col("tok"), 2, F.greatest(F.size("tok") - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bg = d.select("doc_id", F.explode(grams).alias("g"))
+    top_bigram = (
+        bg.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bigram_count"), F.sum("c").alias("n_bigrams"))
+    )
+    out = top_word.join(top_bigram, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "top_word_count",
+        F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
+        F.round(
+            F.col("top_word_count") / F.greatest("n_tokens", F.lit(1)), 6
+        ).alias("top_word_frac"),
+        F.round(
+            F.coalesce("top_bigram_count", F.lit(0))
+            / F.greatest(F.coalesce("n_bigrams", F.lit(1)), F.lit(1)),
+            6,
+        ).alias("top_bigram_frac"),
+    )
+    return out.withColumn(
+        "repetitive",
+        (F.col("top_word_frac") > 0.3) | (F.col("top_bigram_frac") > 0.18),
+    ).orderBy("doc_id")
+
+
+def repetition_signals_sql() -> str:
+    tok = TOKENS_SQL.format(c="text")
+    return f"""
+WITH tokd AS (SELECT doc_id, {tok} AS tok FROM documents),
+ex AS (SELECT doc_id, unnest(tok) AS t FROM tokd),
+tw AS (
+  SELECT doc_id, max(c) AS top_word_count, sum(c) AS n_tokens
+  FROM (SELECT doc_id, t, count(*) AS c FROM ex GROUP BY doc_id, t)
+  GROUP BY doc_id
+),
+bgx AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(tok), 1)),
+                               i -> tok[i] || ' ' || tok[i+1])) AS g
+  FROM tokd
+),
+tb AS (
+  SELECT doc_id, max(c) AS top_bigram_count, sum(c) AS n_bigrams
+  FROM (SELECT doc_id, g, count(*) AS c FROM bgx GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT tw.doc_id,
+       tw.n_tokens::BIGINT AS n_tokens,
+       tw.top_word_count::BIGINT AS top_word_count,
+       coalesce(tb.top_bigram_count, 0)::BIGINT AS top_bigram_count,
+       round(tw.top_word_count * 1.0 / greatest(tw.n_tokens, 1), 6)
+         AS top_word_frac,
+       round(coalesce(tb.top_bigram_count, 0) * 1.0 /
+             greatest(coalesce(tb.n_bigrams, 1), 1), 6) AS top_bigram_frac,
+       (round(tw.top_word_count * 1.0 / greatest(tw.n_tokens, 1), 6) > 0.3
+        OR round(coalesce(tb.top_bigram_count, 0) * 1.0 /
+                 greatest(coalesce(tb.n_bigrams, 1), 1), 6) > 0.18)
+         AS repetitive
+FROM tw LEFT JOIN tb ON tw.doc_id = tb.doc_id
+ORDER BY tw.doc_id
+"""
+
+
+# fixed-shape patterns: identical match sets under Java's backtracking
+# and DuckDB's RE2 leftmost-longest (no ambiguous greediness, no \\b)
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+PII_PHONE = r"\d{3}-\d{3}-\d{4}|\+\d{10,15}"
+
+
+def _pii_augment() -> F.Column:
+    """The synthetic corpus carries no PII; inject deterministic
+    doc_id-keyed PII so the scrub path is non-vacuous — the SQL twin
+    builds the exact same string."""
+    tail = (
+        F.when(
+            F.pmod("doc_id", F.lit(4)) == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.org now"),
+            ),
+        )
+        .when(F.pmod("doc_id", F.lit(4)) == 1, F.lit(" ip 203.0.113.42 logged"))
+        .when(
+            F.pmod("doc_id", F.lit(4)) == 2,
+            F.lit(" call 555-867-5309 or +15550001111"),
+        )
+        .otherwise(F.lit(""))
+    )
+    return F.concat(F.col("text"), tail)
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — a training-data pipeline must count
+    and strip emails / IPs / phone numbers before the corpus ships.
+    Pure codegen regex expressions; redaction order (email → ip →
+    phone) is fixed so replacements cannot create new matches."""
+    docs = load(spark, "documents", sf_dir)
+    aug = _pii_augment()
+    d = docs.select("doc_id", aug.alias("aug"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug"), PII_EMAIL, "<EMAIL>"),
+            PII_IPV4,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("aug", F.lit(PII_EMAIL), 0)).alias("email_cnt"),
+        F.size(F.regexp_extract_all("aug", F.lit(PII_IPV4), 0)).alias("ip_cnt"),
+        F.size(F.regexp_extract_all("aug", F.lit(PII_PHONE), 0)).alias("phone_cnt"),
+        F.length(scrubbed).alias("scrubbed_len"),
+        F.right(scrubbed, F.lit(40)).alias("scrubbed_tail"),
+    ).withColumn(
+        "has_pii",
+        (F.col("email_cnt") + F.col("ip_cnt") + F.col("phone_cnt")) > 0,
+    ).orderBy("doc_id")
+
+
+def pii_scrub_sql() -> str:
+    email, ip, phone = PII_EMAIL, PII_IPV4, PII_PHONE
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || CASE doc_id % 4
+           WHEN 0 THEN ' contact user' || doc_id || '@example.org now'
+           WHEN 1 THEN ' ip 203.0.113.42 logged'
+           WHEN 2 THEN ' call 555-867-5309 or +15550001111'
+           ELSE '' END AS aug
+  FROM documents
+),
+s AS (
+  SELECT doc_id, aug,
+         regexp_replace(regexp_replace(regexp_replace(aug,
+           '{email}', '<EMAIL>', 'g'), '{ip}', '<IP>', 'g'),
+           '{phone}', '<PHONE>', 'g') AS scrubbed
+  FROM aug
+)
+SELECT doc_id,
+       len(regexp_extract_all(aug, '{email}'))::INTEGER AS email_cnt,
+       len(regexp_extract_all(aug, '{ip}'))::INTEGER AS ip_cnt,
+       len(regexp_extract_all(aug, '{phone}'))::INTEGER AS phone_cnt,
+       length(scrubbed)::INTEGER AS scrubbed_len,
+       right(scrubbed, 40) AS scrubbed_tail,
+       (len(regexp_extract_all(aug, '{email}'))
+        + len(regexp_extract_all(aug, '{ip}'))
+        + len(regexp_extract_all(aug, '{phone}'))) > 0 AS has_pii
+FROM s ORDER BY doc_id
+"""
+
+
 def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling document fingerprint:
     sum((md5int(token) mod M) * position) mod M — permuting tokens
