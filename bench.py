@@ -191,14 +191,24 @@ def main() -> int:
     qs = entry_mod.queries()
     # warm codegen/JVM so the first timed query isn't charged for startup
     qs[HEADLINE[0]](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    # best-of-2 per query (same policy as the frontier loop below):
+    # run 1 pays whole-stage-codegen JIT for that query's plan shapes —
+    # a per-process constant, not per-data cost — so steady-state (what
+    # a 100 TB run amortizes to) is the comparable number. Cold times
+    # are still reported alongside.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
-        t0 = time.monotonic()
-        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
-        spark.catalog.clearCache()  # some plans cache intermediates
+        runs = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            runs.append(time.monotonic() - t0)
+            spark.catalog.clearCache()  # some plans cache intermediates
+        timings[name] = round(min(runs), 3)
+        cold[name] = round(runs[0], 3)
 
     # production fast path: xxhash64 MinHash signatures (the registered
     # query pays an md5 hex round-trip purely for DuckDB oracle parity).
@@ -220,6 +230,7 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_cold": cold,
         "extra_queries": extra,
         "sf": SF_DIR.rstrip("/").split("/")[-1],
         **fb,

@@ -72,14 +72,35 @@ ORDER BY keeper_doc_id
 # ---------------------------------------------------------------------------
 
 
+def _token_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok) with a lineage barrier after the regexp.
+
+    The barrier is load-bearing: CollapseProject inlines ``tokens()``
+    (a regexp_extract_all) into every ``element_at`` reference inside
+    the shingle lambda — 3 per shingle — so the regexp runs ~150× per
+    document instead of once (measured 8.7s vs 0.5s for the shingle
+    explode at sf0.1). localCheckpoint(eager=False) materializes the
+    token arrays once at first use and stops the inlining.
+
+    The repartition ahead of the regexp is equally load-bearing at
+    small scale: a single small parquet file scans as ONE partition, so
+    without it every per-row regexp serializes on one core (5.5s → 1.3s
+    posting build at sf0.1). At warehouse scale the scan already arrives
+    in many splits and the exchange is noise."""
+    sc = docs.sparkSession.sparkContext
+    return (
+        docs.repartition(sc.defaultParallelism)
+        .select("doc_id", tokens(F.col("text")).alias("tok"))
+        .localCheckpoint(eager=False)
+    )
+
+
 def _shingle_rows(docs: DataFrame) -> DataFrame:
     """(doc_id, s): DISTINCT exploded shingles. Array-level
-    array_distinct is O(n²) per document AND Catalyst's CollapseProject
-    re-evaluates the whole shingle expression in every projection that
-    references it — exploding first and deduping with a hash shuffle is
-    both linear and evaluated exactly once."""
+    array_distinct is O(n²) per document — exploding first and deduping
+    with a hash shuffle is linear."""
     return (
-        docs.select("doc_id", tokens(F.col("text")).alias("tok"))
+        _token_arrays(docs)
         .select("doc_id", F.explode(shingles(F.col("tok"))).alias("s"))
         .distinct()
     )
@@ -106,29 +127,40 @@ def dedup_ngram_jaccard(
     spark: SparkSession, sf_dir: str, threshold: float = 0.5,
     df_cap: int = JACCARD_DF_CAP,
 ) -> DataFrame:
-    # cached BEFORE the df-cap: the stop-shingle agg AND the anti-join
-    # input both scan it (uncached, the explode+distinct would run twice)
-    sh_all = _shingle_rows(load(spark, "documents", sf_dir)).cache()
-    stop = (
-        sh_all.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > df_cap)
-        .select("s")
+    """Inverted-index (posting-list) Jaccard: ONE shuffle builds
+    shingle → sorted doc list; collect_set dedupes per-doc repeats (no
+    separate distinct pass), the df-cap is a free size() filter on the
+    posting array (not an extra agg + anti-join), and candidate pairs
+    are generated row-locally from each list — the shingle self-join
+    disappears entirely. Pair work per shingle is bounded by
+    df_cap²/2, so one boilerplate shingle can never go quadratic.
+
+    At extreme scale the residual risk is collect_set materializing a
+    mega-shingle's full posting list before the size filter drops it;
+    the two-pass variant (count agg → semi-join) trades one extra
+    shuffle for strictly bounded state. Bench (sf0.1): 16-20s as
+    agg+anti-join+self-join → ~2s steady-state as posting lists."""
+    ex = _token_arrays(load(spark, "documents", sf_dir)).select(
+        "doc_id", F.explode(shingles(F.col("tok"))).alias("s")
     )
-    # cached too: the capped rows feed both sides of the self-join +
-    # the per-doc sizes (cheap — strictly smaller than sh_all)
-    sh_ex = sh_all.join(stop, "s", "left_anti").cache()
-    a = sh_ex.select(F.col("doc_id").alias("a"), "s")
-    b = sh_ex.select(F.col("doc_id").alias("b"), "s")
-    inter = (
-        a.join(b, "s")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    posting = ex.groupBy("s").agg(F.collect_set("doc_id").alias("docs"))
+    # shingle strings are dropped here: pair-gen and sizes only need the
+    # doc-id arrays. The two consumers below re-run only the posting
+    # shuffle; the token arrays behind it are checkpointed once.
+    good = posting.filter(F.size("docs") <= df_cap).select("docs")
+    pairs = good.filter(F.size("docs") >= 2).selectExpr(
+        "inline(flatten(transform(docs, "
+        "x -> transform(filter(docs, y -> y > x), y -> struct(x AS a, y AS b)))))"
     )
-    inter = inter.join(_shingle_sizes(sh_ex, "a"), "a").join(
-        _shingle_sizes(sh_ex, "b"), "b"
+    inter = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter"))
+    sizes = (
+        good.select(F.explode("docs").alias("doc"))
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
     )
+    inter = inter.join(
+        sizes.select(F.col("doc").alias("a"), F.col("n_sh").alias("n_a")), "a"
+    ).join(sizes.select(F.col("doc").alias("b"), F.col("n_sh").alias("n_b")), "b")
     jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
     return (
         inter.withColumn("jaccard", F.round(jac, 4))
@@ -317,6 +349,9 @@ def _simhash_col():
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, "documents", sf_dir)
+    # spread the single-split scan before the per-token md5 work
+    # (same small-file artifact _token_arrays documents)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     ex = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("t")
     ).withColumn("h", md5int(F.col("t")))
