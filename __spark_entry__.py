@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from seo_crawler_spark.operators import dedup as D
+from seo_crawler_spark.operators import sampling as SA
 from seo_crawler_spark.operators import simsearch as S
 from seo_crawler_spark.operators import textstats as TS
 from seo_crawler_spark.plans import crawl_queries as CQ
@@ -94,9 +95,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
         "dedup_simhash": D.dedup_simhash,
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
+        "decontaminate": D.decontaminate,
         # similarity search
         "ann_brute_topk": S.ann_brute_topk,
         "ann_lsh_buckets": S.ann_lsh_bucketed,
+        "ann_ivf_topk": S.ann_ivf_topk,
         "embedding_neardup_lsh": S.embedding_neardup_lsh,
         # text analysis
         "lang_id": TS.lang_id,
@@ -104,6 +107,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": TS.token_counts,
         "fingerprints": TS.fingerprints,
         "tfidf_top_terms": TS.tfidf_top_terms,
+        "repetition_signals": TS.repetition_signals,
+        "pii_scrub": TS.pii_scrub,
+        "stratified_sample": SA.stratified_sample,
+        "sample_bottomk": SA.sample_bottomk,
         # event-stream operators (batch form; streaming twins in
         # seo_crawler_spark/streaming/events.py, pytest-verified)
         "events_tumbling_counts": E.tumbling_counts,
@@ -137,14 +144,20 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": D.dedup_minhash_lsh_sql(),
         "dedup_simhash": D.dedup_simhash_sql(),
         "dedup_embedding_cosine": D.dedup_embedding_cosine_sql(),
+        "decontaminate": D.decontaminate_sql(),
         "ann_brute_topk": S.ANN_BRUTE_SQL,
         "ann_lsh_buckets": S.ann_lsh_bucketed_sql(),
+        "ann_ivf_topk": S.ann_ivf_topk_sql(),
         "embedding_neardup_lsh": S.embedding_neardup_lsh_sql(),
         "lang_id": TS.lang_id_sql(),
         "quality_scores": TS.quality_scores_sql(),
         "token_counts": TS.TOKEN_COUNTS_SQL,
         "fingerprints": TS.fingerprints_sql(),
         "tfidf_top_terms": TS.tfidf_top_terms_sql(),
+        "repetition_signals": TS.repetition_signals_sql(),
+        "pii_scrub": TS.pii_scrub_sql(),
+        "stratified_sample": SA.stratified_sample_sql(),
+        "sample_bottomk": SA.sample_bottomk_sql(),
         "events_tumbling_counts": E.TUMBLING_COUNTS_SQL,
         "events_sliding_counts": E.SLIDING_COUNTS_SQL,
         "events_sessionize": E.SESSIONIZE_SQL,

@@ -583,3 +583,86 @@ FROM cand c JOIN embeddings p ON c.a = p.vec_id
 WHERE round(list_cosine_similarity(p.embedding, q.embedding), 4) >= {threshold}
 ORDER BY a, b
 """
+
+
+# ---------------------------------------------------------------------------
+# Train/test decontamination
+# ---------------------------------------------------------------------------
+
+DECON_NGRAM = 8       # long shingles: benchmark-verbatim evidence, not topic
+DECON_BENCH_DOCS = 20  # doc_id < this = the "held-out benchmark" set
+DECON_FLAG_FRAC = 0.1
+
+
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents that share long
+    (8-token) n-grams with a held-out benchmark set — the standard
+    guard against evaluation data leaking into a training corpus
+    (verbatim-overlap decontamination as in GPT-3 appendix C / Gopher
+    A2; the n is long enough that matches mean copied text, not shared
+    topic).
+
+    The benchmark here is the first DECON_BENCH_DOCS documents (a
+    deterministic stand-in for an external eval set). Its distinct
+    shingle set is tiny and broadcast — the corpus side streams through
+    a broadcast semi-style join with NO shuffle of corpus shingles;
+    per-doc overlap and size aggs are map-side combined. At 100 TB the
+    benchmark side stays driver-small (real eval sets are a few MB), so
+    the plan shape is scan → broadcast-hash-join → partial agg."""
+    ex = _token_arrays(load(spark, "documents", sf_dir)).select(
+        "doc_id", F.explode(shingles(F.col("tok"), n=DECON_NGRAM)).alias("s")
+    ).distinct()
+    bench_sh = (
+        ex.filter(F.col("doc_id") < DECON_BENCH_DOCS).select("s").distinct()
+    )
+    corpus = ex.filter(F.col("doc_id") >= DECON_BENCH_DOCS)
+    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    overlap = (
+        corpus.join(F.broadcast(bench_sh), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("overlap_cnt"))
+    )
+    frac = F.round(
+        F.coalesce(F.col("overlap_cnt"), F.lit(0))
+        / F.greatest(F.col("n_shingles"), F.lit(1)),
+        6,
+    )
+    return (
+        sizes.join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("overlap_cnt", F.lit(0)).alias("overlap_cnt"),
+            frac.alias("overlap_frac"),
+            (frac >= DECON_FLAG_FRAC).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def decontaminate_sql() -> str:
+    tok = TOKENS_SQL.format(c="text")
+    sh = shingles_sql("tok", n=DECON_NGRAM)
+    return f"""
+WITH tokd AS (SELECT doc_id, {tok} AS tok FROM documents),
+ex AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct({sh})) AS s
+  FROM tokd WHERE len(tok) >= {DECON_NGRAM}
+),
+bench AS (SELECT DISTINCT s FROM ex WHERE doc_id < {DECON_BENCH_DOCS}),
+corpus AS (SELECT doc_id, s FROM ex WHERE doc_id >= {DECON_BENCH_DOCS}),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+ov AS (
+  SELECT c.doc_id, count(*) AS overlap_cnt
+  FROM corpus c JOIN bench USING (s) GROUP BY c.doc_id
+)
+SELECT sizes.doc_id, sizes.n_shingles,
+       coalesce(ov.overlap_cnt, 0) AS overlap_cnt,
+       round(coalesce(ov.overlap_cnt, 0) * 1.0 /
+             greatest(sizes.n_shingles, 1), 6) AS overlap_frac,
+       round(coalesce(ov.overlap_cnt, 0) * 1.0 /
+             greatest(sizes.n_shingles, 1), 6) >= {DECON_FLAG_FRAC}
+         AS contaminated
+FROM sizes LEFT JOIN ov ON sizes.doc_id = ov.doc_id
+ORDER BY sizes.doc_id
+"""

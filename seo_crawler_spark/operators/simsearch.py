@@ -161,6 +161,147 @@ FROM dots GROUP BY vec_id ORDER BY vec_id
 """
 
 
+N_CELLS = 16
+N_PROBE = 4
+
+
+def _int_dot(a, b):
+    """Fixed-point integer dot — order-independent, so cell assignment
+    is identical across Spark partitionings and the DuckDB oracle."""
+    q = lambda x: F.floor(x.cast("double") * DOT_SCALE).cast("long")
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: q(x) * q(y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def ann_ivf_topk(
+    spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize every vector to its
+    nearest of N_CELLS pivot centroids, then answer each query by
+    scanning only its n_probe closest cells with an exact cosine
+    re-rank — the classic IVF-Flat layout (Jégou et al., PAMI 2011).
+
+    Pivot centroids (the first N_CELLS vectors by vec_id) keep the
+    quantizer deterministic — a float k-means mean is accumulation-
+    order-dependent and would break oracle parity. The quantizer is a
+    driver-side constant (like any trained coarse quantizer), so cell
+    assignment is row-local column arithmetic: NO shuffle until the
+    (query_cell ⋈ index_cell) equi-join, and that join touches
+    n_probe/N_CELLS of the corpus. At 10^10 vectors the index table is
+    written partitioned by cell, so each query reads only its probed
+    partitions; assignment itself would move to a Pandas-UDF matmul
+    once N_CELLS reaches the thousands.
+    """
+    emb = load(spark, "embeddings", sf_dir)
+    cents = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < N_CELLS)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+
+    def scores(col):
+        # (idot, -cid) structs: array_max/sort_array break idot ties
+        # toward the smallest centroid id
+        return F.array(
+            *[
+                F.struct(
+                    _int_dot(col, F.array(*[F.lit(x) for x in cv])).alias("s"),
+                    F.lit(-cid).alias("nc"),
+                )
+                for cid, cv in cents
+            ]
+        )
+
+    index = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("cv"),
+        (-F.array_max(scores(F.col("embedding"))).getField("nc")).alias("cell"),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.slice(
+            F.sort_array(scores(F.col("embedding")), asc=False), 1, n_probe
+        ).alias("probes"),
+    )
+    probes = q.select("qid", "qv", F.explode("probes").alias("pr")).select(
+        "qid", "qv", (-F.col("pr.nc")).alias("cell")
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(index, "cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .withColumn("cos", F.round(_cosine(F.col("qv"), F.col("cv")), 4))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "cid", "cos", "rnk")
+        .orderBy("qid", "rnk")
+    )
+
+
+def ann_ivf_topk_sql(n_probe: int = N_PROBE) -> str:
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS ccid, embedding AS cvec FROM embeddings
+  WHERE vec_id < {N_CELLS}
+),
+ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS v
+  FROM embeddings
+),
+cex AS (
+  SELECT ccid, generate_subscripts(cvec, 1) AS d, unnest(cvec) AS cv
+  FROM cents
+),
+idots AS (
+  SELECT ex.vec_id, cex.ccid,
+         sum(floor(ex.v::DOUBLE * {DOT_SCALE})::BIGINT *
+             floor(cex.cv::DOUBLE * {DOT_SCALE})::BIGINT) AS idot
+  FROM ex JOIN cex ON ex.d = cex.d
+  GROUP BY ex.vec_id, cex.ccid
+),
+cells AS (
+  SELECT vec_id, ccid AS cell FROM (
+    SELECT vec_id, ccid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY idot DESC, ccid ASC) AS rn
+    FROM idots
+  ) WHERE rn = 1
+),
+qprobes AS (
+  SELECT vec_id AS qid, ccid AS cell FROM (
+    SELECT vec_id, ccid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY idot DESC, ccid ASC) AS rn
+    FROM idots WHERE vec_id < {N_QUERIES}
+  ) WHERE rn <= {n_probe}
+),
+scored AS (
+  SELECT p.qid, c.vec_id AS cid,
+         round(list_cosine_similarity(qe.embedding, c.embedding), 4) AS cos
+  FROM qprobes p
+  JOIN cells ON cells.cell = p.cell
+  JOIN embeddings c ON c.vec_id = cells.vec_id AND c.vec_id <> p.qid
+  JOIN embeddings qe ON qe.vec_id = p.qid
+),
+ranked AS (
+  SELECT qid, cid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rnk
+  FROM scored
+)
+SELECT qid, cid, cos, rnk FROM ranked WHERE rnk <= {TOP_K}
+ORDER BY qid, rnk
+"""
+
+
 def embedding_neardup_lsh(
     spark: SparkSession, sf_dir: str, threshold: float = 0.45
 ) -> DataFrame:
