@@ -280,10 +280,20 @@ class CrawlEngine:
             metrics=[],
         )
 
-    def resume(self) -> CrawlResult:
+    def resume(self, recrawl_before_wave: int | None = None) -> CrawlResult:
         """Restart from the latest committed wave snapshot (waves are the
         atomic unit — no partial-wave state; contrast the reference's
-        lossy 1000-URL checkpoint, crawler.py:585-613)."""
+        lossy 1000-URL checkpoint, crawler.py:585-613).
+
+        ``recrawl_before_wave=k`` turns the resume into a refresh crawl:
+        URLs whose first crawl happened before wave k are EVICTED from
+        the seen state (the engine-level twin of cuckoo_delete — with a
+        deletable filter the long-lived probabilistic state drops the
+        same fingerprints in place; the exact table is filtered either
+        way) and re-enqueued at depth 0 with fresh (wave, seq) numbers.
+        Their re-fetched pages/links append as new wave rows; links they
+        re-discover dedupe against the surviving seen set as usual.
+        Re-fetches count against max_urls like any other fetch."""
         if not self.state_dir:
             raise ValueError("resume requires a state_dir")
         from ..state.snapshots import SnapshotStore
@@ -318,6 +328,64 @@ class CrawlEngine:
             row = df.agg(F.max("seq").alias("m")).collect()[0]
             if row["m"] is not None:
                 max_seq = max(max_seq, row["m"])
+        if recrawl_before_wave is not None:
+            # a URL can be seen (discovered) but still pending in the
+            # frontier — re-enqueuing it would fetch it twice; only
+            # already-fetched URLs are refresh candidates
+            victims = seen.filter(F.col("wave") < recrawl_before_wave).join(
+                frontier.select(F.col("url").alias("__pending")),
+                F.col("url") == F.col("__pending"),
+                "left_anti",
+            )
+            victims = victims.localCheckpoint(eager=True)
+            survivors = seen.join(
+                victims.select(F.col("url").alias("__evict")),
+                F.col("url") == F.col("__evict"),
+                "left_anti",
+            )
+            refreshed = victims.select(
+                "url",
+                "url_hash",
+                U.url_host(F.col("url")).alias("host"),
+                F.lit(0).alias("depth"),
+                F.lit(latest + 1).alias("wave"),
+                F.col("wave").alias("__first_wave"),
+            )
+            # deterministic refresh order: original discovery wave, then
+            # url — seq assigned with the same scalable path waves use
+            refreshed, n_refresh = ordered_seq_counted(
+                refreshed, ["__first_wave", "url"], seq_col="seq",
+                start=max_seq + 1,
+            )
+            frontier = frontier.unionByName(
+                refreshed.drop("__first_wave"), allowMissingColumns=False
+            ).localCheckpoint(eager=True)
+            # evicted rows get merge-on-read tombstones at the refresh
+            # wave (invisible until that wave's manifest commits); their
+            # replacement seen rows carry the refresh wave and persist
+            # with the same commit — the delete/insert pair is atomic
+            store.write_seen_tombstones(
+                latest + 1, victims.select("url_hash", "url", "wave")
+            )
+            refreshed_seen = refreshed.select(
+                "url_hash", "url", "wave"
+            ).localCheckpoint(eager=True)
+            seen = survivors.unionByName(refreshed_seen).localCheckpoint(
+                eager=True
+            )
+            max_seq += n_refresh
+            return self._execute(
+                base_domain=base_domain,
+                frontier=frontier,
+                seen=seen,
+                next_seq=max_seq + 1,
+                crawled_total=crawled_total,
+                start_wave=latest + 1,
+                pages_parts=[pages],
+                links_parts=[links],
+                metrics=list(metrics),
+                initial_seen_delta=refreshed_seen,
+            )
         return self._execute(
             base_domain=base_domain,
             frontier=frontier,
@@ -341,6 +409,7 @@ class CrawlEngine:
         pages_parts: list,
         links_parts: list,
         metrics: list,
+        initial_seen_delta: DataFrame | None = None,
     ) -> CrawlResult:
         spark, cfg = self.spark, self.cfg
         bloom = None
@@ -377,6 +446,12 @@ class CrawlEngine:
             # duplicate every prior row in the append-only snapshot store
             # (and inflate seen.count() on the next resume)
             wave_deltas: list[DataFrame] = [seen_parts[0]] if wave == 0 else []
+            if initial_seen_delta is not None and wave == start_wave:
+                # refresh-crawl resume: the re-enqueued URLs' new seen
+                # rows persist with this run's first committed wave
+                # (their old rows are tombstoned at the same wave, so
+                # the pair is atomic under the manifest rule)
+                wave_deltas.append(initial_seen_delta)
 
             # politeness rank-gate (logical budget, not wall-clock sleep);
             # one checkpoint + one count job covers both sides of the split

@@ -119,12 +119,38 @@ class SnapshotStore:
     def read_frontier(self, spark: SparkSession, wave: int) -> DataFrame:
         return spark.read.parquet(self._wave_dir("frontier", wave))
 
+    def write_seen_tombstones(self, wave: int, tombstones: DataFrame) -> None:
+        """Merge-on-read deletes for the seen table (Iceberg v2 delete-file
+        semantics): a tombstone (url, wave) kills exactly that row version
+        of the append-only deltas at read time — a refresh crawl's
+        replacement row at a later wave is untouched. Written under the
+        NEXT wave's directory, so it stays invisible until that wave's
+        manifest commits (same atomicity rule as every other table)."""
+        tombstones.write.mode("overwrite").parquet(
+            self._wave_dir("seen_deletes", wave)
+        )
+
     def read_seen(self, spark: SparkSession, upto_wave: int) -> DataFrame:
-        """seen is stored as per-wave DELTAS (append-only); the full set
-        is the union of deltas up to the wave."""
+        """seen is stored as per-wave DELTAS (append-only) minus
+        tombstones; the full set is the union of deltas up to the wave
+        with deleted (url, wave) row versions anti-joined out."""
         dirs = [self._wave_dir("seen", w) for w in range(upto_wave + 1)
                 if os.path.isdir(self._wave_dir("seen", w))]
-        return spark.read.parquet(*dirs)
+        seen = spark.read.parquet(*dirs)
+        tdirs = [self._wave_dir("seen_deletes", w) for w in range(upto_wave + 1)
+                 if os.path.isdir(self._wave_dir("seen_deletes", w))]
+        if tdirs:
+            from pyspark.sql import functions as F
+
+            t = spark.read.parquet(*tdirs).select(
+                F.col("url").alias("__t_url"), F.col("wave").alias("__t_wave")
+            )
+            seen = seen.join(
+                t,
+                (seen.url == F.col("__t_url")) & (seen.wave == F.col("__t_wave")),
+                "left_anti",
+            )
+        return seen
 
     def read_pages(self, spark: SparkSession, upto_wave: int) -> DataFrame:
         dirs = [self._wave_dir("pages", w) for w in range(upto_wave + 1)

@@ -148,3 +148,71 @@ def test_crawls_by_status_aggregate(spark, tmp_path):
         roots.append(root)
     got = {r["status"]: r["n"] for r in crawls_by_status(spark, roots).collect()}
     assert got == {"completed": 2, "paused": 1, "failed": 1}
+
+
+def test_recrawl_refresh_seeds(spark, corpus_df, robots_df, tmp_path):
+    """resume(recrawl_before_wave=1) evicts + re-enqueues the wave-0
+    URLs (seeds): they re-fetch at a new wave with fresh seq numbers,
+    their links dedupe against the surviving seen set (no new
+    discoveries), and the tombstoned seen state stays duplicate-free
+    across a further plain resume."""
+    from seo_crawler_spark.state.snapshots import SnapshotStore
+
+    seeds = seed_urls(N_HOSTS)
+    state = str(tmp_path / "refreshstate")
+    cfg = lambda: CrawlConfig(max_depth=2, max_urls=10_000)
+    first = CrawlEngine(
+        spark, corpus_df, robots_df, cfg(), state_dir=state
+    ).run(seeds)
+    pages1 = first.pages.count()
+    seen1 = {r["url"] for r in first.seen.collect()}
+    wave0 = {r["url"] for r in first.seen.collect() if r["wave"] == 0}
+    last_wave = max(r["wave"] for r in first.order.collect())
+
+    res = CrawlEngine(
+        spark, corpus_df, robots_df, cfg(), state_dir=state
+    ).resume(recrawl_before_wave=1)
+
+    # exactly the wave-0 set re-fetched, at the refresh wave
+    new_pages = res.pages.filter(f"wave = {last_wave + 1}")
+    assert {r["url"] for r in new_pages.collect()} == wave0
+    assert res.pages.count() == pages1 + len(wave0)
+    # seen set unchanged as a URL set, no duplicate rows
+    seen_rows = res.seen.collect()
+    assert {r["url"] for r in seen_rows} == seen1
+    assert len(seen_rows) == len(seen1)
+    # refreshed rows now carry the refresh wave
+    by_url = {r["url"]: r["wave"] for r in seen_rows}
+    assert all(by_url[u] == last_wave + 1 for u in wave0)
+
+    # tombstones survive a plain re-read of the store: no resurrection
+    store = SnapshotStore(state)
+    reread = store.read_seen(spark, store.latest_wave()).collect()
+    assert len(reread) == len(seen1)
+    assert {r["url"] for r in reread} == seen1
+
+
+def test_recrawl_full_refresh(spark, corpus_df, robots_df, tmp_path):
+    """Evicting everything re-crawls the whole site exactly once more —
+    page count doubles, seen set identical, still duplicate-free.
+    max_depth exceeds the site diameter so the first crawl reaches the
+    full closure; refreshed URLs restart at depth 0 (depth resets are
+    refresh semantics — a depth-capped first crawl WOULD legitimately
+    discover deeper pages on refresh)."""
+    seeds = seed_urls(N_HOSTS)
+    state = str(tmp_path / "fullrefresh")
+    cfg = lambda: CrawlConfig(max_depth=30, max_urls=10_000)
+    first = CrawlEngine(
+        spark, corpus_df, robots_df, cfg(), state_dir=state
+    ).run(seeds)
+    pages1 = first.pages.count()
+    seen1 = {r["url"] for r in first.seen.collect()}
+    last_wave = max(r["wave"] for r in first.order.collect())
+
+    res = CrawlEngine(
+        spark, corpus_df, robots_df, cfg(), state_dir=state
+    ).resume(recrawl_before_wave=last_wave + 1)
+    assert res.pages.count() == 2 * pages1
+    seen_rows = res.seen.collect()
+    assert {r["url"] for r in seen_rows} == seen1
+    assert len(seen_rows) == len(seen1)
