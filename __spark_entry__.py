@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from seo_crawler_spark.operators import dedup as D
+from seo_crawler_spark.operators import multimodal as MM
 from seo_crawler_spark.operators import sampling as SA
 from seo_crawler_spark.operators import simsearch as S
 from seo_crawler_spark.operators import textstats as TS
@@ -109,8 +110,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": TS.tfidf_top_terms,
         "repetition_signals": TS.repetition_signals,
         "pii_scrub": TS.pii_scrub,
+        "interleaved_spans": TS.interleaved_spans,
         "stratified_sample": SA.stratified_sample,
         "sample_bottomk": SA.sample_bottomk,
+        # rows-only (no SQL oracle can reproduce xxhash64/splitmix
+        # payload bytes; determinism pinned in tests/test_multimodal.py)
+        "multimodal_pipeline": MM.multimodal_pipeline,
         # event-stream operators (batch form; streaming twins in
         # seo_crawler_spark/streaming/events.py, pytest-verified)
         "events_tumbling_counts": E.tumbling_counts,
@@ -156,6 +161,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": TS.tfidf_top_terms_sql(),
         "repetition_signals": TS.repetition_signals_sql(),
         "pii_scrub": TS.pii_scrub_sql(),
+        "interleaved_spans": TS.interleaved_spans_sql(),
         "stratified_sample": SA.stratified_sample_sql(),
         "sample_bottomk": SA.sample_bottomk_sql(),
         "events_tumbling_counts": E.TUMBLING_COUNTS_SQL,

@@ -214,25 +214,46 @@ def dedup_minhash_lsh(
     bit-for-bit for the oracle; xxhash64 is the production/bench fast
     path (same plan shape, JVM hash, no hex round-trip). Candidate
     recall differs only through which hash permutes shingles; the
-    verify stage is exact either way."""
-    # cached: scanned for signatures, sizes, AND the pair verify
-    sh_ex = _shingle_rows(load(spark, "documents", sf_dir)).cache()
-    shingle_hash = (
-        F.pmod(F.xxhash64(F.col("s")), F.lit(MOD))
-        if use_xxhash
-        else md5int(F.col("s")) % MOD
+    verify stage is exact either way.
+
+    Plan shape: the band equi-join is the ONLY shuffle. Per-doc shingle
+    sets stay as arrays (array_distinct over ≤~hundreds of shingles is
+    cheap at row scope), the 32 permutation minima are row-local
+    array_min(transform(...)) over a pre-hashed array, and the exact
+    verify is array_intersect against the candidates — mirroring the
+    oracle SQL's list_intersect, instead of the previous
+    2-join + pair-agg + 2-size-join verify (6 shuffles gone)."""
+    arrays = (
+        _token_arrays(load(spark, "documents", sf_dir))
+        .select(
+            "doc_id", F.array_distinct(shingles(F.col("tok"))).alias("sh")
+        )
+        .filter(F.size("sh") > 0)
     )
-    sh = sh_ex.withColumn("h", shingle_hash)
-    # all 32 permutation minima in ONE hash-agg pass (a 32× crossJoin
-    # explode would shuffle 32·|shingles| rows; this shuffles |docs|·32
-    # partial-agg cells — map-side combined)
-    sig_wide = sh.groupBy("doc_id").agg(
+    shingle_hash = (
+        (lambda s: F.pmod(F.xxhash64(s), F.lit(MOD)))
+        if use_xxhash
+        else (lambda s: md5int(s) % MOD)
+    )
+    # barrier: without it the md5/xxhash transform re-inlines the whole
+    # shingle expression per permutation (the CollapseProject trap)
+    hashed = arrays.select(
+        "doc_id",
+        "sh",
+        F.transform("sh", shingle_hash).alias("hh"),
+    ).localCheckpoint(eager=False)
+    def _perm(i):
+        # NOTE: must stay a ONE-arg lambda — pyspark's transform() treats
+        # a two-arg callable as (element, index), so a default-bound
+        # `lambda h, i=i:` silently receives the array position as i
+        return lambda h: (F.lit(2 * i + 1) * h + F.lit(7919 * i + 13)) % MOD
+
+    sig_wide = hashed.select(
+        "doc_id",
         *[
-            F.min((F.lit(2 * i + 1) * F.col("h") + F.lit(7919 * i + 13)) % MOD).alias(
-                f"mh{i}"
-            )
+            F.array_min(F.transform("hh", _perm(i))).alias(f"mh{i}")
             for i in range(N_PERM)
-        ]
+        ],
     )
     bands = sig_wide.select(
         "doc_id",
@@ -262,32 +283,24 @@ def dedup_minhash_lsh(
         .select("a", "b")
         .distinct()
     )
-    # exact verify of band collisions: intersect via the shingle rows
-    # restricted to candidate pairs (candidates are few — broadcast)
-    pa_sh = cand.join(
-        sh_ex.select(F.col("doc_id").alias("a"), "s"), "a"
+    # exact verify of band collisions: candidates are few → broadcast
+    # them through two joins against the per-doc shingle arrays, then
+    # intersect row-locally (list_intersect in the oracle)
+    sets_ = hashed.select("doc_id", "sh")
+    pairs = F.broadcast(cand).join(
+        sets_.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha")), "a"
     )
-    inter = (
-        pa_sh.join(
-            sh_ex.select(F.col("doc_id").alias("b2"), F.col("s").alias("s2")),
-            (F.col("b") == F.col("b2")) & (F.col("s") == F.col("s2")),
-        )
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    pairs = F.broadcast(pairs).join(
+        sets_.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb")), "b"
     )
-    inter = inter.join(_shingle_sizes(sh_ex, "a"), "a").join(
-        _shingle_sizes(sh_ex, "b"), "b"
-    )
-    verified = (
-        inter.withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 4),
-        )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    na, nb = F.size("sha"), F.size("shb")
+    return (
+        pairs.withColumn("jaccard", F.round(inter / (na + nb - inter), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
         .orderBy("a", "b")
     )
-    return verified
 
 
 def dedup_minhash_lsh_sql(threshold: float = 0.5) -> str:

@@ -214,3 +214,48 @@ def sample_frames(media: DataFrame, every_n: int = 24) -> DataFrame:
         F.col("meta.n_frames").alias("n_frames"),
         F.explode(idx).alias("frame_idx"),
     )
+
+
+def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-visible end-to-end multimodal slice: synthesize the media
+    table off the documents table (media_ref = 'media/<doc_id>' for
+    every 4th doc), run decode-stub-adjacent feature extraction and the
+    resize planner, and emit one deterministic row per media object.
+
+    Registered WITHOUT an oracle_sql twin (rows-only check): the payload
+    bytes derive from xxhash64 + a splitmix64 stream that DuckDB cannot
+    reproduce — determinism is instead pinned by tests/test_multimodal.py
+    and by this query's stable row count/schema across runs."""
+    from ..sources.tables import load
+
+    docs = load(spark, "documents", sf_dir)
+    fake_corpus = docs.filter(F.pmod("doc_id", F.lit(4)) == 0).select(
+        F.array(
+            F.struct(
+                F.lit("media").alias("kind"),
+                F.lit("").alias("text"),
+                F.concat(F.lit("media/"), F.col("doc_id").cast("string")).alias(
+                    "media_ref"
+                ),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans")
+    )
+    media = synthesize_media(spark, fake_corpus)
+    feats = extract_features(media)
+    resize = resize_plan(media).select(
+        "media_ref", "target_width", "target_height"
+    )
+    return (
+        media.select(
+            "media_ref",
+            "kind",
+            F.col("meta.width").alias("width"),
+            F.col("meta.height").alias("height"),
+            F.length("payload").alias("payload_bytes"),
+        )
+        .join(feats.select("media_ref", F.size("features").alias("n_features")),
+              "media_ref")
+        .join(resize, "media_ref", "left")
+        .orderBy("media_ref")
+    )

@@ -449,3 +449,102 @@ SELECT doc_id,
        count(*) AS n_tokens
 FROM ex GROUP BY doc_id ORDER BY doc_id
 """
+
+
+SPAN_CHUNK = 10   # tokens per text span
+SPAN_MEDIA_EVERY = 3  # a media span after every 3rd text chunk
+
+
+def interleaved_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the interleaved text+media span sequence for every
+    document and emit one row per span in document order — the driver-
+    checkable twin of the engine's span-sequence contract (the corpus
+    documents table stores exactly this shape:
+    spans array<struct<kind,text,media_ref,offset>>).
+
+    Construction is row-local (transform + flatten over the token
+    array, no shuffle): text spans cover SPAN_CHUNK-token windows; a
+    media span (media_ref 'm/<doc>/<j>') follows every
+    SPAN_MEDIA_EVERY-th chunk, carrying the token offset where it sits.
+    The DuckDB oracle builds the identical sequence, so the per-span
+    hash match pins ordering, offsets, and interleave positions across
+    engines."""
+    from .dedup import _token_arrays
+
+    d = _token_arrays(load(spark, "documents", sf_dir))
+    k = F.ceil(F.size("tok") / SPAN_CHUNK).cast("int")
+    tok = F.col("tok")
+
+    def text_span(i):
+        return F.struct(
+            F.lit("text").alias("kind"),
+            F.element_at(tok, i * SPAN_CHUNK + 1).alias("head"),
+            (i * SPAN_CHUNK).alias("offset"),
+            F.lit(None).cast("string").alias("media_ref"),
+        )
+
+    def media_span(i):
+        j = ((i + 1) / SPAN_MEDIA_EVERY).cast("int")
+        return F.struct(
+            F.lit("media").alias("kind"),
+            F.lit(None).cast("string").alias("head"),
+            ((i + 1) * SPAN_CHUNK).alias("offset"),
+            F.concat(
+                F.lit("m/"), F.col("doc_id").cast("string"), F.lit("/"),
+                j.cast("string"),
+            ).alias("media_ref"),
+        )
+
+    spans = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.when(
+                (i + 1) % SPAN_MEDIA_EVERY == 0,
+                F.array(text_span(i), media_span(i)),
+            ).otherwise(F.array(text_span(i))),
+        )
+    )
+    return (
+        d.filter(F.size("tok") > 0)
+        .select("doc_id", F.posexplode(spans).alias("span_idx", "s"))
+        .select(
+            "doc_id", "span_idx", "s.kind", "s.head", "s.offset", "s.media_ref"
+        )
+        .orderBy("doc_id", "span_idx")
+    )
+
+
+def interleaved_spans_sql() -> str:
+    tok = TOKENS_SQL.format(c="text")
+    c, m = SPAN_CHUNK, SPAN_MEDIA_EVERY
+    return f"""
+WITH tokd AS (
+  SELECT doc_id, {tok} AS tok FROM documents
+),
+built AS (
+  SELECT doc_id,
+         flatten(list_transform(range(0, cast(ceil(len(tok) / {c}.0) AS INT)),
+           i -> CASE WHEN (i + 1) % {m} = 0 THEN [
+                  struct_pack(kind := 'text',
+                              head := tok[i * {c} + 1],
+                              "offset" := i * {c},
+                              media_ref := NULL::VARCHAR),
+                  struct_pack(kind := 'media',
+                              head := NULL::VARCHAR,
+                              "offset" := (i + 1) * {c},
+                              media_ref := 'm/' || doc_id || '/' ||
+                                           ((i + 1) // {m}))
+                ] ELSE [
+                  struct_pack(kind := 'text',
+                              head := tok[i * {c} + 1],
+                              "offset" := i * {c},
+                              media_ref := NULL::VARCHAR)
+                ] END)) AS spans
+  FROM tokd WHERE len(tok) > 0
+)
+SELECT doc_id,
+       generate_subscripts(spans, 1) - 1 AS span_idx,
+       unnest(spans, recursive := true)
+FROM built
+ORDER BY doc_id, span_idx
+"""
