@@ -171,8 +171,18 @@ scaling evidence here — on a real cluster the shuffle tail is
 network-bound and scales with the fabric.
 """
     os.makedirs("/root/repo/BENCH", exist_ok=True)
-    with open("/root/repo/BENCH/BASELINE.md", "w") as f:
-        f.write(md)
+    # replace only the scaling section — preserve any other sections
+    # (e.g. the per-round headline notes) appended after it
+    out_path = "/root/repo/BENCH/BASELINE.md"
+    tail = ""
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            old = f.read()
+        for line in old.splitlines(keepends=True):
+            if tail or (line.startswith("## ") and "scaling" not in line.lower()):
+                tail += line
+    with open(out_path, "w") as f:
+        f.write(md + ("\n" + tail if tail else ""))
     print(json.dumps({"bench_N": r1, "bench_4N": r4, "efficiency": round(eff, 3)}))
     shutil.rmtree("/dev/shm/spark-local", ignore_errors=True)
     return 0
