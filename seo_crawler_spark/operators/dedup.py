@@ -347,33 +347,46 @@ N_BITS = 48
 _BAND_BITS = 12  # 4 bands
 
 
-def _simhash_col():
-    """Aggregation columns building the 48-bit simhash from exploded
-    token hashes — one hash-agg pass, no per-row Python."""
-    h = F.col("h")
-    bit_sums = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"s{i}")
-        for i in range(N_BITS)
-    ]
-    return bit_sums
-
-
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, "documents", sf_dir)
-    # spread the single-split scan before the per-token md5 work
-    # (same small-file artifact _token_arrays documents)
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    ex = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
-    ).withColumn("h", md5int(F.col("t")))
-    agg = ex.groupBy("doc_id").agg(*_simhash_col())
+    """48-bit simhash computed ROW-LOCALLY — no explode, no groupBy
+    shuffle: fold the per-token md5 hashes into a 48-counter vector
+    with one higher-order aggregate (duplicates count, matching the
+    reference's token stream), then pack sign bits into the signature.
+    The banding join downstream is the only shuffle in dedup_simhash."""
+    # token hash array behind the usual repartition+checkpoint barrier
+    # (CollapseProject would otherwise re-run md5 once per bit)
+    hashed = (
+        _token_arrays(load(spark, "documents", sf_dir))
+        .filter(F.size("tok") > 0)
+        .select("doc_id", F.transform("tok", lambda t: md5int(t)).alias("hh"))
+        .localCheckpoint(eager=False)
+    )
+    zeros = F.array_repeat(F.lit(0).cast("long"), N_BITS)
+    # literal shift counts (pyspark's shiftright wrapper rejects columns)
+    bit_vec = lambda h: F.array(
+        *[
+            (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
+            for i in range(N_BITS)
+        ]
+    )
+    counters = F.aggregate(
+        F.col("hh"),
+        zeros,
+        lambda acc, h: F.zip_with(acc, bit_vec(h), lambda a, b: a + b),
+    )
+    # barrier before packing: the sign pack references the counter array
+    # 48× — un-checkpointed, CollapseProject would re-run the whole fold
+    # per reference
+    cnt = hashed.select("doc_id", counters.alias("cnt")).localCheckpoint(
+        eager=False
+    )
     sim = None
     for i in range(N_BITS):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        term = F.when(
+            F.element_at("cnt", i + 1) > 0, F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         sim = term if sim is None else sim + term
-    return agg.select("doc_id", sim.alias("simhash")).orderBy("doc_id")
+    return cnt.select("doc_id", sim.alias("simhash")).orderBy("doc_id")
 
 
 def simhash_signatures_sql() -> str:
