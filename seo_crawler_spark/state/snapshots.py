@@ -131,13 +131,18 @@ class SnapshotStore:
         )
 
     def read_seen(self, spark: SparkSession, upto_wave: int) -> DataFrame:
-        """seen is stored as per-wave DELTAS (append-only) minus
-        tombstones; the full set is the union of deltas up to the wave
-        with deleted (url, wave) row versions anti-joined out."""
-        dirs = [self._wave_dir("seen", w) for w in range(upto_wave + 1)
-                if os.path.isdir(self._wave_dir("seen", w))]
+        """seen = compacted base (if any) ∪ later per-wave deltas, minus
+        later tombstones — merge-on-read over append-only state."""
+        base_wave = (self.manifest() or {}).get("seen_base_wave")
+        lo = 0
+        dirs = []
+        if base_wave is not None and base_wave <= upto_wave:
+            dirs.append(self._wave_dir("seen_base", base_wave))
+            lo = base_wave + 1
+        dirs += [self._wave_dir("seen", w) for w in range(lo, upto_wave + 1)
+                 if os.path.isdir(self._wave_dir("seen", w))]
         seen = spark.read.parquet(*dirs)
-        tdirs = [self._wave_dir("seen_deletes", w) for w in range(upto_wave + 1)
+        tdirs = [self._wave_dir("seen_deletes", w) for w in range(lo, upto_wave + 1)
                  if os.path.isdir(self._wave_dir("seen_deletes", w))]
         if tdirs:
             from pyspark.sql import functions as F
@@ -151,6 +156,54 @@ class SnapshotStore:
                 "left_anti",
             )
         return seen
+
+    # -- compaction --------------------------------------------------------
+    def compact_seen(self, spark: SparkSession, upto_wave: int | None = None) -> int:
+        """Iceberg-style rewrite: fold the per-wave seen deltas and their
+        tombstones up to ``upto_wave`` (default: latest committed) into
+        one consolidated base table. A crawl of W waves otherwise makes
+        read_seen union W directories — at 10^4 waves the file-listing
+        and per-dir footer reads dominate, so periodic compaction keeps
+        resume O(1) directories. Atomic like every other commit: the
+        base dir is written first, the manifest pointer flips second;
+        a crash in between leaves the old read path fully intact.
+
+        Old delta dirs become unreferenced garbage (see vacuum_seen).
+        Returns the wave the base now covers."""
+        w = self.latest_wave() if upto_wave is None else upto_wave
+        if w is None:
+            raise ValueError("nothing committed yet")
+        base = self.read_seen(spark, w)
+        base.write.mode("overwrite").parquet(self._wave_dir("seen_base", w))
+        m = self.manifest() or {"waves": [], "metrics": []}
+        m["seen_base_wave"] = w
+        self._commit_manifest(m)
+        return w
+
+    def vacuum_seen(self) -> list[str]:
+        """Delete seen delta/tombstone dirs superseded by the compacted
+        base (safe only AFTER the manifest points at the base)."""
+        import shutil
+
+        base_wave = (self.manifest() or {}).get("seen_base_wave")
+        removed = []
+        if base_wave is None:
+            return removed
+        for table in ("seen", "seen_deletes"):
+            for w in range(base_wave + 1):
+                d = self._wave_dir(table, w)
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+                    removed.append(d)
+        # superseded bases from earlier compactions
+        base_root = os.path.join(self.root, "seen_base")
+        if os.path.isdir(base_root):
+            for name in os.listdir(base_root):
+                if name != f"wave={base_wave}":
+                    d = os.path.join(base_root, name)
+                    shutil.rmtree(d)
+                    removed.append(d)
+        return removed
 
     def read_pages(self, spark: SparkSession, upto_wave: int) -> DataFrame:
         dirs = [self._wave_dir("pages", w) for w in range(upto_wave + 1)

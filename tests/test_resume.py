@@ -216,3 +216,42 @@ def test_recrawl_full_refresh(spark, corpus_df, robots_df, tmp_path):
     seen_rows = res.seen.collect()
     assert {r["url"] for r in seen_rows} == seen1
     assert len(seen_rows) == len(seen1)
+
+
+def test_compact_and_vacuum_seen(spark, corpus_df, robots_df, tmp_path):
+    """Compaction folds per-wave deltas + tombstones into one base dir;
+    reads are identical before/after, resume still works, and vacuum
+    leaves only referenced state. Run a refresh first so tombstones
+    exist and compaction must fold them away."""
+    from seo_crawler_spark.state.snapshots import SnapshotStore
+
+    seeds = seed_urls(N_HOSTS)
+    state = str(tmp_path / "compactstate")
+    cfg = lambda: CrawlConfig(max_depth=2, max_urls=10_000)
+    CrawlEngine(spark, corpus_df, robots_df, cfg(), state_dir=state).run(seeds)
+    CrawlEngine(
+        spark, corpus_df, robots_df, cfg(), state_dir=state
+    ).resume(recrawl_before_wave=1)  # creates tombstones + refresh rows
+
+    store = SnapshotStore(state)
+    latest = store.latest_wave()
+    before = sorted(
+        tuple(r) for r in store.read_seen(spark, latest).collect()
+    )
+    w = store.compact_seen(spark)
+    assert w == latest
+    after = sorted(tuple(r) for r in store.read_seen(spark, latest).collect())
+    assert after == before
+
+    removed = store.vacuum_seen()
+    assert removed  # old deltas + tombstones actually went away
+    assert sorted(
+        tuple(r) for r in store.read_seen(spark, latest).collect()
+    ) == before
+
+    # a further refresh-resume on compacted state behaves normally
+    res = CrawlEngine(
+        spark, corpus_df, robots_df, cfg(), state_dir=state
+    ).resume(recrawl_before_wave=1)
+    urls = {r["url"] for r in res.seen.collect()}
+    assert {u for (_, u, _) in before} == urls
