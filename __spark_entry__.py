@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from seo_crawler_spark.operators import dedup as D
+from seo_crawler_spark.operators import graph as G
 from seo_crawler_spark.operators import multimodal as MM
 from seo_crawler_spark.operators import sampling as SA
 from seo_crawler_spark.operators import simsearch as S
@@ -82,6 +83,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nations_with_customers": R.nations_with_customers,
         "status_histogram": R.order_priority_counts,
         "multi_filter_counts": R.multi_filter_counts,
+        "part_cooccurrence": R.part_cooccurrence,
+        "pagerank": G.pagerank,
         # crawl-engine operator semantics (SURVEY.md §2.2, §2.3, §2.5, §2.7)
         "canonicalize_urls": CQ.canonicalize_urls,
         "seen_anti_join": CQ.seen_anti_join,
@@ -137,6 +140,8 @@ def oracle_sql() -> dict[str, str]:
         "nations_with_customers": R.NATIONS_WITH_CUSTOMERS_SQL,
         "status_histogram": R.ORDER_PRIORITY_COUNTS_SQL,
         "multi_filter_counts": R.MULTI_FILTER_COUNTS_SQL,
+        "part_cooccurrence": R.PART_COOCCURRENCE_SQL,
+        "pagerank": G.pagerank_sql(),
         "canonicalize_urls": CQ.canonicalize_urls_sql(),
         "seen_anti_join": CQ.seen_anti_join_sql(),
         "politeness_rank": CQ.POLITENESS_RANK_SQL,

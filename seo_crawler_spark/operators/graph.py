@@ -1,0 +1,135 @@
+"""Iterative graph analytics over DataFrames — fixed-point PageRank.
+
+A crawler's link graph wants centrality (crawl prioritization, spam
+demotion, training-data source weighting). PageRank is the canonical
+iterative Spark workload: score(i) ← 0.15·S + 0.85·Σ score(j)/outdeg(j)
+over incoming edges, k joins for k iterations.
+
+Determinism across engines is the interesting part: float PageRank
+diverges between engines at the last ulp (accumulation order), so all
+arithmetic here is INTEGER fixed-point — scores scaled by 10^6,
+per-edge contribution = (score·85) div (100·outdeg) in exact int64 —
+making 5 iterations bit-identical between Spark and the DuckDB oracle
+(5 unrolled CTEs). Mass lost to floor division and to the rare
+dangling node is deterministic too.
+
+The edge list derives from the documents table (3 affine out-links per
+doc, self-loops dropped) so the oracle can build the identical graph;
+on real crawl output the same loop runs over the links table
+(source→target). Scale notes: each iteration is one equi-join + one
+map-side-combined agg, scores checkpoint per iteration (without the
+lineage barrier iteration k replans all k-1 predecessors — the same
+quadratic-driver trap the wave loop avoids), and the edge table with
+its outdegree column is built once and reused.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+
+SCALE = 1_000_000
+DAMP_NUM, DAMP_DEN = 85, 100
+BASE = 150_000  # 0.15 · SCALE
+ITERS = 5
+# out-link generator expressions (Spark column fn, SQL fragment). An
+# affine-only family yields a near-regular graph whose PageRank is
+# uniform — a vacuous check. The quadratic generator skews in-degree
+# and the mod-37 generator makes hub nodes, so ranks are non-trivial.
+_GEN_EXPRS = (
+    (
+        lambda d, n: (d * d + 1) % n,
+        "(doc_id * doc_id + 1) % (SELECT c FROM n)",
+    ),
+    (lambda d, n: d % 37, "doc_id % 37"),
+    (
+        lambda d, n: (d * 13 + 3) % n,
+        "(doc_id * 13 + 3) % (SELECT c FROM n)",
+    ),
+)
+
+
+def _edges(docs: DataFrame, n: int) -> DataFrame:
+    parts = [
+        docs.select(
+            F.col("doc_id").alias("src"),
+            fn(F.col("doc_id"), n).alias("dst"),
+        )
+        for fn, _ in _GEN_EXPRS
+    ]
+    e = parts[0]
+    for p in parts[1:]:
+        e = e.unionByName(p)
+    return e.filter(F.col("src") != F.col("dst"))
+
+
+def pagerank(spark: SparkSession, sf_dir: str, iters: int = ITERS) -> DataFrame:
+    docs = load(spark, "documents", sf_dir).select("doc_id")
+    n = docs.count()
+    e = _edges(docs, n)
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e2 = e.join(outdeg, "src").localCheckpoint(eager=False)
+
+    score = docs.select("doc_id", F.lit(SCALE).cast("long").alias("score"))
+    for _ in range(iters):
+        contrib = (
+            e2.join(score, e2.src == score.doc_id)
+            .select(
+                "dst",
+                F.expr(
+                    f"(score * {DAMP_NUM}) div ({DAMP_DEN} * outdeg)"
+                ).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("m"))
+        )
+        score = (
+            docs.join(contrib, docs.doc_id == contrib.dst, "left")
+            .select(
+                "doc_id",
+                (F.lit(BASE).cast("long") + F.coalesce("m", F.lit(0))).alias(
+                    "score"
+                ),
+            )
+            .localCheckpoint(eager=False)  # truncate per-iteration lineage
+        )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        score.withColumn("rnk", F.row_number().over(w))
+        .select("doc_id", "score", "rnk")
+        .orderBy("rnk")
+    )
+
+
+def pagerank_sql(iters: int = ITERS) -> str:
+    gens = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {frag} AS dst FROM documents"
+        for _, frag in _GEN_EXPRS
+    )
+    steps = []
+    prev = "s0"
+    for k in range(1, iters + 1):
+        steps.append(
+            f"s{k} AS (SELECT d.doc_id, ({BASE} + coalesce(x.m, 0))::BIGINT AS score "
+            f"FROM documents d LEFT JOIN ("
+            f"SELECT e2.dst, sum((s.score * {DAMP_NUM}) // ({DAMP_DEN} * e2.outdeg)) AS m "
+            f"FROM e2 JOIN {prev} s ON e2.src = s.doc_id GROUP BY e2.dst"
+            f") x ON d.doc_id = x.dst)"
+        )
+        prev = f"s{k}"
+    return f"""
+WITH n AS (SELECT count(*) AS c FROM documents),
+e0 AS ({gens}),
+e AS (SELECT * FROM e0 WHERE src <> dst),
+od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+e2 AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+s0 AS (SELECT doc_id, {SCALE}::BIGINT AS score FROM documents),
+{', '.join(steps)}
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+FROM {prev} ORDER BY rnk
+"""

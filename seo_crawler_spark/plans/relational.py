@@ -218,3 +218,37 @@ SELECT sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_f,
        count(*) AS n_total
 FROM orders
 """
+
+
+def part_cooccurrence(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Top-k co-occurring part pairs by order support — the
+    market-basket self-join, the same shape a training pipeline uses
+    for co-occurrence graphs (e.g. document/url co-citation for graph
+    dedup). Scale plan: dedupe to distinct (order, part), self-join on
+    the order key with a < b (pair work bounded by max basket size
+    squared, like the Jaccard posting-list cap), map-side-combined
+    support counts, TakeOrdered top-k — no global sort."""
+    li = load(spark, "lineitem", sf_dir).select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a = li.select("ok", F.col("pk").alias("a"))
+    b = li.select("ok", F.col("pk").alias("b"))
+    pairs = a.join(b, "ok").filter(F.col("a") < F.col("b"))
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), "a", "b")
+        .limit(k)
+    )
+
+
+PART_COOCCURRENCE_SQL = """
+WITH d AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+pairs AS (
+  SELECT x.pk AS a, y.pk AS b, count(*) AS support
+  FROM d x JOIN d y ON x.ok = y.ok AND x.pk < y.pk
+  GROUP BY x.pk, y.pk
+)
+SELECT a, b, support FROM pairs
+ORDER BY support DESC, a, b LIMIT 20
+"""

@@ -105,3 +105,42 @@ def test_sessionize_sane(spark):
     for rows in by_user.values():
         sids = [r["session_id"] for r in sorted(rows, key=lambda x: x["session_id"])]
         assert sids == list(range(1, len(sids) + 1))  # dense per-user ids
+
+
+def test_stream_crawl_feed_matches_batch(spark, tmp_path):
+    """The snapshot store's wave dirs double as a streaming source: the
+    dashboard aggregate over readStream equals the batch twin, and
+    waves appended AFTER the first pass (a refresh crawl) are picked up
+    incrementally by the next trigger."""
+    from seo_crawler_spark.operators.frontier import CrawlConfig, CrawlEngine
+    from seo_crawler_spark.sources.corpus import (
+        generate_corpus,
+        generate_robots,
+        seed_urls,
+    )
+    from seo_crawler_spark.streaming.crawl_feed import (
+        batch_crawl_metrics,
+        stream_crawl_metrics,
+    )
+    from seo_crawler_spark.streaming.events import run_stream_to_memory
+
+    corpus = generate_corpus(spark, n_docs=200, n_hosts=4, seed=17)
+    robots = generate_robots(spark, n_hosts=4, seed=17)
+    state = str(tmp_path / "feedstate")
+    cfg = lambda: CrawlConfig(max_depth=2, max_urls=10_000)
+    CrawlEngine(spark, corpus, robots, cfg(), state_dir=state).run(seed_urls(4))
+
+    run_stream_to_memory(stream_crawl_metrics(spark, state), "crawl_feed")
+    got = sorted(tuple(r) for r in spark.table("crawl_feed").collect())
+    want = sorted(tuple(r) for r in batch_crawl_metrics(spark, state).collect())
+    assert got == want and len(got) > 0
+
+    # append more waves (refresh crawl), re-trigger, feed catches up
+    CrawlEngine(
+        spark, corpus, robots, cfg(), state_dir=state
+    ).resume(recrawl_before_wave=1)
+    run_stream_to_memory(stream_crawl_metrics(spark, state), "crawl_feed2")
+    got2 = sorted(tuple(r) for r in spark.table("crawl_feed2").collect())
+    want2 = sorted(tuple(r) for r in batch_crawl_metrics(spark, state).collect())
+    assert got2 == want2
+    assert sum(r[1] for r in got2) > sum(r[1] for r in got)
