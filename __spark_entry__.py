@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_filter_counts": R.multi_filter_counts,
         "part_cooccurrence": R.part_cooccurrence,
         "pagerank": G.pagerank,
+        "dedup_clusters": G.dedup_clusters,
         # crawl-engine operator semantics (SURVEY.md §2.2, §2.3, §2.5, §2.7)
         "canonicalize_urls": CQ.canonicalize_urls,
         "seen_anti_join": CQ.seen_anti_join,
@@ -142,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
         "multi_filter_counts": R.MULTI_FILTER_COUNTS_SQL,
         "part_cooccurrence": R.PART_COOCCURRENCE_SQL,
         "pagerank": G.pagerank_sql(),
+        "dedup_clusters": G.dedup_clusters_sql(),
         "canonicalize_urls": CQ.canonicalize_urls_sql(),
         "seen_anti_join": CQ.seen_anti_join_sql(),
         "politeness_rank": CQ.POLITENESS_RANK_SQL,

@@ -133,3 +133,83 @@ SELECT doc_id, score,
        row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
 FROM {prev} ORDER BY rnk
 """
+
+
+CC_ITERS = 5
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str, iters: int = CC_ITERS) -> DataFrame:
+    """Resolve near-dup PAIRS into CLUSTERS — the step a training
+    pipeline actually needs after any dedup pass: pairs (a,b) say
+    "same", but keeping one copy per group requires the transitive
+    closure and a canonical keeper per component.
+
+    Min-label propagation over the n-gram-Jaccard pair set: every node
+    starts as its own label; each round takes the min label over
+    itself and its neighbors. Monotone integer min → deterministic at
+    any fixed iteration count, and ``iters`` rounds resolve any
+    component of diameter ≤ iters (near-dup clusters are tiny — at
+    corpus scale the alternating large-star/small-star variant covers
+    pathological chains). The DuckDB oracle unrolls the same rounds.
+
+    Output: (doc_id, cluster_id, is_keeper) for every doc in ≥1 pair;
+    keeper = the component's min doc_id."""
+    from .dedup import dedup_ngram_jaccard
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("a", "b")
+    # undirected: propagate both ways
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    for _ in range(iters):
+        neigh = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_keeper"),
+    ).orderBy("doc_id")
+
+
+def dedup_clusters_sql(iters: int = CC_ITERS) -> str:
+    from .dedup import dedup_ngram_jaccard_sql
+
+    base = dedup_ngram_jaccard_sql().strip()
+    pairs_inner = base[: base.rfind("ORDER BY")]
+    steps = []
+    prev = "l0"
+    for k in range(1, iters + 1):
+        steps.append(
+            f"l{k} AS (SELECT l.node, least(l.label, coalesce(x.nlabel, l.label)) AS label "
+            f"FROM {prev} l LEFT JOIN ("
+            f"SELECT ed.a AS node, min(s.label) AS nlabel "
+            f"FROM ed JOIN {prev} s ON ed.b = s.node GROUP BY ed.a"
+            f") x ON l.node = x.node)"
+        )
+        prev = f"l{k}"
+    return f"""
+WITH pairs AS ({pairs_inner}),
+ed AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+l0 AS (SELECT DISTINCT a AS node, a AS label FROM ed),
+{', '.join(steps)}
+SELECT node AS doc_id, label AS cluster_id, node = label AS is_keeper
+FROM {prev} ORDER BY doc_id
+"""

@@ -71,9 +71,14 @@ def bloom_build(
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
         bucket = int(pdf["bucket"].iloc[0])
-        bm = np.zeros(bits // 8, dtype=np.uint8)
         pos = _probe_positions(pdf["url_hash"].to_numpy(), bits, k).ravel()
-        np.bitwise_or.at(bm, (pos >> np.uint64(3)).astype(np.int64), (1 << (pos & np.uint64(7))).astype(np.uint8))
+        # bool scatter + packbits instead of bitwise_or.at — the
+        # unbuffered scatter is ~10× slower than this at 1M+ positions;
+        # bitorder must stay 'little' to match the probe's (bm[p>>3] >>
+        # (p&7)) & 1 read
+        bm_bool = np.zeros(bits, dtype=bool)
+        bm_bool[pos.astype(np.int64)] = True
+        bm = np.packbits(bm_bool, bitorder="little")
         return pd.DataFrame({"bucket": [bucket], "bitmap": [bm.tobytes()]})
 
     return with_bucket(seen, n_buckets).groupBy("bucket").applyInPandas(build, BLOOM_SCHEMA)
