@@ -11,6 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from seo_crawler_spark.operators import corpus_stats as CS
 from seo_crawler_spark.operators import dedup as D
 from seo_crawler_spark.operators import graph as G
 from seo_crawler_spark.operators import multimodal as MM
@@ -129,6 +130,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagespeed_selection": CQ.pagespeed_selection,
         "text_search_filter": CQ.text_search_filter,
         "analytics_detection": CQ.analytics_detection,
+        "recrawl_schedule": CQ.recrawl_schedule,
+        # corpus curation rollups
+        "substring_dup_fraction": CS.substring_dup_fraction,
+        "host_stats": CS.host_stats,
+        "length_quantiles": CS.length_quantiles,
     }
 
 
@@ -178,4 +184,8 @@ def oracle_sql() -> dict[str, str]:
         "pagespeed_selection": CQ.PAGESPEED_SELECTION_SQL,
         "text_search_filter": CQ.TEXT_SEARCH_SQL,
         "analytics_detection": CQ.ANALYTICS_DETECTION_SQL,
+        "recrawl_schedule": CQ.RECRAWL_SCHEDULE_SQL,
+        "substring_dup_fraction": CS.substring_dup_fraction_sql(),
+        "host_stats": CS.HOST_STATS_SQL,
+        "length_quantiles": CS.length_quantiles_sql(),
     }

@@ -1,0 +1,199 @@
+"""Corpus-level statistics for a training-data pipeline.
+
+Three operators a 100 TB curation run needs beyond per-doc scoring:
+
+- substring-level duplication (fraction of a document's token 8-grams
+  that also appear in other documents — the signal behind exact
+  substring dedup, Lee et al. 2022 "Deduplicating Training Data Makes
+  Language Models Better"),
+- per-source (host) rollups (docs, bytes, language spread, intra-source
+  exact-dup rate — the table a curator reads to keep or drop a source),
+- exact per-language length quantiles (the cutoffs used to pick
+  min/max-length filters per language).
+
+All plans are equi-join + map-side-combined aggregations; no windows
+over the full corpus, no cartesian products. Every query has a DuckDB
+oracle twin built from the same md5-derived hashes, so the whole
+pipeline — not just the final aggregate — is cross-engine checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import MD5INT_SQL, MOD, TOKENS_SQL, md5int, shingles, shingles_sql
+from ..sources.tables import load
+from .dedup import _token_arrays
+
+# ---------------------------------------------------------------------------
+# substring-level duplication
+# ---------------------------------------------------------------------------
+
+SUB_NGRAM = 8        # window length in tokens (Lee et al. use 50 BPE tokens;
+                     # 8 word-tokens is the same idea at testdata doc sizes)
+SUB_DUP_FRAC = 0.2   # flag docs with >20% duplicated windows
+
+
+def substring_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of token 8-gram windows whose hash occurs
+    in >= 2 distinct documents, plus a dup flag at >20%.
+
+    Scale shape (the point of doing this distributed):
+      1. gram construction is ROW-LOCAL (shingles over the token array —
+         no shuffle to form windows);
+      2. occurrences collapse to (doc_id, h, c) with a map-side-combined
+         count BEFORE any join, so the join input is bounded by distinct
+         grams per doc, not total tokens;
+      3. document frequency per hash is a second map-side-combined agg
+         over the distinct (doc_id, h) pairs;
+      4. one hash equi-join occ⋈df on h, then a per-doc agg.
+    Worst case is a boilerplate gram shared by d docs — it contributes d
+    join rows (linear), never d² pairs, because this computes per-doc
+    fractions, not pairs. Documents shorter than SUB_NGRAM tokens have
+    no windows and drop out (same in the oracle)."""
+    d = _token_arrays(load(spark, "documents", sf_dir))
+    occ = d.select(
+        "doc_id",
+        F.explode(shingles(F.col("tok"), SUB_NGRAM)).alias("g"),
+    ).select("doc_id", (md5int(F.col("g")) % MOD).alias("h"))
+    occ_counts = occ.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
+    df_ = occ_counts.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        occ_counts.join(df_, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, F.col("c")).otherwise(0)).alias(
+                "dup_grams"
+            ),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "dup_grams",
+        F.round(F.col("dup_grams") / F.col("n_grams"), 6).alias("dup_frac"),
+        (F.col("dup_grams") / F.col("n_grams") > SUB_DUP_FRAC).alias(
+            "substring_dup"
+        ),
+    ).orderBy("doc_id")
+
+
+def substring_dup_fraction_sql() -> str:
+    tok = TOKENS_SQL.format(c="text")
+    grams = shingles_sql("tok", SUB_NGRAM)
+    h = MD5INT_SQL.format(c="g")
+    return f"""
+WITH tokd AS (SELECT doc_id, {tok} AS tok FROM documents),
+occ AS (
+  SELECT doc_id, ({h} % {MOD}) AS h
+  FROM (SELECT doc_id, unnest({grams}) AS g
+        FROM tokd WHERE len(tok) >= {SUB_NGRAM})
+),
+occ_counts AS (SELECT doc_id, h, count(*) AS c FROM occ GROUP BY doc_id, h),
+df AS (SELECT h, count(*) AS df FROM occ_counts GROUP BY h),
+per_doc AS (
+  SELECT doc_id,
+         sum(c) AS n_grams,
+         sum(CASE WHEN df >= 2 THEN c ELSE 0 END) AS dup_grams
+  FROM occ_counts JOIN df USING (h)
+  GROUP BY doc_id
+)
+SELECT doc_id,
+       n_grams::BIGINT AS n_grams,
+       dup_grams::BIGINT AS dup_grams,
+       round(dup_grams * 1.0 / n_grams, 6) AS dup_frac,
+       (dup_grams * 1.0 / n_grams) > {SUB_DUP_FRAC} AS substring_dup
+FROM per_doc ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-source rollup
+# ---------------------------------------------------------------------------
+
+
+def host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation rollup: doc count, char volume, language
+    spread, and the intra-source exact-duplicate rate (docs minus
+    distinct text hashes). One hash-partitioned aggregation; every
+    measure is map-side combinable (count_distinct becomes a partial
+    distinct-aggregate under whole-stage codegen)."""
+    docs = load(spark, "documents", sf_dir)
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+        (F.count(F.lit(1)) - F.count_distinct(F.md5("text"))).alias(
+            "n_exact_dups"
+        ),
+    )
+    return g.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "avg_chars",
+        "n_langs",
+        "n_exact_dups",
+        F.round(F.col("n_exact_dups") / F.col("n_docs"), 6).alias("dup_rate"),
+    ).orderBy("source")
+
+
+HOST_STATS_SQL = """
+SELECT source,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars,
+       round(avg(n_chars), 4) AS avg_chars,
+       count(DISTINCT lang) AS n_langs,
+       (count(*) - count(DISTINCT md5(text))) AS n_exact_dups,
+       round((count(*) - count(DISTINCT md5(text))) * 1.0 / count(*), 6)
+         AS dup_rate
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# exact per-language length quantiles
+# ---------------------------------------------------------------------------
+
+QUANTILE_PS = (0.25, 0.5, 0.75, 0.95)
+
+
+def length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated quantiles of document length per
+    language — the numbers behind per-language min/max-length filters.
+
+    Spark's ``percentile`` (exact, not approx) and DuckDB's
+    ``quantile_cont`` share the standard definition (position p·(n-1),
+    linear interpolation), and the inputs are integers, so the values
+    match bit-for-bit. Scale note: exact percentile aggregates a
+    per-partition counts map keyed by distinct value — document length
+    has bounded cardinality (≤ max doc bytes), so the map stays small
+    even at 10^10 docs; for unbounded-cardinality metrics the approx
+    sketch (percentile_approx) is the scale path."""
+    docs = load(spark, "documents", sf_dir)
+    ps = F.array(*[F.lit(p) for p in QUANTILE_PS])
+    g = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.percentile("n_chars", ps).alias("q"),
+    )
+    cols = [
+        F.round(F.element_at("q", i + 1), 4).alias(
+            f"p{int(p * 100)}_chars"
+        )
+        for i, p in enumerate(QUANTILE_PS)
+    ]
+    return g.select("lang", "n_docs", *cols).orderBy("lang")
+
+
+def length_quantiles_sql() -> str:
+    cols = ", ".join(
+        f"round(quantile_cont(n_chars, {p}), 4) AS p{int(p * 100)}_chars"
+        for p in QUANTILE_PS
+    )
+    return f"""
+SELECT lang, count(*) AS n_docs, {cols}
+FROM documents GROUP BY lang ORDER BY lang
+"""

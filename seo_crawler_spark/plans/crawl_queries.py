@@ -401,3 +401,104 @@ SELECT doc_id,
        CASE WHEN regexp_matches(html, '(?i)mixpanel\\.com|mixpanel\\.track') THEN 1 ELSE 0 END AS mixpanel
 FROM d ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# freshness-driven recrawl scheduling
+# ---------------------------------------------------------------------------
+
+RECRAWL_BASE_H = 24       # interval for a page that changes every fetch
+RECRAWL_MIN_H = 6         # floor (politeness / hot-page cap)
+RECRAWL_MAX_H = 720       # ceiling (30 days for never-changing pages)
+RECRAWL_CHANGE_VALUE = 1.0  # fetch observation with value > this = "changed"
+
+
+def recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness-driven recrawl scheduler (Cho & Garcia-Molina 2003,
+    "Effective Page Refresh Policies for Web Crawlers"): estimate each
+    URL's change rate from its fetch history and derive the next
+    recrawl interval — frequent changers get short intervals, static
+    pages back off toward the ceiling.
+
+    The events table stands in for the fetch log (user_id = url key,
+    one event per fetch, value > RECRAWL_CHANGE_VALUE = content hash
+    changed). interval = clamp(BASE · n_fetches / n_changes, MIN, MAX)
+    — a single IEEE division over exact integers, so Spark and DuckDB
+    agree bit-for-bit (same rationale as the rational idf in
+    tfidf_top_terms). due_rank orders the recrawl frontier.
+
+    Scale shape: one map-side-combined aggregation by url_key (the
+    fetch log is append-only and naturally partitioned by key), then a
+    rank over the scheduler output — the output is O(|URLs|), far
+    smaller than the log, and at warehouse scale the rank would be a
+    bucketed top-k per politeness shard rather than one global window
+    (the global window here keeps the oracle comparable)."""
+    ev = load(spark, "events", sf_dir)
+    # floor to whole seconds per event (the SQL twin floors epoch() the
+    # same way) so span_hours is exact integer arithmetic in both
+    # engines — double division + cast rounds in DuckDB but truncates
+    # in Spark, so fractional seconds would flip hour boundaries
+    e = F.floor(F.col("ts").cast("timestamp").cast("double")).cast("long")
+    per_url = (
+        ev.groupBy(F.col("user_id").alias("url_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_fetches"),
+            F.sum(
+                F.when(F.col("value") > RECRAWL_CHANGE_VALUE, 1).otherwise(0)
+            ).alias("n_changes"),
+            ((F.max(e) - F.min(e)) / 3600).cast("long").alias("span_hours"),
+        )
+    )
+    interval = F.least(
+        F.greatest(
+            F.round(
+                F.lit(RECRAWL_BASE_H)
+                * F.col("n_fetches")
+                / F.greatest(F.col("n_changes"), F.lit(1)),
+                4,
+            ),
+            F.lit(float(RECRAWL_MIN_H)),
+        ),
+        F.lit(float(RECRAWL_MAX_H)),
+    )
+    w = Window.orderBy(F.asc("interval_hours"), F.asc("url_key"))
+    return (
+        per_url.select(
+            "url_key",
+            "n_fetches",
+            "n_changes",
+            "span_hours",
+            F.round(F.col("n_changes") / F.col("n_fetches"), 6).alias(
+                "change_ratio"
+            ),
+            interval.alias("interval_hours"),
+        )
+        .withColumn("due_rank", F.row_number().over(w))
+        .orderBy("due_rank")
+    )
+
+
+RECRAWL_SCHEDULE_SQL = f"""
+WITH per_url AS (
+  SELECT user_id AS url_key,
+         count(*) AS n_fetches,
+         sum(CASE WHEN value > {RECRAWL_CHANGE_VALUE} THEN 1 ELSE 0 END)::BIGINT
+           AS n_changes,
+         (max(floor(epoch(ts))::BIGINT) - min(floor(epoch(ts))::BIGINT))
+           // 3600 AS span_hours
+  FROM events GROUP BY user_id
+),
+sched AS (
+  SELECT url_key, n_fetches, n_changes, span_hours,
+         round(n_changes * 1.0 / n_fetches, 6) AS change_ratio,
+         least(greatest(round({RECRAWL_BASE_H} * n_fetches * 1.0 /
+                              greatest(n_changes, 1), 4),
+                        {RECRAWL_MIN_H}.0), {RECRAWL_MAX_H}.0)
+           AS interval_hours
+  FROM per_url
+)
+SELECT *,
+       row_number() OVER (ORDER BY interval_hours ASC, url_key ASC)
+         AS due_rank
+FROM sched ORDER BY due_rank
+"""
