@@ -57,7 +57,14 @@ def substring_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(shingles(F.col("tok"), SUB_NGRAM)).alias("g"),
     ).select("doc_id", (md5int(F.col("g")) % MOD).alias("h"))
-    occ_counts = occ.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
+    # barrier: occ_counts feeds BOTH the df aggregate and the join
+    # probe side — without it Spark replays the explode+hash pipeline
+    # twice (no exchange reuse across the two consumers)
+    occ_counts = (
+        occ.groupBy("doc_id", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     df_ = occ_counts.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
         occ_counts.join(df_, "h")
