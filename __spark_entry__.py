@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_search_filter": CQ.text_search_filter,
         "analytics_detection": CQ.analytics_detection,
         "recrawl_schedule": CQ.recrawl_schedule,
+        "crawl_trap_detection": CQ.crawl_trap_detection,
         # corpus curation rollups
         "substring_dup_fraction": CS.substring_dup_fraction,
         "host_stats": CS.host_stats,
@@ -185,6 +186,7 @@ def oracle_sql() -> dict[str, str]:
         "text_search_filter": CQ.TEXT_SEARCH_SQL,
         "analytics_detection": CQ.ANALYTICS_DETECTION_SQL,
         "recrawl_schedule": CQ.RECRAWL_SCHEDULE_SQL,
+        "crawl_trap_detection": CQ.CRAWL_TRAP_SQL,
         "substring_dup_fraction": CS.substring_dup_fraction_sql(),
         "host_stats": CS.HOST_STATS_SQL,
         "length_quantiles": CS.length_quantiles_sql(),

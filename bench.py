@@ -106,10 +106,14 @@ def frontier_bench(spark) -> dict:
         }
         return time.monotonic() - t0, counts
 
+    # best-of-3: run 1 pays codegen JIT; the driver round also runs
+    # this box under variable background load, so one extra repeat
+    # keeps the recorded number close to steady state
     d1, counts = sched_pipeline()
-    d2, counts2 = sched_pipeline()  # best-of-2: JIT/GC noise
-    assert counts == counts2
-    dt = min(d1, d2)
+    d2, counts2 = sched_pipeline()
+    d3, counts3 = sched_pipeline()
+    assert counts == counts2 == counts3
+    dt = min(d1, d2, d3)
     n_sched, n_def = counts.get(True, 0), counts.get(False, 0)
 
     # secondary: bloom-path numbers (build once + probe per wave)

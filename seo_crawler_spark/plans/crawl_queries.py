@@ -502,3 +502,96 @@ SELECT *,
          AS due_rank
 FROM sched ORDER BY due_rank
 """
+
+
+# ---------------------------------------------------------------------------
+# crawl-trap detection (URL template explosion)
+# ---------------------------------------------------------------------------
+
+TRAP_MIN_URLS = 6  # a template backed by this many distinct URLs on one host
+
+
+def crawl_trap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-template explosion (crawl-trap) detection: collapse each
+    URL's path+query to a template (digit runs → 'N') and flag
+    (host, template) groups with many distinct URLs — calendars,
+    session-id mints, and faceted-search loops all surface as one
+    template backed by unbounded URLs. Production crawlers demote or
+    cap such templates in the frontier (the reference caps only by
+    depth/max_urls; template capping is the scale-robust version).
+
+    URL shapes are synthesized deterministically per doc_id (calendar
+    path, session-id query, paginated listing, static page) so the
+    oracle sees byte-identical inputs. Scale shape: template derivation
+    is a row-local regexp, then ONE map-side-combined aggregation by
+    (host, template) — output is O(|templates|), tiny next to the
+    frontier, and joins back to the frontier as a broadcast demotion
+    dim."""
+    docs = load(spark, "documents", sf_dir)
+    path = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("/cal/2024/"),
+                (F.col("doc_id") % 12 + 1).cast("string"),
+                F.lit("/"),
+                (F.col("doc_id") % 28 + 1).cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("/item/"),
+                F.col("doc_id").cast("string"),
+                F.lit("?session="),
+                (F.col("doc_id") * 7919 % 100000).cast("string"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("/page/"), (F.col("doc_id") % 50).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit("/static/about"), (F.col("doc_id") % 5).cast("string"))
+        )
+    )
+    d = docs.select(
+        F.col("source").alias("host"), path.alias("path"), "doc_id"
+    )
+    template = F.regexp_replace(F.col("path"), "[0-9]+", "N")
+    g = (
+        d.groupBy("host", template.alias("template"))
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.count_distinct("path").alias("n_distinct_urls"),
+        )
+    )
+    return g.select(
+        "host",
+        "template",
+        "n_urls",
+        "n_distinct_urls",
+        (F.col("n_distinct_urls") >= TRAP_MIN_URLS).alias("trap"),
+    ).orderBy("host", "template")
+
+
+CRAWL_TRAP_SQL = f"""
+WITH d AS (
+  SELECT source AS host,
+         CASE doc_id % 4
+           WHEN 0 THEN '/cal/2024/' || (doc_id % 12 + 1) || '/' || (doc_id % 28 + 1)
+           WHEN 1 THEN '/item/' || doc_id || '?session=' || (doc_id * 7919 % 100000)
+           WHEN 2 THEN '/page/' || (doc_id % 50)
+           ELSE '/static/about' || (doc_id % 5)
+         END AS path
+  FROM documents
+)
+SELECT host,
+       regexp_replace(path, '[0-9]+', 'N', 'g') AS template,
+       count(*) AS n_urls,
+       count(DISTINCT path) AS n_distinct_urls,
+       count(DISTINCT path) >= {TRAP_MIN_URLS} AS trap
+FROM d
+GROUP BY host, template
+ORDER BY host, template
+"""
