@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "analytics_detection": CQ.analytics_detection,
         "recrawl_schedule": CQ.recrawl_schedule,
         "crawl_trap_detection": CQ.crawl_trap_detection,
+        "crawl_snapshot_diff": CQ.crawl_snapshot_diff,
+        "anchor_text_agg": G.anchor_text_agg,
         # corpus curation rollups
         "substring_dup_fraction": CS.substring_dup_fraction,
         "host_stats": CS.host_stats,
@@ -187,6 +189,8 @@ def oracle_sql() -> dict[str, str]:
         "analytics_detection": CQ.ANALYTICS_DETECTION_SQL,
         "recrawl_schedule": CQ.RECRAWL_SCHEDULE_SQL,
         "crawl_trap_detection": CQ.CRAWL_TRAP_SQL,
+        "crawl_snapshot_diff": CQ.CRAWL_SNAPSHOT_DIFF_SQL,
+        "anchor_text_agg": G.anchor_text_agg_sql(),
         "substring_dup_fraction": CS.substring_dup_fraction_sql(),
         "host_stats": CS.HOST_STATS_SQL,
         "length_quantiles": CS.length_quantiles_sql(),

@@ -213,3 +213,90 @@ l0 AS (SELECT DISTINCT a AS node, a AS label FROM ed),
 SELECT node AS doc_id, label AS cluster_id, node = label AS is_keeper
 FROM {prev} ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# anchor-text aggregation
+# ---------------------------------------------------------------------------
+
+_ANCHOR_VOCAB = ("click here", "read more", "details", "home", "next page")
+
+
+def anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text mining: the inbound link texts of a page
+    are how the rest of the web describes it — search pipelines index
+    them beside the page body and training pipelines mine them as
+    weak labels. Output per link target: in-link count, distinct
+    anchors, and the dominant anchor (mode, ties by text asc).
+
+    Anchors are synthesized deterministically per edge ((src+dst) mod
+    vocab) over the same generator edge list PageRank uses, so the
+    DuckDB oracle builds the identical labeled graph; on real crawl
+    output the same plan runs over the links table's anchor_text.
+
+    Scale shape: (dst, anchor) counts partial-aggregate map-side; the
+    mode is a per-dst window over at most |vocab| rows per target —
+    bounded fan-in, no global window, no joins wider than the final
+    count-merge."""
+    docs = load(spark, "documents", sf_dir).select("doc_id")
+    n = docs.count()
+    e = _edges(docs, n)
+    v = len(_ANCHOR_VOCAB)
+    anchor = F.element_at(
+        F.array(*[F.lit(a) for a in _ANCHOR_VOCAB]),
+        (F.pmod(F.col("src") + F.col("dst"), F.lit(v)) + 1).cast("int"),
+    )
+    ec = e.select("src", "dst", anchor.alias("anchor"))
+    per_anchor = ec.groupBy("dst", "anchor").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("dst").orderBy(F.desc("c"), F.asc("anchor"))
+    top = (
+        per_anchor.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("dst", F.col("anchor").alias("top_anchor"),
+                F.col("c").alias("top_anchor_cnt"))
+    )
+    totals = per_anchor.groupBy("dst").agg(
+        F.sum("c").alias("n_inlinks"),
+        F.count(F.lit(1)).alias("n_anchors"),
+    )
+    return (
+        totals.join(top, "dst")
+        .select(
+            F.col("dst").alias("doc_id"),
+            "n_inlinks",
+            "n_anchors",
+            "top_anchor",
+            "top_anchor_cnt",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def anchor_text_agg_sql() -> str:
+    gens = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {frag} AS dst FROM documents"
+        for _, frag in _GEN_EXPRS
+    )
+    v = len(_ANCHOR_VOCAB)
+    vocab = ", ".join(f"'{a}'" for a in _ANCHOR_VOCAB)
+    return f"""
+WITH n AS (SELECT count(*) AS c FROM documents),
+e0 AS ({gens}),
+e AS (SELECT * FROM e0 WHERE src <> dst),
+ec AS (SELECT src, dst, ([{vocab}])[((src + dst) % {v}) + 1] AS anchor FROM e),
+pa AS (SELECT dst, anchor, count(*) AS c FROM ec GROUP BY dst, anchor),
+top AS (
+  SELECT dst, anchor AS top_anchor, c AS top_anchor_cnt,
+         row_number() OVER (PARTITION BY dst ORDER BY c DESC, anchor ASC) AS rnk
+  FROM pa
+),
+tot AS (SELECT dst, sum(c) AS n_inlinks, count(*) AS n_anchors FROM pa GROUP BY dst)
+SELECT tot.dst AS doc_id,
+       tot.n_inlinks::BIGINT AS n_inlinks,
+       tot.n_anchors::BIGINT AS n_anchors,
+       top.top_anchor, top.top_anchor_cnt
+FROM tot JOIN top ON tot.dst = top.dst AND top.rnk = 1
+ORDER BY doc_id
+"""

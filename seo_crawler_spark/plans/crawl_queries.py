@@ -595,3 +595,70 @@ FROM d
 GROUP BY host, template
 ORDER BY host, template
 """
+
+
+# ---------------------------------------------------------------------------
+# crawl snapshot diff (recrawl delta)
+# ---------------------------------------------------------------------------
+
+
+def crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl delta between two crawl snapshots: which URLs were
+    added, removed, or content-changed — the export every downstream
+    consumer of a refresh crawl wants (and the input to the freshness
+    estimate recrawl_schedule consumes).
+
+    Snapshots are synthesized deterministically: the previous crawl
+    holds doc_id % 5 != 0; the current crawl drops doc_id % 11 == 3
+    and rewrites the body of doc_id % 7 == 0. Comparison is by content
+    hash (md5), never by body equality — at warehouse scale the diff
+    is a full-outer hash join on url key over (key, hash) pairs only,
+    co-located when both snapshot tables are bucketed by url hash (the
+    snapshot store's layout)."""
+    docs = load(spark, "documents", sf_dir)
+    prev = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", F.md5("text").alias("prev_hash")
+    )
+    curr = docs.filter(F.col("doc_id") % 11 != 3).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("curr_hash"),
+    )
+    j = prev.join(curr, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("prev_hash").isNull(), F.lit("added"))
+        .when(F.col("curr_hash").isNull(), F.lit("removed"))
+        .when(F.col("prev_hash") != F.col("curr_hash"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return j.select(
+        "doc_id",
+        F.col("prev_hash").isNotNull().alias("in_prev"),
+        F.col("curr_hash").isNotNull().alias("in_curr"),
+        status.alias("status"),
+    ).orderBy("doc_id")
+
+
+CRAWL_SNAPSHOT_DIFF_SQL = """
+WITH prev AS (
+  SELECT doc_id, md5(text) AS prev_hash FROM documents WHERE doc_id % 5 <> 0
+),
+curr AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END)
+           AS curr_hash
+  FROM documents WHERE doc_id % 11 <> 3
+)
+SELECT coalesce(prev.doc_id, curr.doc_id) AS doc_id,
+       prev.prev_hash IS NOT NULL AS in_prev,
+       curr.curr_hash IS NOT NULL AS in_curr,
+       CASE WHEN prev.prev_hash IS NULL THEN 'added'
+            WHEN curr.curr_hash IS NULL THEN 'removed'
+            WHEN prev.prev_hash <> curr.curr_hash THEN 'changed'
+            ELSE 'same' END AS status
+FROM prev FULL OUTER JOIN curr ON prev.doc_id = curr.doc_id
+ORDER BY doc_id
+"""
