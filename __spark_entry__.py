@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_trap_detection": CQ.crawl_trap_detection,
         "crawl_snapshot_diff": CQ.crawl_snapshot_diff,
         "anchor_text_agg": G.anchor_text_agg,
+        "hits_scores": G.hits_scores,
         # corpus curation rollups
         "substring_dup_fraction": CS.substring_dup_fraction,
         "host_stats": CS.host_stats,
@@ -191,6 +192,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_trap_detection": CQ.CRAWL_TRAP_SQL,
         "crawl_snapshot_diff": CQ.CRAWL_SNAPSHOT_DIFF_SQL,
         "anchor_text_agg": G.anchor_text_agg_sql(),
+        "hits_scores": G.hits_scores_sql(),
         "substring_dup_fraction": CS.substring_dup_fraction_sql(),
         "host_stats": CS.HOST_STATS_SQL,
         "length_quantiles": CS.length_quantiles_sql(),

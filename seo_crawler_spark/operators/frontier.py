@@ -42,7 +42,7 @@ from pyspark.sql import types as T
 from ..functions import urls as U
 from .extract import extract_pages, explode_links
 from .ordering import ordered_seq, ordered_seq_counted
-from .politeness import politeness_tag
+from .politeness import politeness_tag, template_cap_tag
 from .cuckoo import cuckoo_build, cuckoo_merge, dedupe_against_seen_cuckoo
 from .seen import bloom_build, bloom_merge, dedupe_against_seen
 
@@ -60,6 +60,10 @@ class CrawlConfig:
     include_patterns: tuple = ()
     exclude_patterns: tuple = ()
     politeness_budget: int | None = None  # None → no per-wave host cap
+    # crawl-trap defense: at most this many URLs per (host, URL template)
+    # admitted per wave (politeness.url_template: digit runs → 'N');
+    # the over-cap tail defers exactly like politeness. None → off.
+    template_cap: int | None = None
     # HEAD content-length gate (crawler.py:789-803): a doc whose size
     # exceeds this becomes an empty error row (status 0, body skipped,
     # links never expanded). None → no limit (reference maxFileSize=0).
@@ -453,11 +457,36 @@ class CrawlEngine:
                 # the pair is atomic under the manifest rule)
                 wave_deltas.append(initial_seen_delta)
 
+            # crawl-trap template cap: per-(host, template) budget gate
+            # ahead of politeness; the over-cap tail defers to the next
+            # wave (geometric throttling of trap hosts)
+            trap_deferred = None
+            n_trap_def = 0
+            wave_frontier = frontier
+            if cfg.template_cap is not None:
+                tt = template_cap_tag(
+                    frontier, cfg.template_cap
+                ).localCheckpoint(eager=True)
+                tgrp = {
+                    bool(r["trap_admitted"]): r["n"]
+                    for r in tt.groupBy("trap_admitted")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                n_trap_def = tgrp.get(False, 0)
+                if n_trap_def:
+                    trap_deferred = tt.filter(~F.col("trap_admitted")).drop(
+                        "trap_admitted"
+                    )
+                wave_frontier = tt.filter(F.col("trap_admitted")).drop(
+                    "trap_admitted"
+                )
+
             # politeness rank-gate (logical budget, not wall-clock sleep);
             # one checkpoint + one count job covers both sides of the split
             if cfg.politeness_budget is not None:
                 tagged = politeness_tag(
-                    frontier,
+                    wave_frontier,
                     cfg.politeness_budget,
                     robots=self.robots,
                     wave_seconds=cfg.wave_seconds,
@@ -484,8 +513,8 @@ class CrawlEngine:
                     else None
                 )
             else:
-                scheduled, deferred = frontier, None
-                n_sched, n_def = n_frontier, 0
+                scheduled, deferred = wave_frontier, None
+                n_sched, n_def = n_frontier - n_trap_def, 0
 
             # global max_urls budget: first N in BFS order (crawler.py:680)
             remaining = cfg.max_urls - crawled_total
@@ -634,14 +663,16 @@ class CrawlEngine:
 
             # next frontier: lazy union over this wave's checkpoints —
             # one lineage level deep, nothing recomputes across waves
-            parts = [p for p in (deferred, new_frontier) if p is not None]
+            parts = [
+                p for p in (trap_deferred, deferred, new_frontier) if p is not None
+            ]
             if parts:
                 frontier = parts[0]
                 for p in parts[1:]:
                     frontier = frontier.unionByName(p)
             else:
                 frontier = spark.createDataFrame([], frontier.schema)
-            n_frontier = n_def + n_new
+            n_frontier = n_trap_def + n_def + n_new
 
             # north rule: per-partition lineage + fetch metrics each wave
             if cfg.politeness_budget is None or truncated:

@@ -300,3 +300,124 @@ SELECT tot.dst AS doc_id,
 FROM tot JOIN top ON tot.dst = top.dst AND top.rnk = 1
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 3
+
+
+def hits_scores(spark: SparkSession, sf_dir: str, iters: int = HITS_ITERS) -> DataFrame:
+    """HITS (Kleinberg 1999): authority(d) ← Σ hub(s) over in-edges,
+    hub(s) ← Σ authority(d) over out-edges, normalized each half-step —
+    the classic complement to PageRank for crawl prioritization (hubs
+    find new content; authorities are worth recrawling).
+
+    Determinism: like pagerank above, all arithmetic is integer
+    fixed-point — scores scaled by 10^6 and L1-normalized via
+    ``x·SCALE div Σx`` in exact int64, so the DuckDB oracle (unrolled
+    CTEs with scalar-subquery sums) matches bit-for-bit. int64 headroom:
+    Σ score stays ≤ n·SCALE by construction post-normalization, so the
+    x·SCALE product is bounded by n·SCALE² — exact up to ~9·10^6 docs;
+    beyond that, normalize by a power-of-two shift of the max instead
+    (same plan shape), or batch the graph per shard.
+
+    Scale shape: each half-step is one equi-join + one map-side-combined
+    agg; the L1 sum is a single scalar broadcast (crossJoin with a 1-row
+    frame — no driver round-trip, no collect); lineage checkpoints per
+    iteration like the pagerank loop."""
+    docs = load(spark, "documents", sf_dir).select("doc_id")
+    n = docs.count()
+    e = _edges(docs, n).localCheckpoint(eager=False)
+
+    def _normalized(raw: DataFrame, col: str) -> DataFrame:
+        total = raw.agg(F.sum(col).alias("__t"))
+        return (
+            raw.crossJoin(total)
+            .select(
+                "doc_id",
+                F.expr(f"({col} * {SCALE}) div __t").alias(col),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    hub = docs.select("doc_id", F.lit(SCALE).cast("long").alias("hub"))
+    auth = None
+    for _ in range(iters):
+        raw_auth = (
+            e.join(hub, e.src == hub.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.sum("hub").alias("auth"))
+        )
+        auth = _normalized(
+            docs.join(raw_auth, "doc_id", "left").select(
+                "doc_id", F.coalesce("auth", F.lit(0)).alias("auth")
+            ),
+            "auth",
+        )
+        raw_hub = (
+            e.join(auth, e.dst == auth.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.sum("auth").alias("hub"))
+        )
+        hub = _normalized(
+            docs.join(raw_hub, "doc_id", "left").select(
+                "doc_id", F.coalesce("hub", F.lit(0)).alias("hub")
+            ),
+            "hub",
+        )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("auth"), F.asc("doc_id"))
+    return (
+        hub.join(auth, "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .select("doc_id", "hub", "auth", "rnk")
+        .orderBy("rnk")
+    )
+
+
+def hits_scores_sql(iters: int = HITS_ITERS) -> str:
+    gens = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {frag} AS dst FROM documents"
+        for _, frag in _GEN_EXPRS
+    )
+    steps = []
+    prev_hub = "h0"
+    prev_auth = None
+    for k in range(1, iters + 1):
+        steps.append(
+            f"a{k}r AS (SELECT d.doc_id, coalesce(x.s, 0)::BIGINT AS auth "
+            f"FROM documents d LEFT JOIN (SELECT e.dst, sum(h.hub) AS s "
+            f"FROM e JOIN {prev_hub} h ON e.src = h.doc_id GROUP BY e.dst) x "
+            f"ON d.doc_id = x.dst)"
+        )
+        steps.append(
+            f"a{k} AS (SELECT doc_id, (auth * {SCALE}) // "
+            f"(SELECT sum(auth) FROM a{k}r) AS auth FROM a{k}r)"
+        )
+        prev_auth = f"a{k}"
+        steps.append(
+            f"h{k}r AS (SELECT d.doc_id, coalesce(x.s, 0)::BIGINT AS hub "
+            f"FROM documents d LEFT JOIN (SELECT e.src, sum(a.auth) AS s "
+            f"FROM e JOIN {prev_auth} a ON e.dst = a.doc_id GROUP BY e.src) x "
+            f"ON d.doc_id = x.src)"
+        )
+        steps.append(
+            f"h{k} AS (SELECT doc_id, (hub * {SCALE}) // "
+            f"(SELECT sum(hub) FROM h{k}r) AS hub FROM h{k}r)"
+        )
+        prev_hub = f"h{k}"
+    return f"""
+WITH n AS (SELECT count(*) AS c FROM documents),
+e0 AS ({gens}),
+e AS (SELECT * FROM e0 WHERE src <> dst),
+h0 AS (SELECT doc_id, {SCALE}::BIGINT AS hub FROM documents),
+{', '.join(steps)}
+SELECT h.doc_id, h.hub, a.auth,
+       row_number() OVER (ORDER BY a.auth DESC, h.doc_id ASC) AS rnk
+FROM {prev_hub} h JOIN {prev_auth} a ON h.doc_id = a.doc_id
+ORDER BY rnk
+"""

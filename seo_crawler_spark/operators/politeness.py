@@ -85,3 +85,38 @@ def politeness_gate(
 
 def host_budget(crawl_delay: float, wave_seconds: float = 60.0) -> int:
     return max(1, math.floor(wave_seconds / max(crawl_delay, 1e-9)))
+
+
+def url_template(url) -> F.Column:
+    """Collapse a canonical URL's path+query to a template: digit runs →
+    'N'. Calendars (/cal/2024/3/7), session-id mints (?session=8123) and
+    paginated facet loops all fold to one template per host — the unit a
+    trap cap budgets on. Row-local regexp (codegen, no Python)."""
+    pathq = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    return F.regexp_replace(pathq, "[0-9]+", "N")
+
+
+def template_cap_tag(
+    frontier: DataFrame,
+    cap: int,
+    order_by: tuple[str, ...] = ("seq",),
+) -> DataFrame:
+    """Tag frontier rows with ``trap_admitted``: at most ``cap`` URLs per
+    (host, URL template) admitted per wave, earliest-``order_by`` first —
+    the frontier-side defense against crawl traps (see
+    plans/crawl_queries.crawl_trap_detection for the analytics twin).
+
+    A trap host minting unbounded URLs under one template degrades from
+    "frontier fills with the trap" to "cap URLs per wave" — geometric
+    throttling with zero effect on hosts below the cap. Same skew note
+    as politeness: the window partitions by (host, template), so a trap
+    template IS a hot partition — but ranking stops at ``cap``, and the
+    deferred tail only needs the rank comparison, not a global sort."""
+    w = Window.partitionBy(
+        "host", url_template(F.col("url")).alias("__tpl")
+    ).orderBy(*order_by)
+    return (
+        frontier.withColumn("__trnk", F.row_number().over(w))
+        .withColumn("trap_admitted", F.col("__trnk") <= cap)
+        .drop("__trnk")
+    )

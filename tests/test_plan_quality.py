@@ -18,7 +18,14 @@ SF = "/root/testdata/sf0.001"
 # 10-row query side against the corpus with a non-equi (qid != cid)
 # condition — BroadcastNestedLoopJoin with a tiny build side IS its
 # plan, and the LSH/IVF variants are the scale paths.
-NESTED_LOOP_EXEMPT = {"ann_brute_topk"}
+NESTED_LOOP_EXEMPT = {
+    "ann_brute_topk",
+    # hits_scores L1-normalizes via crossJoin with a ONE-ROW aggregate —
+    # the physical shape Spark gives every scalar subquery (broadcast of
+    # a single row, no driver round-trip). The build side is bounded at
+    # 1 row by construction, so the nested loop is O(n·1).
+    "hits_scores",
+}
 
 QUERIES = sorted(entry_mod.queries().keys())
 

@@ -1,0 +1,108 @@
+"""Crawl-trap template cap: unit semantics of template_cap_tag and the
+engine-level guarantee that capping throttles per wave without losing
+URLs (deferred rows re-admit on later waves)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from seo_crawler_spark.operators.frontier import CrawlConfig, CrawlEngine
+from seo_crawler_spark.operators.politeness import template_cap_tag, url_template
+from seo_crawler_spark.sources.corpus import (
+    generate_corpus,
+    generate_robots,
+    seed_urls,
+)
+
+
+def _frontier(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, url_hash long, host string, depth int, wave int, seq long"
+    )
+
+
+def test_url_template_collapses_digit_runs(spark):
+    df = spark.createDataFrame(
+        [
+            ("http://h.com/cal/2024/3/7",),
+            ("http://h.com/item/88?session=12345",),
+            ("http://h.com/about",),
+            ("http://h.com/p/9.html?a=1&b=22",),
+        ],
+        "url string",
+    )
+    got = [r[0] for r in df.select(url_template(F.col("url"))).collect()]
+    assert got == [
+        "/cal/N/N/N",
+        "/item/N?session=N",
+        "/about",
+        "/p/N.html?a=N&b=N",
+    ]
+
+
+def test_template_cap_tag_admits_fifo_per_template(spark):
+    rows = [
+        # trap template: 20 calendar URLs on one host
+        *[
+            (f"http://trap.com/cal/2024/{i}/1", i, "trap.com", 1, 1, i)
+            for i in range(20)
+        ],
+        # a different template on the same host
+        *[
+            (f"http://trap.com/about{i}", 100 + i, "trap.com", 1, 1, 100 + i)
+            for i in range(3)
+        ],
+        # another host entirely, same template shape
+        *[
+            (f"http://ok.com/cal/2024/{i}/1", 200 + i, "ok.com", 1, 1, 200 + i)
+            for i in range(4)
+        ],
+    ]
+    tagged = template_cap_tag(_frontier(spark, rows), cap=5)
+    got = {r["url"]: r["trap_admitted"] for r in tagged.collect()}
+    assert len(got) == 27  # no rows lost
+    # trap template: exactly cap admitted, and they are the lowest seqs
+    trap_admitted = [
+        u for u, a in got.items() if a and "/cal/" in u and "trap.com" in u
+    ]
+    assert sorted(trap_admitted) == [
+        f"http://trap.com/cal/2024/{i}/1" for i in range(5)
+    ]
+    # below-cap templates untouched
+    assert all(a for u, a in got.items() if "about" in u)
+    assert all(a for u, a in got.items() if "ok.com" in u)
+
+
+def test_engine_template_cap_defers_not_drops(spark):
+    """A capped crawl visits the same final URL set as an uncapped one
+    (deferral re-admits cap URLs per wave), just across more waves."""
+    corpus = generate_corpus(spark, n_docs=150, n_hosts=3, seed=7).localCheckpoint(
+        eager=True
+    )
+    robots = generate_robots(spark, n_hosts=3, seed=7)
+    seeds = seed_urls(3)
+    kw = dict(max_depth=2, max_urls=150, crawl_external=True, max_waves=40)
+    base = CrawlEngine(spark, corpus, robots, CrawlConfig(**kw)).run(seeds)
+    capped = CrawlEngine(
+        spark, corpus, robots, CrawlConfig(template_cap=5, **kw)
+    ).run(seeds)
+
+    base_urls = {r["url"] for r in base.pages.select("url").collect()}
+    capped_urls = {r["url"] for r in capped.pages.select("url").collect()}
+    assert base_urls == capped_urls
+    base_seen = {r["url"] for r in base.seen.select("url").collect()}
+    capped_seen = {r["url"] for r in capped.seen.select("url").collect()}
+    assert base_seen == capped_seen
+    # capping is real: more waves were needed to drain the same set
+    assert len(capped.metrics) > len(base.metrics)
+    # per-wave cap holds on every scheduled wave
+    pages = capped.pages.select(
+        "wave", "host", url_template(F.col("url")).alias("tpl")
+    )
+    max_per = (
+        pages.groupBy("wave", "host", "tpl")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").alias("m"))
+        .collect()[0]["m"]
+    )
+    assert max_per <= 5
