@@ -299,3 +299,31 @@ def stream_running_user_totals(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    input_dir: str,
+    schema: T.StructType,
+    watermark: str = "1 hour",
+):
+    """Native session windows (F.session_window, 30-min gap) over the
+    event stream — the streaming twin of the batch lag+running-sum
+    sessionize. Boundary semantics differ by one epsilon: the batch rule
+    keeps a gap of EXACTLY 1800.0s in-session (gap > 1800 splits) while
+    session_window's half-open [start, last+gap) splits it; with
+    microsecond event times an exact-1800.000000s gap does not occur, so
+    the parity test compares (user, session-start, n_events) directly."""
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    gap = f"{int(SESSION_GAP_S)} seconds"
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.floor(F.col("w.start").cast("double")).cast("long").alias("start_s"),
+            "n_events",
+        )
+    )

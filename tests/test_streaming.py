@@ -144,3 +144,23 @@ def test_stream_crawl_feed_matches_batch(spark, tmp_path):
     want2 = sorted(tuple(r) for r in batch_crawl_metrics(spark, state).collect())
     assert got2 == want2
     assert sum(r[1] for r in got2) > sum(r[1] for r in got)
+
+
+def test_stream_sessionize_equals_batch(spark, events_dir):
+    """Native session_window (30-min gap) streaming agg ≡ the batch
+    lag+running-sum sessionize on (user, session-start, n_events)."""
+    from seo_crawler_spark.streaming.events import stream_sessionize
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    sdf = stream_sessionize(spark, events_dir, ev.schema)
+    run_stream_to_memory(sdf, "sess", output_mode="complete")
+    got = {
+        (r["user_id"], r["start_s"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sess").collect()
+    }
+    want = {
+        (r["user_id"], r["start_s"]): r["n_events"]
+        for r in sessionize(spark, SF).collect()
+    }
+    assert got == want
+    assert len(want) > 50  # non-vacuous: real multi-session users
