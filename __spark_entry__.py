@@ -139,6 +139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_fraction": CS.substring_dup_fraction,
         "host_stats": CS.host_stats,
         "length_quantiles": CS.length_quantiles,
+        "dedup_keep_best": CS.dedup_keep_best,
+        "mixture_allocation": CS.mixture_allocation,
     }
 
 
@@ -196,4 +198,6 @@ def oracle_sql() -> dict[str, str]:
         "substring_dup_fraction": CS.substring_dup_fraction_sql(),
         "host_stats": CS.HOST_STATS_SQL,
         "length_quantiles": CS.length_quantiles_sql(),
+        "dedup_keep_best": CS.dedup_keep_best_sql(),
+        "mixture_allocation": CS.mixture_allocation_sql(),
     }

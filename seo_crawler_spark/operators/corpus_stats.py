@@ -204,3 +204,128 @@ def length_quantiles_sql() -> str:
 SELECT lang, count(*) AS n_docs, {cols}
 FROM documents GROUP BY lang ORDER BY lang
 """
+
+
+# ---------------------------------------------------------------------------
+# keep-best-copy resolution
+# ---------------------------------------------------------------------------
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation step: near-dup clusters (transitive closure
+    of the n-gram-Jaccard pairs) resolved to ONE survivor each by
+    quality — argmax quality_score, ties by doc_id asc. This is the
+    decision a training pipeline actually ships: not "these docs are
+    similar" but "keep this one, drop those".
+
+    Scale shape: both inputs are existing operators (no new shuffles
+    beyond theirs); the survivor pick is a per-cluster window over
+    cluster members only — near-dup clusters are tiny, so the window
+    fan-in is bounded."""
+    from pyspark.sql import Window
+
+    from .graph import dedup_clusters
+    from .textstats import quality_scores
+
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    quality = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    j = clusters.join(quality, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "quality_score",
+            (F.col("rnk") == 1).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_keep_best_sql() -> str:
+    from .graph import dedup_clusters_sql
+    from .textstats import quality_scores_sql
+
+    return f"""
+WITH clusters AS ({dedup_clusters_sql()}),
+qual AS ({quality_scores_sql()}),
+j AS (
+  SELECT c.doc_id, c.cluster_id, q.quality_score
+  FROM clusters c JOIN qual q ON c.doc_id = q.doc_id
+)
+SELECT doc_id, cluster_id, quality_score,
+       row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY quality_score DESC, doc_id ASC) = 1
+         AS keep
+FROM j ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-mixture token allocation
+# ---------------------------------------------------------------------------
+
+# target mixture proportions per language (per-mille, integers so the
+# arithmetic is exact in both engines); unlisted langs share "other"
+MIX_TARGETS = {"en": 400, "de": 150, "fr": 150, "es": 150, "zh": 150}
+MIX_BUDGET_TOKENS = 50_000
+
+
+def mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing allocation (the LLaMA/Pile-style step): given the
+    available token mass per language and target mixture proportions,
+    compute each language's token budget and the sampling rate that
+    achieves it. rate > 1 means the lang is under-represented (needs
+    up-sampling / more crawling); < 1 means down-sample.
+
+    All arithmetic is integers plus ONE final division (rounded), so
+    Spark and DuckDB agree exactly. Scale shape: one map-side-combined
+    agg over the corpus; the allocation table is O(|langs|) — a
+    driver-side broadcast in the sampler that consumes it."""
+    docs = load(spark, "documents", sf_dir)
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+|[^\w\s]"), 0))
+    avail = docs.groupBy("lang").agg(
+        F.sum(bpe).alias("available_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    target = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(pm))
+            for lang, pm in MIX_TARGETS.items()
+        ],
+        F.lit(0),
+    )
+    budget = (F.lit(MIX_BUDGET_TOKENS) * target / 1000).cast("long")
+    return avail.select(
+        "lang",
+        "n_docs",
+        "available_tokens",
+        target.alias("target_permille"),
+        budget.alias("budget_tokens"),
+        F.round(budget / F.col("available_tokens"), 6).alias("sample_rate"),
+    ).orderBy("lang")
+
+
+def mixture_allocation_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {pm}" for lang, pm in MIX_TARGETS.items()
+    )
+    return f"""
+WITH avail AS (
+  SELECT lang,
+         count(*) AS n_docs,
+         sum(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')))::BIGINT
+           AS available_tokens
+  FROM documents GROUP BY lang
+)
+SELECT lang, n_docs, available_tokens,
+       (CASE lang {whens} ELSE 0 END) AS target_permille,
+       ({MIX_BUDGET_TOKENS} * (CASE lang {whens} ELSE 0 END) // 1000)::BIGINT
+         AS budget_tokens,
+       round(({MIX_BUDGET_TOKENS} * (CASE lang {whens} ELSE 0 END) // 1000)
+             * 1.0 / available_tokens, 6) AS sample_rate
+FROM avail ORDER BY lang
+"""
