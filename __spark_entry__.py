@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": TS.repetition_signals,
         "pii_scrub": TS.pii_scrub,
         "interleaved_spans": TS.interleaved_spans,
+        "inverted_index": TS.inverted_index,
         "stratified_sample": SA.stratified_sample,
         "sample_bottomk": SA.sample_bottomk,
         # rows-only (no SQL oracle can reproduce xxhash64/splitmix
@@ -181,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals": TS.repetition_signals_sql(),
         "pii_scrub": TS.pii_scrub_sql(),
         "interleaved_spans": TS.interleaved_spans_sql(),
+        "inverted_index": TS.inverted_index_sql(),
         "stratified_sample": SA.stratified_sample_sql(),
         "sample_bottomk": SA.sample_bottomk_sql(),
         "events_tumbling_counts": E.TUMBLING_COUNTS_SQL,

@@ -177,6 +177,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "substring_dup_fraction",
     "ann_brute_topk",
     "lang_id",
     "fingerprints",

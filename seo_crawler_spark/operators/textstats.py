@@ -548,3 +548,62 @@ SELECT doc_id,
 FROM built
 ORDER BY doc_id, span_idx
 """
+
+
+INDEX_POSTINGS_CAP = 20
+INDEX_MIN_DF = 2
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the inverted index a search stack consumes from a crawl:
+    term → (df, tf_total, first-K posting list sorted by doc_id). The
+    canonical 'index build' Spark job — one (doc, term) collapse, one
+    per-term merge, both map-side combinable.
+
+    The posting cap is applied INSIDE the aggregate (slice after
+    sort_array over collected doc_ids) rather than by a window —
+    collect_list here is bounded per term by the df distribution; at
+    warehouse scale postings stream to a positional store and the cap
+    becomes a top-K-by-rank per term, same plan shape. Terms with
+    df < INDEX_MIN_DF are dropped (hapax terms dominate raw vocabulary
+    and a real index shards them separately)."""
+    docs = load(spark, "documents", sf_dir)
+    ex = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    per_doc = ex.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    g = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("tf_total"),
+        F.slice(
+            F.sort_array(F.collect_list("doc_id")), 1, INDEX_POSTINGS_CAP
+        ).alias("postings"),
+    )
+    return (
+        g.filter(F.col("df") >= INDEX_MIN_DF)
+        .select(
+            "term",
+            "df",
+            "tf_total",
+            F.concat_ws(",", F.transform("postings", lambda d: d.cast("string")))
+            .alias("postings_head"),
+        )
+        .orderBy("term")
+    )
+
+
+def inverted_index_sql() -> str:
+    tok = TOKENS_SQL.format(c="text")
+    return f"""
+WITH ex AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+per_doc AS (SELECT term, doc_id, count(*) AS tf FROM ex GROUP BY term, doc_id),
+g AS (
+  SELECT term,
+         count(*) AS df,
+         sum(tf)::BIGINT AS tf_total,
+         list_sort(list(doc_id))[1:{INDEX_POSTINGS_CAP}] AS postings
+  FROM per_doc GROUP BY term
+)
+SELECT term, df, tf_total,
+       array_to_string(postings, ',') AS postings_head
+FROM g WHERE df >= {INDEX_MIN_DF}
+ORDER BY term
+"""
