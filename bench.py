@@ -69,49 +69,63 @@ def synth_frontier(spark, n: int):
     return canonicalize_stage(synth_raw_frontier(spark, n))
 
 
-def frontier_bench(spark) -> dict:
+def build_seen(raw):
+    """Pre-materialized seen state: every third URL (prior waves)."""
     from pyspark.sql import functions as F
 
-    from seo_crawler_spark.operators.politeness import politeness_tag
-    from seo_crawler_spark.operators.seen import bloom_build, dedupe_against_seen
-
-    raw = synth_raw_frontier(spark, FRONTIER_N).localCheckpoint(eager=True)
-    # seen = every third URL (prior waves), pre-materialized state
-    seen = (
+    return (
         canonicalize_stage(raw)
         .filter(F.pmod(F.col("url_hash"), F.lit(3)) == 0)
         .select("url_hash", "url", F.lit(0).alias("wave"))
         .localCheckpoint(eager=True)
     )
 
-    # primary timed path = the full north-rule hot loop from raw URLs:
-    # canonicalize → xxhash → seen anti-join → politeness rank.
-    # Dedup strategy here is what the engine picks at this seen size —
-    # exact anti-join (bloom pays off when |seen| dwarfs candidates and
-    # lives bucketed on disk; measured separately below).
-    def sched_pipeline():
-        t0 = time.monotonic()
-        cand = (
-            canonicalize_stage(raw)
-            .withColumn("depth", F.lit(1))
-            .withColumn("wave", F.lit(1))
-        )
-        fresh = dedupe_against_seen(cand, seen, None)
-        tagged = politeness_tag(fresh, default_budget=5000, salt_buckets=8)
-        counts = {
-            bool(r["admitted"]): r["n"]
-            for r in tagged.groupBy("admitted")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        return time.monotonic() - t0, counts
 
+def sched_pipeline(raw, seen):
+    """ONE timed run of the north-rule hot loop from raw URLs:
+    canonicalize → xxhash → seen anti-join → salted politeness rank.
+    Shared by this bench and scripts/bench_frontier_scale.py so the
+    linearity evidence measures the identical plan. Returns
+    (seconds, {admitted: n, deferred: n})."""
+    from pyspark.sql import functions as F
+
+    from seo_crawler_spark.operators.politeness import politeness_tag
+    from seo_crawler_spark.operators.seen import dedupe_against_seen
+
+    t0 = time.monotonic()
+    cand = (
+        canonicalize_stage(raw)
+        .withColumn("depth", F.lit(1))
+        .withColumn("wave", F.lit(1))
+    )
+    fresh = dedupe_against_seen(cand, seen, None)
+    tagged = politeness_tag(fresh, default_budget=5000, salt_buckets=8)
+    counts = {
+        bool(r["admitted"]): r["n"]
+        for r in tagged.groupBy("admitted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return time.monotonic() - t0, counts
+
+
+def frontier_bench(spark) -> dict:
+    from pyspark.sql import functions as F
+
+    from seo_crawler_spark.operators.seen import bloom_build, dedupe_against_seen
+
+    raw = synth_raw_frontier(spark, FRONTIER_N).localCheckpoint(eager=True)
+    seen = build_seen(raw)
+
+    # primary timed path = sched_pipeline (exact anti-join: what the
+    # engine picks at this seen size — bloom pays off when |seen| dwarfs
+    # candidates and lives bucketed on disk; measured separately below).
     # best-of-3: run 1 pays codegen JIT; the driver round also runs
     # this box under variable background load, so one extra repeat
     # keeps the recorded number close to steady state
-    d1, counts = sched_pipeline()
-    d2, counts2 = sched_pipeline()
-    d3, counts3 = sched_pipeline()
+    d1, counts = sched_pipeline(raw, seen)
+    d2, counts2 = sched_pipeline(raw, seen)
+    d3, counts3 = sched_pipeline(raw, seen)
     assert counts == counts2 == counts3
     dt = min(d1, d2, d3)
     n_sched, n_def = counts.get(True, 0), counts.get(False, 0)

@@ -28,41 +28,18 @@ SIZES = [
 
 
 def run_at(spark, n: int) -> dict:
-    from pyspark.sql import functions as F
-
+    # the pipeline under test IS bench.sched_pipeline — shared code, so
+    # the linearity evidence and the headline frontier number can never
+    # silently measure different plans
     import bench
-    from seo_crawler_spark.operators.politeness import politeness_tag
-    from seo_crawler_spark.operators.seen import dedupe_against_seen
 
     raw = bench.synth_raw_frontier(spark, n).localCheckpoint(eager=True)
-    seen = (
-        bench.canonicalize_stage(raw)
-        .filter(F.pmod(F.col("url_hash"), F.lit(3)) == 0)
-        .select("url_hash", "url", F.lit(0).alias("wave"))
-        .localCheckpoint(eager=True)
-    )
-
-    def pipeline():
-        t0 = time.monotonic()
-        cand = (
-            bench.canonicalize_stage(raw)
-            .withColumn("depth", F.lit(1))
-            .withColumn("wave", F.lit(1))
-        )
-        fresh = dedupe_against_seen(cand, seen, None)
-        tagged = politeness_tag(fresh, default_budget=5000, salt_buckets=8)
-        counts = {
-            bool(r["admitted"]): r["n"]
-            for r in tagged.groupBy("admitted")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
-        return time.monotonic() - t0, counts
+    seen = bench.build_seen(raw)
 
     best = float("inf")
     counts0 = None
     for _ in range(3):
-        dt, counts = pipeline()
+        dt, counts = bench.sched_pipeline(raw, seen)
         if counts0 is None:
             counts0 = counts
         assert counts == counts0  # determinism across repeats

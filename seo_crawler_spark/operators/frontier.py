@@ -131,6 +131,10 @@ class CrawlEngine:
     ):
         self.spark = spark
         self.cfg = config or CrawlConfig()
+        if self.cfg.template_cap is not None and self.cfg.template_cap < 1:
+            # cap 0 would defer every row forever (rank <= 0 is never
+            # true) — the loop would spin max_waves crawling nothing
+            raise ValueError("template_cap must be >= 1 (or None to disable)")
         self.corpus = corpus.select(
             "doc_id", "host", "status_code", "content_type", "size",
             "response_time_ms", "raw_html",
@@ -457,41 +461,34 @@ class CrawlEngine:
                 # the pair is atomic under the manifest rule)
                 wave_deltas.append(initial_seen_delta)
 
-            # crawl-trap template cap: per-(host, template) budget gate
-            # ahead of politeness; the over-cap tail defers to the next
-            # wave (geometric throttling of trap hosts)
-            trap_deferred = None
-            n_trap_def = 0
-            wave_frontier = frontier
+            # crawl-trap template cap (per-(host, template) budget,
+            # over-cap tail defers like politeness — geometric throttling
+            # of trap hosts) composed with the politeness rank-gate in ONE
+            # pass: the trap tag is a lazy pre-column and politeness ranks
+            # only trap-admitted rows (eligible=), so both gates share a
+            # single checkpoint + count job per wave
+            pre = frontier
+            trap_col = None
             if cfg.template_cap is not None:
-                tt = template_cap_tag(
-                    frontier, cfg.template_cap
-                ).localCheckpoint(eager=True)
-                tgrp = {
-                    bool(r["trap_admitted"]): r["n"]
-                    for r in tt.groupBy("trap_admitted")
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .collect()
-                }
-                n_trap_def = tgrp.get(False, 0)
-                if n_trap_def:
-                    trap_deferred = tt.filter(~F.col("trap_admitted")).drop(
-                        "trap_admitted"
-                    )
-                wave_frontier = tt.filter(F.col("trap_admitted")).drop(
-                    "trap_admitted"
-                )
+                pre = template_cap_tag(frontier, cfg.template_cap)
+                trap_col = "trap_admitted"
 
-            # politeness rank-gate (logical budget, not wall-clock sleep);
-            # one checkpoint + one count job covers both sides of the split
-            if cfg.politeness_budget is not None:
-                tagged = politeness_tag(
-                    wave_frontier,
-                    cfg.politeness_budget,
-                    robots=self.robots,
-                    wave_seconds=cfg.wave_seconds,
-                    salt_buckets=cfg.salt_buckets,
-                ).localCheckpoint(eager=True)
+            if cfg.politeness_budget is not None or trap_col is not None:
+                if cfg.politeness_budget is not None:
+                    tagged = politeness_tag(
+                        pre,
+                        cfg.politeness_budget,
+                        robots=self.robots,
+                        wave_seconds=cfg.wave_seconds,
+                        salt_buckets=cfg.salt_buckets,
+                        eligible=trap_col,
+                    )
+                    if trap_col is not None:
+                        # admitted already implies trap_admitted
+                        tagged = tagged.drop(trap_col)
+                else:
+                    tagged = pre.withColumnRenamed(trap_col, "admitted")
+                tagged = tagged.localCheckpoint(eager=True)
                 # one job yields admitted/deferred counts AND the
                 # per-partition lineage of the scheduled side
                 grp = (
@@ -513,8 +510,8 @@ class CrawlEngine:
                     else None
                 )
             else:
-                scheduled, deferred = wave_frontier, None
-                n_sched, n_def = n_frontier - n_trap_def, 0
+                scheduled, deferred = frontier, None
+                n_sched, n_def = n_frontier, 0
 
             # global max_urls budget: first N in BFS order (crawler.py:680)
             remaining = cfg.max_urls - crawled_total
@@ -663,19 +660,17 @@ class CrawlEngine:
 
             # next frontier: lazy union over this wave's checkpoints —
             # one lineage level deep, nothing recomputes across waves
-            parts = [
-                p for p in (trap_deferred, deferred, new_frontier) if p is not None
-            ]
+            parts = [p for p in (deferred, new_frontier) if p is not None]
             if parts:
                 frontier = parts[0]
                 for p in parts[1:]:
                     frontier = frontier.unionByName(p)
             else:
                 frontier = spark.createDataFrame([], frontier.schema)
-            n_frontier = n_trap_def + n_def + n_new
+            n_frontier = n_def + n_new
 
             # north rule: per-partition lineage + fetch metrics each wave
-            if cfg.politeness_budget is None or truncated:
+            if (cfg.politeness_budget is None and trap_col is None) or truncated:
                 lineage_rows = [
                     {"partition_id": r["partition_id"], "rows": r["rows"]}
                     for r in partition_lineage(scheduled, wave, "scheduled").collect()

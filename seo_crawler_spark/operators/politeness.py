@@ -27,6 +27,7 @@ def politeness_tag(
     wave_seconds: float = 60.0,
     salt_buckets: int = 1,
     order_by: tuple[str, ...] = ("seq",),
+    eligible: str | None = None,
 ) -> DataFrame:
     """Tag frontier rows with ``admitted`` under per-host budgets —
     the primitive (single pass; lets callers count both sides in one
@@ -36,6 +37,12 @@ def politeness_tag(
     crawl_delay for the host, else ``default_budget``. Admission order
     within a host is ``order_by`` — (seq,) is FIFO; pass e.g.
     ("priority", "seq") for a true per-host priority queue.
+
+    ``eligible`` names an upstream boolean column (e.g. the trap cap's
+    ``trap_admitted``): only eligible rows count against and receive the
+    budget — the rank becomes a conditional running count over the same
+    window, so a pre-gate composes in the SAME pass (one checkpoint, one
+    grouped count downstream) instead of its own materialization.
     """
     df = frontier
     if robots is not None:
@@ -50,16 +57,23 @@ def politeness_tag(
 
     if salt_buckets > 1:
         salt = F.pmod(F.col("url_hash"), F.lit(salt_buckets))
-        per_bucket = F.ceil(budget_col / F.lit(salt_buckets)).cast("int")
+        cap = F.ceil(budget_col / F.lit(salt_buckets)).cast("int")
         w = Window.partitionBy("host", salt).orderBy(*order_by)
-        df = df.withColumn("__rnk", F.row_number().over(w)).withColumn(
-            "__admit", F.col("__rnk") <= per_bucket
-        )
     else:
+        cap = budget_col
         w = Window.partitionBy("host").orderBy(*order_by)
-        df = df.withColumn("__rnk", F.row_number().over(w)).withColumn(
-            "__admit", F.col("__rnk") <= budget_col
+    if eligible is None:
+        rnk = F.row_number().over(w)
+        admit = rnk <= cap
+    else:
+        # rank among eligible rows only = running conditional count
+        # (includes the current row, so it equals row_number over the
+        # eligible subset for eligible rows)
+        rnk = F.sum(F.when(F.col(eligible), 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
+        admit = F.col(eligible) & (rnk <= cap)
+    df = df.withColumn("__rnk", rnk).withColumn("__admit", admit)
 
     drop = [c for c in ("__rnk", "__rbudget") if c in df.columns]
     return df.drop(*drop).withColumnRenamed("__admit", "admitted")

@@ -106,3 +106,11 @@ def test_engine_template_cap_defers_not_drops(spark):
         .collect()[0]["m"]
     )
     assert max_per <= 5
+
+
+def test_template_cap_zero_rejected(spark):
+    import pytest as _pytest
+
+    corpus = generate_corpus(spark, n_docs=10, n_hosts=2, seed=1)
+    with _pytest.raises(ValueError, match="template_cap"):
+        CrawlEngine(spark, corpus, None, CrawlConfig(template_cap=0))
