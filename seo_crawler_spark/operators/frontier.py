@@ -131,10 +131,17 @@ class CrawlEngine:
     ):
         self.spark = spark
         self.cfg = config or CrawlConfig()
+        # a 0 budget/cap would defer every row forever (rank <= 0 is
+        # never true) — the loop would spin max_waves crawling nothing
         if self.cfg.template_cap is not None and self.cfg.template_cap < 1:
-            # cap 0 would defer every row forever (rank <= 0 is never
-            # true) — the loop would spin max_waves crawling nothing
             raise ValueError("template_cap must be >= 1 (or None to disable)")
+        if (
+            self.cfg.politeness_budget is not None
+            and self.cfg.politeness_budget < 1
+        ):
+            raise ValueError(
+                "politeness_budget must be >= 1 (or None to disable)"
+            )
         self.corpus = corpus.select(
             "doc_id", "host", "status_code", "content_type", "size",
             "response_time_ms", "raw_html",
@@ -314,6 +321,10 @@ class CrawlEngine:
         latest = store.latest_wave()
         if latest is None:
             raise ValueError(f"no committed waves under {self.state_dir}")
+        # a crashed refresh-resume may have staged tombstones for a wave
+        # that never committed; drop them before this run commits waves
+        # past that point and silently publishes them
+        store.clear_orphan_tombstones(latest)
         store.set_crawl_status("running", self.cfg.started_at)
         manifest = store.manifest()
         frontier = store.read_frontier(self.spark, latest).localCheckpoint(eager=True)

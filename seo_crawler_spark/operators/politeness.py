@@ -46,9 +46,14 @@ def politeness_tag(
     """
     df = frontier
     if robots is not None:
+        # max(1, ...) like host_budget(): crawl_delay > wave_seconds
+        # would floor to 0 and starve the host forever (rank <= 0)
         dim = robots.select(
             F.col("host").alias("__rhost"),
-            F.floor(F.lit(wave_seconds) / F.col("crawl_delay")).cast("int").alias("__rbudget"),
+            F.greatest(
+                F.floor(F.lit(wave_seconds) / F.col("crawl_delay")).cast("int"),
+                F.lit(1),
+            ).alias("__rbudget"),
         )
         df = df.join(F.broadcast(dim), df.host == F.col("__rhost"), "left").drop("__rhost")
         budget_col = F.coalesce(F.col("__rbudget"), F.lit(default_budget))
@@ -73,10 +78,11 @@ def politeness_tag(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         admit = F.col(eligible) & (rnk <= cap)
-    df = df.withColumn("__rnk", rnk).withColumn("__admit", admit)
+    df = df.withColumn("__admit", admit)
 
-    drop = [c for c in ("__rnk", "__rbudget") if c in df.columns]
-    return df.drop(*drop).withColumnRenamed("__admit", "admitted")
+    if "__rbudget" in df.columns:
+        df = df.drop("__rbudget")
+    return df.withColumnRenamed("__admit", "admitted")
 
 
 def politeness_gate(

@@ -130,6 +130,30 @@ class SnapshotStore:
             self._wave_dir("seen_deletes", wave)
         )
 
+    def clear_orphan_tombstones(self, latest_committed: int) -> list[str]:
+        """Remove seen_deletes dirs for waves past the last committed
+        manifest wave. A refresh-resume writes its tombstones BEFORE the
+        wave that publishes them commits; if that process crashes, the
+        orphaned dir would be silently published by the next resume's
+        wave commit — erasing seen rows whose replacement rows were never
+        written. Every resume calls this first."""
+        import shutil
+
+        removed = []
+        root = os.path.join(self.root, "seen_deletes")
+        if not os.path.isdir(root):
+            return removed
+        for name in os.listdir(root):
+            try:
+                w = int(name.split("=", 1)[1])
+            except (IndexError, ValueError):
+                continue
+            if w > latest_committed:
+                d = os.path.join(root, name)
+                shutil.rmtree(d)
+                removed.append(d)
+        return removed
+
     def read_seen(self, spark: SparkSession, upto_wave: int) -> DataFrame:
         """seen = compacted base (if any) ∪ later per-wave deltas, minus
         later tombstones — merge-on-read over append-only state."""
@@ -173,6 +197,18 @@ class SnapshotStore:
         w = self.latest_wave() if upto_wave is None else upto_wave
         if w is None:
             raise ValueError("nothing committed yet")
+        base_wave = (self.manifest() or {}).get("seen_base_wave")
+        if base_wave is not None:
+            if w < base_wave:
+                # would move the base pointer backwards onto (possibly
+                # vacuumed) delta dirs and resurrect tombstoned rows
+                raise ValueError(
+                    f"compact upto_wave={w} precedes seen_base_wave={base_wave}"
+                )
+            if w == base_wave:
+                # idempotent retry: nothing committed past the base —
+                # rewriting would overwrite the dir being read
+                return w
         base = self.read_seen(spark, w)
         base.write.mode("overwrite").parquet(self._wave_dir("seen_base", w))
         m = self.manifest() or {"waves": [], "metrics": []}

@@ -255,3 +255,76 @@ def test_compact_and_vacuum_seen(spark, corpus_df, robots_df, tmp_path):
     ).resume(recrawl_before_wave=1)
     urls = {r["url"] for r in res.seen.collect()}
     assert {u for (_, u, _) in before} == urls
+
+
+def test_compact_is_idempotent_and_rejects_regression(
+    spark, corpus_df, robots_df, tmp_path
+):
+    """Retrying compact with nothing new committed is a no-op (NOT an
+    overwrite of the dir being read); compacting to an earlier wave
+    than the base is rejected."""
+    from seo_crawler_spark.state.snapshots import SnapshotStore
+
+    seeds = seed_urls(N_HOSTS)
+    state = str(tmp_path / "idempstate")
+    CrawlEngine(
+        spark, corpus_df, robots_df, CrawlConfig(max_depth=2, max_urls=10_000),
+        state_dir=state,
+    ).run(seeds)
+    store = SnapshotStore(state)
+    latest = store.latest_wave()
+    before = sorted(tuple(r) for r in store.read_seen(spark, latest).collect())
+
+    assert store.compact_seen(spark) == latest
+    store.vacuum_seen()
+    # retry with no new waves: must not touch the base it reads from
+    assert store.compact_seen(spark) == latest
+    assert sorted(
+        tuple(r) for r in store.read_seen(spark, latest).collect()
+    ) == before
+    with pytest.raises(ValueError, match="precedes"):
+        store.compact_seen(spark, upto_wave=latest - 1 if latest else -1)
+
+
+def test_orphan_tombstones_cleared_on_resume(
+    spark, corpus_df, robots_df, tmp_path
+):
+    """A crashed refresh-resume leaves tombstones staged for a wave that
+    never committed; a later plain resume must NOT publish them (they
+    would erase seen rows with no replacement)."""
+    from pyspark.sql import functions as F
+
+    from seo_crawler_spark.state.snapshots import SnapshotStore
+
+    seeds = seed_urls(N_HOSTS)
+    state = str(tmp_path / "orphanstate")
+    cfg = lambda **kw: CrawlConfig(max_depth=2, max_urls=10_000, **kw)
+    # interrupted run: the resume below MUST commit wave latest+1 (where
+    # the orphan sits) for this test to mean anything
+    CrawlEngine(
+        spark, corpus_df, robots_df, cfg(max_waves=1), state_dir=state
+    ).run(seeds)
+    store = SnapshotStore(state)
+    latest = store.latest_wave()
+    before = {
+        r["url"] for r in store.read_seen(spark, latest).select("url").collect()
+    }
+
+    # simulate the crash: tombstones staged for wave latest+1, but that
+    # wave never committed (no seen rows written for it either)
+    victims = store.read_seen(spark, latest).limit(5).select(
+        "url_hash", "url", "wave"
+    )
+    store.write_seen_tombstones(latest + 1, victims)
+
+    res = CrawlEngine(
+        spark, corpus_df, robots_df, cfg(), state_dir=state
+    ).resume()
+    store2 = SnapshotStore(state)
+    after = {
+        r["url"]
+        for r in store2.read_seen(spark, store2.latest_wave())
+        .select("url")
+        .collect()
+    }
+    assert before <= after  # nothing silently erased
