@@ -50,3 +50,10 @@ def shingles_sql(tok_col: str, n: int = 3) -> str:
         f"list_transform(range(1, greatest(len({tok_col}) - {n - 2}, 1)), "
         f"i -> {parts})"
     )
+
+
+# BPE-ish pre-tokenizer rule (word runs + single non-space punctuation)
+# — ONE definition shared by token_counts and mixture_allocation so the
+# two can never disagree on what a token is
+BPE_RE = r"\w+|[^\w\s]"
+BPE_SQL = "regexp_extract_all({c}, '\\w+|[^\\w\\s]')"

@@ -22,7 +22,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import MD5INT_SQL, MOD, TOKENS_SQL, md5int, shingles, shingles_sql
+from ..functions.text import (
+    BPE_RE,
+    BPE_SQL,
+    MD5INT_SQL,
+    MOD,
+    TOKENS_SQL,
+    md5int,
+    shingles,
+    shingles_sql,
+)
 from ..sources.tables import load
 from .dedup import _token_arrays
 
@@ -151,7 +160,7 @@ def host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 HOST_STATS_SQL = """
 SELECT source,
        count(*) AS n_docs,
-       sum(n_chars) AS total_chars,
+       sum(n_chars)::BIGINT AS total_chars,
        round(avg(n_chars), 4) AS avg_chars,
        count(DISTINCT lang) AS n_langs,
        (count(*) - count(DISTINCT md5(text))) AS n_exact_dups,
@@ -286,7 +295,7 @@ def mixture_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg over the corpus; the allocation table is O(|langs|) — a
     driver-side broadcast in the sampler that consumes it."""
     docs = load(spark, "documents", sf_dir)
-    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+|[^\w\s]"), 0))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0))
     avail = docs.groupBy("lang").agg(
         F.sum(bpe).alias("available_tokens"),
         F.count(F.lit(1)).alias("n_docs"),
@@ -317,7 +326,7 @@ def mixture_allocation_sql() -> str:
 WITH avail AS (
   SELECT lang,
          count(*) AS n_docs,
-         sum(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')))::BIGINT
+         sum(len({BPE_SQL.format(c="text")}))::BIGINT
            AS available_tokens
   FROM documents GROUP BY lang
 )

@@ -26,7 +26,7 @@ generalize it to corpus scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -103,12 +103,6 @@ def _shingle_rows(docs: DataFrame) -> DataFrame:
         _token_arrays(docs)
         .select("doc_id", F.explode(shingles(F.col("tok"))).alias("s"))
         .distinct()
-    )
-
-
-def _shingle_sizes(sh_ex: DataFrame, out: str) -> DataFrame:
-    return sh_ex.groupBy(F.col("doc_id").alias(out)).agg(
-        F.count(F.lit(1)).alias(f"n_{out}")
     )
 
 
@@ -473,18 +467,11 @@ ORDER BY a, b
 
 
 def _cosine(a, b):
-    dot = F.aggregate(
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    na = F.sqrt(
-        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
-    )
-    nb = F.sqrt(
-        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v)
-    )
-    return dot / (na * nb)
+    # single definition lives in simsearch — a drifted copy here would
+    # silently desync dedup scoring from ANN scoring
+    from .simsearch import _cosine as _c
+
+    return _c(a, b)
 
 
 def dedup_embedding_cosine_brute(

@@ -302,48 +302,78 @@ ORDER BY qid, rnk
 """
 
 
+# banding over the 16-plane signature for the near-dup candidate join —
+# the SAME 4×4 split dedup_embedding_cosine uses; this variant adds
+# hamming-1 multi-probe WITHIN each band
+_ND_BANDS = 4
+_ND_BAND_BITS = 4
+
+
 def embedding_neardup_lsh(
     spark: SparkSession, sf_dir: str, threshold: float = 0.45
 ) -> DataFrame:
-    """Scale path for embedding near-dup: candidate pairs share an LSH
-    bucket (16 hyperplane signs) or differ in exactly one plane
-    (multi-probe, hamming-1) — then exact cosine verify. Deterministic
-    (md5-derived planes), so recall is fixed and the DuckDB oracle
-    matches exactly. At 10^10 vectors this replaces the O(n²) cross
-    join with per-bucket joins over a bucket-partitioned table."""
+    """Scale path for embedding near-dup: banded hyperplane LSH with
+    hamming-1 multi-probe per band — a candidate pair agrees on some
+    band exactly OR within one flipped plane of it, then exact cosine
+    verifies. Multi-probe exists because plain banding collapses at
+    LOW thresholds: at cos≈0.5 the per-plane agreement is only ~0.66,
+    so hamming-1-of-the-full-signature recall is ~1% (measured — the
+    query came back empty) and exact 4-bit bands recover only ~40% of
+    true pairs; probing each band's 4 one-bit variants lifts pair
+    recall to ~0.97 at the cost of 5× candidate volume (drop the
+    probes in a high-similarity regime). Deterministic (md5-derived
+    planes), so recall is fixed and the DuckDB oracle matches exactly.
+
+    Shuffle discipline: the candidate join carries ONLY (band, key,
+    vec_id) — embeddings join in once, per surviving candidate pair,
+    for the verify (not 5× through the probe explode)."""
     emb = load(spark, "embeddings", sf_dir)
     buckets = ann_lsh_bucketed(spark, sf_dir)
-    tagged = emb.join(buckets, "vec_id")
-    # multi-probe: each vector appears under its own bucket and every
-    # hamming-1 neighbor bucket of the probe side
-    probes = tagged.select(
-        "vec_id", "embedding",
+    mask = (1 << _ND_BAND_BITS) - 1
+    band_key = lambda k: (
+        F.shiftright(F.col("bucket"), k * _ND_BAND_BITS).bitwiseAND(F.lit(mask))
+    )
+    bands = buckets.select(
+        "vec_id",
         F.explode(
             F.array(
-                F.col("bucket"),
                 *[
-                    F.col("bucket").bitwiseXOR(F.lit(1 << p))
-                    for p in range(N_PLANES)
+                    F.struct(F.lit(k).alias("band"), band_key(k).alias("key"))
+                    for k in range(_ND_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "bk.band", "bk.key")
+    probe = bands.select(
+        "vec_id",
+        "band",
+        F.explode(
+            F.array(
+                F.col("key"),
+                *[
+                    F.col("key").bitwiseXOR(F.lit(1 << j))
+                    for j in range(_ND_BAND_BITS)
                 ],
             )
-        ).alias("probe_bucket"),
-    )
-    left = probes.select(
-        F.col("vec_id").alias("a"), F.col("embedding").alias("va"),
-        F.col("probe_bucket").alias("bk"),
-    )
-    right = tagged.select(
-        F.col("vec_id").alias("b"), F.col("embedding").alias("vb"),
-        F.col("bucket").alias("bk"),
+        ).alias("key"),
     )
     cand = (
-        left.join(right, ["bk"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "va", "vb")
+        probe.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
+    va = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
     return (
-        cand.withColumn("cos", F.round(_cosine(F.col("va"), F.col("vb")), 4))
+        cand.join(va, "a")
+        .join(vb, "b")
+        .withColumn("cos", F.round(_cosine(F.col("va"), F.col("vb")), 4))
         .filter(F.col("cos") >= threshold)
         .select("a", "b", "cos")
         .orderBy("a", "b")
@@ -353,20 +383,25 @@ def embedding_neardup_lsh(
 def embedding_neardup_lsh_sql(threshold: float = 0.45) -> str:
     base = ann_lsh_bucketed_sql().strip()
     inner = base[: base.rfind("ORDER BY")]
-    probes = ", ".join(str(1 << p) for p in range(N_PLANES))
+    ks = ", ".join(str(k) for k in range(_ND_BANDS))
+    mask = (1 << _ND_BAND_BITS) - 1
+    flips = ", ".join(str(1 << j) for j in range(_ND_BAND_BITS))
     return f"""
 WITH bucketq AS ({inner}),
-tagged AS (
-  SELECT e.vec_id, e.embedding, b.bucket
-  FROM embeddings e JOIN bucketq b ON e.vec_id = b.vec_id
+bands AS (
+  SELECT vec_id, k AS band,
+         (bucket >> (k * {_ND_BAND_BITS})) & {mask} AS key
+  FROM bucketq, (SELECT unnest([{ks}]) AS k)
 ),
-probes AS (
-  SELECT vec_id, embedding, unnest([bucket] || list_transform([{probes}], m -> xor(bucket, m))) AS probe_bucket
-  FROM tagged
+probe AS (
+  SELECT vec_id, band,
+         unnest([key] || list_transform([{flips}], m -> xor(key, m))) AS key
+  FROM bands
 ),
 cand AS (
-  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
-  FROM probes l JOIN tagged r ON l.probe_bucket = r.bucket AND l.vec_id < r.vec_id
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM probe x JOIN bands y
+    ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
 )
 SELECT c.a, c.b,
        round(list_cosine_similarity(x.embedding, y.embedding), 4) AS cos

@@ -11,7 +11,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import MD5INT_SQL, MOD, TOKENS_SQL, md5int, tokens
+from ..functions.text import (
+    BPE_RE,
+    BPE_SQL,
+    MD5INT_SQL,
+    MOD,
+    TOKENS_SQL,
+    md5int,
+    tokens,
+)
 from ..sources.tables import load
 
 # tiny per-language stopword lists (public common words)
@@ -136,7 +144,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-space punctuation, the usual pre-tokenizer shape)."""
     docs = load(spark, "documents", sf_dir)
     ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda t: t != ""))
-    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+|[^\w\s]"), 0))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0))
     return docs.select(
         "doc_id",
         ws.alias("ws_tokens"),
@@ -147,11 +155,11 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("chars_per_token", F.round("chars_per_token", 4)).orderBy("doc_id")
 
 
-TOKEN_COUNTS_SQL = r"""
+TOKEN_COUNTS_SQL = rf"""
 WITH m AS (
   SELECT doc_id,
          len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS ws_tokens,
-         len(regexp_extract_all(text, '\w+|[^\w\s]')) AS bpe_tokens,
+         len({BPE_SQL.format(c="text")}) AS bpe_tokens,
          length(text) AS n_chars
   FROM documents
 )

@@ -99,3 +99,26 @@ def test_ivf_topk_recall_and_determinism(spark):
     full = {(r["qid"], r["cid"]) for r in
             ann_ivf_topk(spark, SF0001, n_probe=N_CELLS).collect()}
     assert full == brute
+
+
+def test_neardup_multiprobe_recall(spark):
+    """The registered embedding_neardup_lsh (banded + hamming-1
+    multi-probe per band) must actually FIND near-dups at its shipped
+    threshold — pinned against the brute all-pairs ground truth.
+    (Regression: the earlier full-signature hamming-1 probe had ~1%
+    recall at cos≈0.5 and returned an empty, vacuously-'correct'
+    result.)"""
+    from seo_crawler_spark.operators.simsearch import embedding_neardup_lsh
+
+    brute = {
+        (r["a"], r["b"])
+        for r in dedup_embedding_cosine_brute(spark, SF0001).collect()
+    }
+    lsh = {
+        (r["a"], r["b"])
+        for r in embedding_neardup_lsh(spark, SF0001).collect()
+    }
+    assert lsh <= brute  # exact verify: no false positives
+    assert brute, "ground truth must be non-empty for this test to bite"
+    recall = len(lsh & brute) / len(brute)
+    assert recall >= 0.8  # 1.0 observed at sf0.001/sf0.01
