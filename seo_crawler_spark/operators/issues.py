@@ -27,7 +27,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..schema import ISSUE_SCHEMA
 
 _STATUS_TEXT = {
     400: "Bad Request", 401: "Unauthorized", 403: "Forbidden",
@@ -316,7 +315,14 @@ def detect_duplication(
         import math
 
         log_base = 1.0 / lr  # bands of factor 1/lr ⇒ true pairs within ±1
-        band = lambda c: F.floor(F.log(F.length(c) + F.lit(1.0)) / math.log(log_base))
+        # band on the WHITESPACE-TRIMMED length: similarity is scored on
+        # .strip()'ed strings (_score_batch), so banding raw lengths
+        # would let a padded duplicate ('  X  ' vs 'X') land 2+ bands
+        # apart and silently skip a true pair
+        trimmed = lambda c: F.regexp_replace(c, r"^\s+|\s+$", "")
+        band = lambda c: F.floor(
+            F.log(F.length(trimmed(c)) + F.lit(1.0)) / math.log(log_base)
+        )
         a = p.filter((F.col("title") != "") & (F.col("desc") != "")).select(
             *[F.col(c).alias(c + "_a") for c in p.columns],
             band(F.col("title")).alias("tband_a"),

@@ -104,9 +104,18 @@ def pages_json_envelope(
     return (
         rows.agg(
             F.count(F.lit(1)).alias("total_urls"),
-            # crawl order, as the reference iterates its url list
+            # crawl order, as the reference iterates its url list.
+            # comparator form: the default struct ordering cannot sort
+            # structs containing map columns (og/twitter tags in the
+            # default field list) — only seq matters anyway
             F.transform(
-                F.array_sort(F.collect_list(F.struct("seq", "u"))), lambda s: s["u"]
+                F.array_sort(
+                    F.collect_list(F.struct("seq", "u")),
+                    lambda s1, s2: F.when(s1["seq"] < s2["seq"], -1)
+                    .when(s1["seq"] > s2["seq"], 1)
+                    .otherwise(0),
+                ),
+                lambda s: s["u"],
             ).alias("data"),
         )
         .select(
@@ -140,6 +149,13 @@ def _xml_escape(c):
     return F.regexp_replace(c, ">", "&gt;")
 
 
+def _xml_escape_attr(c):
+    """Attribute-value escaping: element escaping PLUS double quotes
+    (ElementTree escapes quotes inside attributes; an unescaped '\"'
+    would terminate the attribute early)."""
+    return F.regexp_replace(_xml_escape(c), '"', "&quot;")
+
+
 def pages_xml_envelope(
     pages: DataFrame, export_date: str, fields: list[str] | None = None
 ) -> DataFrame:
@@ -168,7 +184,7 @@ def pages_xml_envelope(
     ).select(
         F.concat(
             F.lit('<librecrawl_export export_date="'),
-            _xml_escape(F.lit(export_date)),
+            _xml_escape_attr(F.lit(export_date)),
             F.lit('" total_urls="'),
             F.col("n").cast("string"),
             F.lit('"><urls>'),
@@ -235,6 +251,8 @@ def visualization_projection(pages: DataFrame, links: DataFrame, node_cap: int =
     """Graph viz projection (main.py:826-890): first ``node_cap`` pages in
     crawl order become nodes; internal edges with both endpoints
     materialized, deduped."""
+    # barrier: nodes feeds itself plus BOTH edge-endpoint joins — without
+    # it the global orderBy+limit sort runs three times per call
     nodes = (
         pages.orderBy("seq")
         .limit(node_cap)
@@ -243,6 +261,7 @@ def visualization_projection(pages: DataFrame, links: DataFrame, node_cap: int =
             F.col("seq").alias("node_id"),
             "status_code", "title", "depth",
         )
+        .localCheckpoint(eager=False)
     )
     n1 = nodes.select(F.col("url").alias("__src"), F.col("node_id").alias("source_id"))
     n2 = nodes.select(F.col("url").alias("__dst"), F.col("node_id").alias("target_id"))

@@ -53,6 +53,26 @@ class SnapshotStore:
     def _wave_dir(self, table: str, wave: int) -> str:
         return os.path.join(self.root, table, f"wave={wave}")
 
+    def _write_wave_atomic(self, df: DataFrame, table: str, wave: int) -> None:
+        """Write to a hidden staging dir, then rename into ``wave=N``.
+
+        The rename (atomic on POSIX) is what makes wave dirs appear
+        all-or-nothing to ANY directory-listing reader — including the
+        dashboard's streaming file source globbing ``wave=*`` — not just
+        to manifest-aware readers. Without it, a reader could list a
+        half-written or never-committed wave whose files a resume later
+        rewrites (double-count / FileNotFound in a long-lived stream).
+        A pre-existing target dir is an orphan from a crash between
+        rename and manifest commit; the rewrite replaces it."""
+        import shutil
+
+        final = self._wave_dir(table, wave)
+        staging = os.path.join(self.root, table, f".staging-wave={wave}")
+        df.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(final):
+            shutil.rmtree(final)
+        os.rename(staging, final)
+
     def commit_wave(
         self,
         wave: int,
@@ -63,13 +83,14 @@ class SnapshotStore:
         metric: dict,
         base_domain: str | None = None,
     ) -> None:
-        """Write wave-N snapshots, then atomically publish the manifest."""
-        frontier.write.mode("overwrite").parquet(self._wave_dir("frontier", wave))
+        """Write wave-N snapshots (staged + renamed), then atomically
+        publish the manifest."""
+        self._write_wave_atomic(frontier, "frontier", wave)
         # seen arrives as the wave's DELTA — appends stay O(new URLs)
         # per wave instead of O(|seen|)
-        seen.write.mode("overwrite").parquet(self._wave_dir("seen", wave))
-        pages.write.mode("overwrite").parquet(self._wave_dir("pages", wave))
-        links.write.mode("overwrite").parquet(self._wave_dir("links", wave))
+        self._write_wave_atomic(seen, "seen", wave)
+        self._write_wave_atomic(pages, "pages", wave)
+        self._write_wave_atomic(links, "links", wave)
 
         prev = self.manifest() or {"waves": [], "metrics": []}
         prev["waves"] = sorted(set(prev["waves"]) | {wave})

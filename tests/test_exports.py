@@ -153,3 +153,32 @@ def test_visualization_projection(spark, crawl):
     for e in edges.collect():
         assert e["source_id"] in ids and e["target_id"] in ids
     assert edges.count() == edges.dropDuplicates(["source_id", "target_id"]).count()
+
+
+def test_json_envelope_default_fields_and_attr_quotes(spark, crawl):
+    """Regression pair: (a) the DEFAULT field list contains map columns
+    (og/twitter tags) which array_sort's default comparator cannot
+    order — the envelope must sort by seq via an explicit comparator;
+    (b) a double quote in the XML export_date attribute must be escaped
+    or the attribute terminates early."""
+    import json
+    import xml.etree.ElementTree as ET
+
+    from seo_crawler_spark.sources.exports import (
+        pages_json_envelope,
+        pages_xml_envelope,
+    )
+
+    [row] = pages_json_envelope(crawl.pages, "2026-01-01").collect()
+    env = json.loads(row["value"])
+    assert env["total_urls"] == crawl.pages.count()
+    # crawl order preserved through the comparator sort
+    seqs = {r["url"]: r["seq"] for r in crawl.pages.select("url", "seq").collect()}
+    urls = [u["url"] for u in env["data"]]
+    assert urls == sorted(urls, key=lambda u: seqs[u])
+
+    [xml_row] = pages_xml_envelope(
+        crawl.pages.limit(1), 'Aug "17" 2026', ["url"]
+    ).collect()
+    root = ET.fromstring(xml_row["value"])  # raises on malformed attr
+    assert root.get("export_date") == 'Aug "17" 2026'

@@ -185,3 +185,23 @@ def test_eeat_scores_bounds(spark, pages):
     s = eeat_scores(pages).collect()
     assert all(0 <= r["eeat_score"] <= 100 for r in s)
     assert any(r["eeat_score"] > 0 for r in s)
+
+
+def test_duplication_banding_handles_padded_titles(spark):
+    """Regression: similarity is scored on .strip()'ed strings, so the
+    band prune must use trimmed lengths — 'X' vs '   X   ' are a true
+    duplicate pair that raw-length bands would place 2 bands apart and
+    silently drop."""
+    rows = [
+        ("http://h/a", "Breaking News Today", "The very same description here", "Same H1", 500),
+        ("http://h/b", "   Breaking News Today   ", "The very same description here", "Same H1", 500),
+        ("http://h/c", "Completely different topic", "Another description entirely", "Other H1", 100),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, title string, meta_description string, h1 string, word_count int"
+    )
+    blocked = detect_duplication(pages, 0.85, blocked=True).collect()
+    brute = detect_duplication(pages, 0.85, blocked=False).collect()
+    key = lambda rs: sorted((r["url"], r["details"]) for r in rs)
+    assert key(blocked) == key(brute)
+    assert len(blocked) == 2  # the padded pair, both directions
