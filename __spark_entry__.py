@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_schedule": CQ.recrawl_schedule,
         "crawl_trap_detection": CQ.crawl_trap_detection,
         "crawl_snapshot_diff": CQ.crawl_snapshot_diff,
+        "redirect_chains": CQ.redirect_chains,
         "anchor_text_agg": G.anchor_text_agg,
         "hits_scores": G.hits_scores,
         # corpus curation rollups
@@ -195,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "recrawl_schedule": CQ.RECRAWL_SCHEDULE_SQL,
         "crawl_trap_detection": CQ.CRAWL_TRAP_SQL,
         "crawl_snapshot_diff": CQ.CRAWL_SNAPSHOT_DIFF_SQL,
+        "redirect_chains": CQ.redirect_chains_sql(),
         "anchor_text_agg": G.anchor_text_agg_sql(),
         "hits_scores": G.hits_scores_sql(),
         "substring_dup_fraction": CS.substring_dup_fraction_sql(),

@@ -662,3 +662,103 @@ SELECT coalesce(prev.doc_id, curr.doc_id) AS doc_id,
 FROM prev FULL OUTER JOIN curr ON prev.doc_id = curr.doc_id
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# redirect-chain resolution
+# ---------------------------------------------------------------------------
+
+REDIRECT_MAX_HOPS = 4
+
+
+def redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve 3xx redirect chains to their final target — every crawler
+    needs this to canonicalize page identity (the reference follows
+    redirects inside requests and reports only the landing URL; at
+    warehouse scale the redirect map is a table and resolution is a
+    fixed-point join). Chains longer than REDIRECT_MAX_HOPS stay
+    unresolved (the reference's requests default caps redirects too);
+    loops simply never resolve.
+
+    The redirect map is synthesized deterministically: doc_id % 10 in
+    {1, 2} redirects to doc_id + 1 — so ...1 → ...2 → ...3 forms real
+    2-hop chains — and the pair (doc_id % 100 == 77, 78) point at each
+    other, a genuine redirect LOOP that exercises the unresolved path.
+    Resolution unrolls REDIRECT_MAX_HOPS iterations of one equi-join
+    each (same lineage-checkpoint pattern as the PageRank loop)."""
+    docs = load(spark, "documents", sf_dir).select("doc_id")
+    n = docs.count()
+    d = F.col("doc_id")
+    dst = (
+        F.when(d % 100 == 77, d + 1)
+        .when(d % 100 == 78, d - 1)
+        .otherwise((d + 1) % n)
+    )
+    redirect = (
+        docs.filter(((d % 10).isin(1, 2)) | ((d % 100).isin(77, 78)))
+        .select(d.alias("src"), dst.alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .localCheckpoint(eager=False)
+    )
+    state = docs.select(
+        "doc_id",
+        F.col("doc_id").alias("cur"),
+        F.lit(0).alias("hops"),
+    )
+    for _ in range(REDIRECT_MAX_HOPS):
+        state = (
+            state.join(redirect, state.cur == redirect.src, "left")
+            .select(
+                "doc_id",
+                F.coalesce("dst", "cur").alias("cur"),
+                (F.col("hops") + F.when(F.col("dst").isNotNull(), 1).otherwise(0)).alias(
+                    "hops"
+                ),
+            )
+            .localCheckpoint(eager=False)
+        )
+    # resolved = the landing id no longer redirects
+    return (
+        state.join(redirect, state.cur == redirect.src, "left")
+        .select(
+            "doc_id",
+            F.col("cur").alias("final_id"),
+            "hops",
+            F.col("src").isNull().alias("resolved"),
+        )
+        .filter(F.col("hops") > 0)  # only pages that redirected at all
+        .orderBy("doc_id")
+    )
+
+
+def redirect_chains_sql() -> str:
+    steps = []
+    prev = "s0"
+    for k in range(1, REDIRECT_MAX_HOPS + 1):
+        steps.append(
+            f"s{k} AS (SELECT s.doc_id, coalesce(r.dst, s.cur) AS cur, "
+            f"s.hops + CASE WHEN r.dst IS NULL THEN 0 ELSE 1 END AS hops "
+            f"FROM {prev} s LEFT JOIN redirect r ON s.cur = r.src)"
+        )
+        prev = f"s{k}"
+    return f"""
+WITH n AS (SELECT count(*) AS c FROM documents),
+redirect AS (
+  SELECT doc_id AS src,
+         CASE WHEN doc_id % 100 = 77 THEN doc_id + 1
+              WHEN doc_id % 100 = 78 THEN doc_id - 1
+              ELSE (doc_id + 1) % (SELECT c FROM n) END AS dst
+  FROM documents
+  WHERE (doc_id % 10 IN (1, 2) OR doc_id % 100 IN (77, 78))
+    AND doc_id <> CASE WHEN doc_id % 100 = 77 THEN doc_id + 1
+                       WHEN doc_id % 100 = 78 THEN doc_id - 1
+                       ELSE (doc_id + 1) % (SELECT c FROM n) END
+),
+s0 AS (SELECT doc_id, doc_id AS cur, 0 AS hops FROM documents),
+{', '.join(steps)}
+SELECT s.doc_id, s.cur AS final_id, s.hops::INTEGER AS hops,
+       r.src IS NULL AS resolved
+FROM {prev} s LEFT JOIN redirect r ON s.cur = r.src
+WHERE s.hops > 0
+ORDER BY s.doc_id
+"""
