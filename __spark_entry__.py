@@ -119,8 +119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": TS.inverted_index,
         "stratified_sample": SA.stratified_sample,
         "sample_bottomk": SA.sample_bottomk,
-        # rows-only (no SQL oracle can reproduce xxhash64/splitmix
-        # payload bytes; determinism pinned in tests/test_multimodal.py)
+        # multimodal: meta/dims are md5int-derived (SQL-reproducible);
+        # the payload BYTES stay pinned rows-only in tests/test_multimodal.py
         "multimodal_pipeline": MM.multimodal_pipeline,
         # event-stream operators (batch form; streaming twins in
         # seo_crawler_spark/streaming/events.py, pytest-verified)
@@ -186,6 +186,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": TS.inverted_index_sql(),
         "stratified_sample": SA.stratified_sample_sql(),
         "sample_bottomk": SA.sample_bottomk_sql(),
+        "multimodal_pipeline": MM.multimodal_pipeline_sql(),
         "events_tumbling_counts": E.TUMBLING_COUNTS_SQL,
         "events_sliding_counts": E.SLIDING_COUNTS_SQL,
         "events_sessionize": E.SESSIONIZE_SQL,

@@ -56,9 +56,13 @@ def synthesize_media(spark: SparkSession, corpus: DataFrame) -> DataFrame:
         .distinct()
     )
 
-    # meta derived with column exprs (xxhash64 seeds everything);
-    # payload attached in one Arrow pass below
-    h = F.xxhash64("media_ref")
+    # meta derived with column exprs (md5int seeds everything — the
+    # repo-wide Spark↔DuckDB parity hash, functions/text.py:25 — so the
+    # meta path is SQL-reproducible; payload attached in one Arrow pass
+    # below stays rows-only, it's a splitmix64 stream)
+    from ..functions.text import md5int
+
+    h = md5int(F.col("media_ref"))
     kind = (
         F.when(F.pmod(h, F.lit(10)) < 7, F.lit("image"))
         .when(F.pmod(h, F.lit(10)) < 9, F.lit("audio"))
@@ -222,10 +226,13 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     every 4th doc), run decode-stub-adjacent feature extraction and the
     resize planner, and emit one deterministic row per media object.
 
-    Registered WITHOUT an oracle_sql twin (rows-only check): the payload
-    bytes derive from xxhash64 + a splitmix64 stream that DuckDB cannot
-    reproduce — determinism is instead pinned by tests/test_multimodal.py
-    and by this query's stable row count/schema across runs."""
+    Oracle-checkable: every OUTPUT column (kind, dims, payload length,
+    feature count, resize targets) derives from the md5int parity hash
+    or from constants of the synthesis (header 8 + 128 stream bytes,
+    dim=16 histogram), so :func:`multimodal_pipeline_sql` reproduces it
+    in DuckDB. The payload BYTES themselves stay rows-only — the
+    splitmix64 stream has no SQL twin — and are pinned by
+    tests/test_multimodal.py instead."""
     from ..sources.tables import load
 
     docs = load(spark, "documents", sf_dir)
@@ -259,3 +266,39 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(resize, "media_ref", "left")
         .orderBy("media_ref")
     )
+
+
+def multimodal_pipeline_sql() -> str:
+    """DuckDB twin of :func:`multimodal_pipeline`. Meta derives from the
+    shared md5int hash; payload_bytes is the synthesis constant
+    8 (header) + 128 (stream); n_features is the histogram dim (16);
+    resize targets repeat resize_plan's IEEE expression op-for-op
+    (divide → least → multiply → round, half-up on positives in both
+    engines)."""
+    h = "(('0x' || substr(md5(media_ref), 1, 15))::BIGINT)"
+    return f"""
+WITH refs AS (
+  SELECT 'media/' || CAST(doc_id AS VARCHAR) AS media_ref
+  FROM documents WHERE doc_id % 4 = 0
+),
+meta AS (
+  SELECT media_ref,
+         CASE WHEN {h} % 10 < 7 THEN 'image'
+              WHEN {h} % 10 < 9 THEN 'audio'
+              ELSE 'video' END AS kind,
+         CAST({h} % 1920 + 32 AS INT) AS width,
+         CAST({h} % 1080 + 32 AS INT) AS height
+  FROM refs
+)
+SELECT media_ref, kind, width, height,
+       136 AS payload_bytes,
+       16 AS n_features,
+       CASE WHEN kind = 'image'
+            THEN CAST(round(width * least(1.0, 512 / CAST(greatest(width, height) AS DOUBLE))) AS INT)
+            END AS target_width,
+       CASE WHEN kind = 'image'
+            THEN CAST(round(height * least(1.0, 512 / CAST(greatest(width, height) AS DOUBLE))) AS INT)
+            END AS target_height
+FROM meta
+ORDER BY media_ref
+"""
