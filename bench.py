@@ -196,6 +196,15 @@ HEADLINE = [
     "lang_id",
     "fingerprints",
     "token_counts",
+    # heavy operators added round 3 so regressions are detectable
+    # (VERDICT r2 #4) — the suite total `value` is therefore NOT
+    # comparable to BENCH_r2's; compare per-query entries instead
+    "pagerank",
+    "hits_scores",
+    "tfidf_top_terms",
+    "inverted_index",
+    "interleaved_spans",
+    "events_sessionize",
 ]
 
 

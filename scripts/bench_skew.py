@@ -55,6 +55,27 @@ def main() -> int:
     run(1)
     t1, c1 = run(1)
     tk, ck = run(16)
+
+    # trap-template skew: ONE (host, template) owns the mega-host's 60%
+    # (every URL folds to /p/N) — the template_cap_tag window's hot
+    # partition. Salted it splits into k parallel sub-queues.
+    from seo_crawler_spark.operators.politeness import template_cap_tag
+
+    def run_trap(salt: int):
+        t0 = time.monotonic()
+        tagged = template_cap_tag(frontier, cap=200_000, salt_buckets=salt)
+        counts = {
+            bool(r["trap_admitted"]): r["n"]
+            for r in tagged.groupBy("trap_admitted")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        return time.monotonic() - t0, counts
+
+    run_trap(1)
+    tt1, tc1 = run_trap(1)
+    ttk, tck = run_trap(16)
+
     out = {
         "frontier_n": N,
         "mega_share": 0.6,
@@ -63,6 +84,11 @@ def main() -> int:
         "speedup": round(t1 / tk, 2),
         "unsalted_admitted": c1.get(True, 0),
         "salted_admitted": ck.get(True, 0),
+        "trap_unsalted_sec": round(tt1, 2),
+        "trap_salted16_sec": round(ttk, 2),
+        "trap_speedup": round(tt1 / ttk, 2),
+        "trap_unsalted_admitted": tc1.get(True, 0),
+        "trap_salted_admitted": tck.get(True, 0),
     }
     print(json.dumps(out))
     spark.stop()

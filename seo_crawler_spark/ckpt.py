@@ -1,0 +1,51 @@
+"""Stats-safe local checkpointing for iterative plans.
+
+``DataFrame.localCheckpoint`` truncates lineage but — by design, to keep
+broadcast decisions stable — the resulting ``LogicalRDD`` INHERITS the
+original plan's size-in-bytes statistics (Spark `Dataset.checkpoint`
+passes `queryExecution.optimizedPlan.stats` through). In an iterative
+engine that is fatal: Catalyst's default (non-CBO) join estimate is the
+PRODUCT of child sizes, so a loop that each wave joins two frames
+derived from the previous wave's checkpoint SQUARES the estimate per
+iteration. The BigInteger carrying sizeInBytes doubles in digit count
+every wave, join estimation starts multiplying million-digit numbers
+(Toom-Cook shows up as a 100%-CPU driver thread + humongous G1
+allocations), and per-wave wall time doubles: measured 2s/wave flat
+through wave 15, then 2.6 → 4.4 → 9.6 → 23.5s — a crawl that would run
+thousands of waves dies by wave ~25. (Diagnosed via SIGQUIT thread
+dumps: `BigInteger.multiplyToomCook3` under join stats estimation.)
+
+:func:`local_ckpt` checkpoints and then re-wraps the SAME internal-row
+RDD (zero copy, no Python round-trip) in a fresh ``LogicalRDD`` without
+inherited statistics — sizeInBytes falls back to the conservative
+``spark.sql.defaultSizeInBytes`` constant, so estimates stay bounded no
+matter how many waves compound. The conservative default means Catalyst
+won't AUTO-broadcast these frames; the engine broadcasts its dimension
+tables explicitly (`F.broadcast`), which `tests/test_plan_quality.py`
+pins, so nothing regresses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def local_ckpt(df: DataFrame) -> DataFrame:
+    """localCheckpoint(eager) + drop inherited plan statistics.
+
+    Use inside UNBOUNDED iterative loops (the crawl engine's wave loop)
+    where checkpointed frames feed next-iteration joins. One-shot
+    pipelines and bounded fixed-point loops (pagerank/label-propagation
+    at ~5 unrolled iterations) can keep plain ``localCheckpoint`` — the
+    estimate gains a bounded number of factors and never reaches
+    BigInteger blowup territory.
+    """
+    spark = df.sparkSession
+    jdf = df._jdf.localCheckpoint(True)
+    # internalCreateDataFrame is private[sql] in Scala — public in
+    # bytecode, stable across Spark 3.x/4.x — and builds a LogicalRDD
+    # with NO stats argument (falls back to defaultSizeInBytes).
+    out_jdf = spark._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False
+    )
+    return DataFrame(out_jdf, spark)

@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..ckpt import local_ckpt
 from ..functions import urls as U
 from .extract import extract_pages, explode_links
 from .ordering import ordered_seq, ordered_seq_counted
@@ -93,6 +94,13 @@ class CrawlConfig:
     # crawl-row timestamp for status transitions (no wall clock inside
     # the engine — callers pass it, reference crawl_db rows carry it)
     started_at: str | None = None
+    # fold the seen delta-part list into one checkpointed base whenever
+    # it reaches this many parts: the per-wave anti-join scans a lazy
+    # union of O(parts) deltas, so at thousands of waves the union node
+    # itself dominates planning/scheduling. Folding costs one O(|seen|)
+    # copy per K waves (amortized |seen|/K per wave) and bounds plan
+    # depth at K. Mirrors the on-disk compact_seen.
+    seen_fold_every: int = 16
 
 
 @dataclass
@@ -161,7 +169,7 @@ class CrawlEngine:
                     F.col("host").alias("__rb_host"),
                     _glob_to_regex_col(F.col("disallow_globs")).alias("__rb_res"),
                 )
-            ).localCheckpoint(eager=True)
+            ).transform(local_ckpt)
 
     # -- admission predicate (crawler.py:1139-1179) ----------------------
     def _admit(self, cand: DataFrame, base_domain: str) -> DataFrame:
@@ -273,10 +281,10 @@ class CrawlEngine:
                 F.lit(0).alias("wave"),
                 "seq",
             )
-            .localCheckpoint(eager=True)
+            .transform(local_ckpt)
         )
 
-        seen = frontier.select("url_hash", "url", "wave").localCheckpoint(eager=True)
+        seen = frontier.select("url_hash", "url", "wave").transform(local_ckpt)
         if self.state_dir:
             from ..state.snapshots import SnapshotStore
 
@@ -327,10 +335,10 @@ class CrawlEngine:
         store.clear_orphan_tombstones(latest)
         store.set_crawl_status("running", self.cfg.started_at)
         manifest = store.manifest()
-        frontier = store.read_frontier(self.spark, latest).localCheckpoint(eager=True)
-        seen = store.read_seen(self.spark, latest).localCheckpoint(eager=True)
-        pages = store.read_pages(self.spark, latest).localCheckpoint(eager=True)
-        links = store.read_links(self.spark, latest).localCheckpoint(eager=True)
+        frontier = store.read_frontier(self.spark, latest).transform(local_ckpt)
+        seen = store.read_seen(self.spark, latest).transform(local_ckpt)
+        pages = store.read_pages(self.spark, latest).transform(local_ckpt)
+        links = store.read_links(self.spark, latest).transform(local_ckpt)
         metrics = sorted(manifest["metrics"], key=lambda m: m["wave"])
         crawled_total = sum(m["scheduled"] for m in metrics)
         cfg = self.cfg
@@ -356,7 +364,7 @@ class CrawlEngine:
                 F.col("url") == F.col("__pending"),
                 "left_anti",
             )
-            victims = victims.localCheckpoint(eager=True)
+            victims = victims.transform(local_ckpt)
             survivors = seen.join(
                 victims.select(F.col("url").alias("__evict")),
                 F.col("url") == F.col("__evict"),
@@ -378,7 +386,7 @@ class CrawlEngine:
             )
             frontier = frontier.unionByName(
                 refreshed.drop("__first_wave"), allowMissingColumns=False
-            ).localCheckpoint(eager=True)
+            ).transform(local_ckpt)
             # evicted rows get merge-on-read tombstones at the refresh
             # wave (invisible until that wave's manifest commits); their
             # replacement seen rows carry the refresh wave and persist
@@ -388,7 +396,7 @@ class CrawlEngine:
             )
             refreshed_seen = refreshed.select(
                 "url_hash", "url", "wave"
-            ).localCheckpoint(eager=True)
+            ).transform(local_ckpt)
             seen = survivors.unionByName(refreshed_seen).localCheckpoint(
                 eager=True
             )
@@ -447,6 +455,13 @@ class CrawlEngine:
         final_status = "completed"
         while wave < cfg.max_waves and crawled_total < cfg.max_urls:
             t0 = time.monotonic()
+            phases: dict[str, float] = {}
+            _pt = [t0]
+
+            def _mark(name: str) -> None:
+                now = time.monotonic()
+                phases[name] = round(now - _pt[0], 3)
+                _pt[0] = now
             if n_frontier == 0:
                 break
             # pause/stop poll (crawler.py:344-372) — between waves, so the
@@ -481,7 +496,9 @@ class CrawlEngine:
             pre = frontier
             trap_col = None
             if cfg.template_cap is not None:
-                pre = template_cap_tag(frontier, cfg.template_cap)
+                pre = template_cap_tag(
+                    frontier, cfg.template_cap, salt_buckets=cfg.salt_buckets
+                )
                 trap_col = "trap_admitted"
 
             if cfg.politeness_budget is not None or trap_col is not None:
@@ -499,7 +516,7 @@ class CrawlEngine:
                         tagged = tagged.drop(trap_col)
                 else:
                     tagged = pre.withColumnRenamed(trap_col, "admitted")
-                tagged = tagged.localCheckpoint(eager=True)
+                tagged = tagged.transform(local_ckpt)
                 # one job yields admitted/deferred counts AND the
                 # per-partition lineage of the scheduled side
                 grp = (
@@ -523,13 +540,14 @@ class CrawlEngine:
             else:
                 scheduled, deferred = frontier, None
                 n_sched, n_def = n_frontier, 0
+            _mark("sched")
 
             # global max_urls budget: first N in BFS order (crawler.py:680)
             remaining = cfg.max_urls - crawled_total
             truncated = n_sched > remaining
             if truncated:
                 scheduled = (
-                    scheduled.orderBy("seq").limit(remaining).localCheckpoint(eager=True)
+                    scheduled.orderBy("seq").limit(remaining).transform(local_ckpt)
                 )
                 n_sched = remaining
 
@@ -580,7 +598,7 @@ class CrawlEngine:
             )
 
             extracted, fetch_obs = observe_fetch(extract_pages(fetched, base_domain))
-            extracted = extracted.localCheckpoint(eager=True)  # materializes obs
+            extracted = extracted.transform(local_ckpt)  # materializes obs
             pages_parts.append(extracted)
             wave_links = explode_links(
                 extracted.withColumn(
@@ -589,9 +607,10 @@ class CrawlEngine:
                         F.array().cast(extracted.schema["links"].dataType)
                     ),
                 )
-            ).localCheckpoint(eager=True)
+            ).transform(local_ckpt)
             links_parts.append(wave_links)
             crawled_total += n_sched
+            _mark("fetch_extract")
 
             # -- expansion (crawler.py:895-902) ---------------------------
             # Runs for EVERY crawled wave — including one truncated by the
@@ -636,7 +655,7 @@ class CrawlEngine:
                         eager=True
                     )
                 else:
-                    bloom = bloom_build(seen_df).localCheckpoint(eager=True)
+                    bloom = bloom_build(seen_df).transform(local_ckpt)
             if bloom is not None and cfg.seen_filter == "cuckoo":
                 fresh = dedupe_against_seen_cuckoo(cand, seen_df, bloom)
             else:
@@ -656,11 +675,11 @@ class CrawlEngine:
                     if cfg.seen_filter == "cuckoo":
                         bloom = cuckoo_merge(
                             bloom, cuckoo_build(new_seen, m=cfg.cuckoo_m)
-                        ).localCheckpoint(eager=True)
+                        ).transform(local_ckpt)
                     else:
                         bloom = bloom_merge(
                             bloom, bloom_build(new_seen)
-                        ).localCheckpoint(eager=True)
+                        ).transform(local_ckpt)
                 if crawled_total < cfg.max_urls:
                     new_frontier = fresh.select(
                         "url", "url_hash", "host", "depth",
@@ -679,6 +698,7 @@ class CrawlEngine:
             else:
                 frontier = spark.createDataFrame([], frontier.schema)
             n_frontier = n_def + n_new
+            _mark("expand")
 
             # north rule: per-partition lineage + fetch metrics each wave
             if (cfg.politeness_budget is None and trap_col is None) or truncated:
@@ -700,6 +720,10 @@ class CrawlEngine:
                     "seconds": round(time.monotonic() - t0, 3),
                     "fetch": fetch_stats,
                     "partitions": lineage_rows,
+                    # per-phase wall seconds (sched/fetch_extract/expand
+                    # are marked above; snapshot/fold land after append —
+                    # dict is shared, so they appear in the same entry)
+                    "phases": phases,
                 }
             )
             if self.state_dir:
@@ -710,6 +734,16 @@ class CrawlEngine:
                 else:
                     delta = spark.createDataFrame([], seen_parts[0].schema)
                 self._snapshot(wave, frontier, delta, extracted, wave_links, metrics[-1])
+            _mark("snapshot")
+            # in-memory seen compaction (cfg.seen_fold_every): collapse
+            # the delta-part list into one checkpointed base so a long
+            # run's anti-join plan stays K-deep instead of O(waves)-deep
+            if len(seen_parts) >= cfg.seen_fold_every:
+                folded = seen_parts[0]
+                for p in seen_parts[1:]:
+                    folded = folded.unionByName(p)
+                seen_parts = [folded.transform(local_ckpt)]
+            _mark("fold")
             wave += 1
 
         if self.state_dir:

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..ckpt import local_ckpt
+
 
 def ordered_seq_counted(
     df: DataFrame,
@@ -44,7 +46,7 @@ def ordered_seq_counted(
     ranged = df.repartitionByRange(int(n_shuffle), *cols).withColumn(
         "__pid", F.spark_partition_id()
     )
-    ranged = ranged.localCheckpoint(eager=True)  # pin partition layout
+    ranged = ranged.transform(local_ckpt)  # pin partition layout
 
     sizes = {
         r["__pid"]: r["cnt"]

@@ -111,15 +111,24 @@ def url_template(url) -> F.Column:
     """Collapse a canonical URL's path+query to a template: digit runs →
     'N'. Calendars (/cal/2024/3/7), session-id mints (?session=8123) and
     paginated facet loops all fold to one template per host — the unit a
-    trap cap budgets on. Row-local regexp (codegen, no Python)."""
+    trap cap budgets on. Row-local regexp (codegen, no Python).
+
+    A URL that doesn't parse as scheme://authority (relative or
+    scheme-less — can't happen for canonicalized frontier rows, but the
+    cap must not silently merge them) templates as its raw digit-folded
+    string instead of collapsing into one '' bucket per host."""
     pathq = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
-    return F.regexp_replace(pathq, "[0-9]+", "N")
+    base = F.when(
+        url.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), pathq
+    ).otherwise(url)
+    return F.regexp_replace(base, "[0-9]+", "N")
 
 
 def template_cap_tag(
     frontier: DataFrame,
     cap: int,
     order_by: tuple[str, ...] = ("seq",),
+    salt_buckets: int = 1,
 ) -> DataFrame:
     """Tag frontier rows with ``trap_admitted``: at most ``cap`` URLs per
     (host, URL template) admitted per wave, earliest-``order_by`` first —
@@ -128,15 +137,25 @@ def template_cap_tag(
 
     A trap host minting unbounded URLs under one template degrades from
     "frontier fills with the trap" to "cap URLs per wave" — geometric
-    throttling with zero effect on hosts below the cap. Same skew note
-    as politeness: the window partitions by (host, template), so a trap
-    template IS a hot partition — but ranking stops at ``cap``, and the
-    deferred tail only needs the rank comparison, not a global sort."""
-    w = Window.partitionBy(
-        "host", url_template(F.col("url")).alias("__tpl")
-    ).orderBy(*order_by)
+    throttling with zero effect on hosts below the cap.
+
+    Skew: the window partitions by (host, template), so a trap template
+    IS a hot partition — 10^9 minted URLs would sort in ONE task.
+    ``salt_buckets`` applies the same fix as :func:`politeness_tag`:
+    split each template into k salted sub-queues (salt = pmod(url_hash,
+    k)) each admitting ceil(cap/k) — k-way parallel ranking,
+    deterministic, admitting between cap and k·ceil(cap/k) per wave
+    (same over-admission bound the politeness gate accepts)."""
+    tpl = url_template(F.col("url"))
+    if salt_buckets > 1:
+        salt = F.pmod(F.col("url_hash"), F.lit(salt_buckets))
+        per_salt_cap = -(-cap // salt_buckets)  # ceil(cap/k)
+        w = Window.partitionBy("host", tpl, salt).orderBy(*order_by)
+    else:
+        per_salt_cap = cap
+        w = Window.partitionBy("host", tpl).orderBy(*order_by)
     return (
         frontier.withColumn("__trnk", F.row_number().over(w))
-        .withColumn("trap_admitted", F.col("__trnk") <= cap)
+        .withColumn("trap_admitted", F.col("__trnk") <= per_salt_cap)
         .drop("__trnk")
     )

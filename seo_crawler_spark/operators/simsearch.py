@@ -177,7 +177,10 @@ def _int_dot(a, b):
 
 
 def ann_ivf_topk(
-    spark: SparkSession, sf_dir: str, n_probe: int = N_PROBE
+    spark: SparkSession,
+    sf_dir: str,
+    n_probe: int = N_PROBE,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize every vector to its
     nearest of N_CELLS pivot centroids, then answer each query by
@@ -186,7 +189,9 @@ def ann_ivf_topk(
 
     Pivot centroids (the first N_CELLS vectors by vec_id) keep the
     quantizer deterministic — a float k-means mean is accumulation-
-    order-dependent and would break oracle parity. The quantizer is a
+    order-dependent and would break oracle parity. Production passes a
+    trained quantizer via ``centroids`` ([(cell_id, vector), ...]) and
+    skips the pivot collect entirely. The quantizer is a
     driver-side constant (like any trained coarse quantizer), so cell
     assignment is row-local column arithmetic: NO shuffle until the
     (query_cell ⋈ index_cell) equi-join, and that join touches
@@ -196,13 +201,15 @@ def ann_ivf_topk(
     once N_CELLS reaches the thousands.
     """
     emb = load(spark, "embeddings", sf_dir)
-    cents = [
-        (r["vec_id"], [float(x) for x in r["embedding"]])
-        for r in emb.filter(F.col("vec_id") < N_CELLS)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .collect()
-    ]
+    cents = centroids
+    if cents is None:
+        cents = [
+            (r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in emb.filter(F.col("vec_id") < N_CELLS)
+            .select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .collect()
+        ]
 
     def scores(col):
         # (idot, -cid) structs: array_max/sort_array break idot ties
@@ -310,7 +317,10 @@ _ND_BAND_BITS = 4
 
 
 def embedding_neardup_lsh(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.45
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.45,
+    dim: int | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: banded hyperplane LSH with
     hamming-1 multi-probe per band — a candidate pair agrees on some
@@ -328,7 +338,7 @@ def embedding_neardup_lsh(
     vec_id) — embeddings join in once, per surviving candidate pair,
     for the verify (not 5× through the probe explode)."""
     emb = load(spark, "embeddings", sf_dir)
-    buckets = ann_lsh_bucketed(spark, sf_dir)
+    buckets = ann_lsh_bucketed(spark, sf_dir, dim=dim)
     mask = (1 << _ND_BAND_BITS) - 1
     band_key = lambda k: (
         F.shiftright(F.col("bucket"), k * _ND_BAND_BITS).bitwiseAND(F.lit(mask))

@@ -62,16 +62,27 @@ class SnapshotStore:
         to manifest-aware readers. Without it, a reader could list a
         half-written or never-committed wave whose files a resume later
         rewrites (double-count / FileNotFound in a long-lived stream).
+
         A pre-existing target dir is an orphan from a crash between
-        rename and manifest commit; the rewrite replaces it."""
+        rename and manifest commit. It is renamed ASIDE to a dot-prefixed
+        trash dir (one metadata op) and deleted only after the new dir is
+        in place — the visible path transitions old→absent→new across two
+        renames (microseconds), never through a half-deleted tree the way
+        an in-place rmtree would expose it. Dot-prefixed dirs are invisible
+        to the manifest reader and to the dashboard's ``wave=*`` glob."""
         import shutil
 
         final = self._wave_dir(table, wave)
         staging = os.path.join(self.root, table, f".staging-wave={wave}")
+        trash = os.path.join(self.root, table, f".trash-wave={wave}")
         df.write.mode("overwrite").parquet(staging)
+        if os.path.isdir(trash):  # leftover from an earlier crash
+            shutil.rmtree(trash)
         if os.path.isdir(final):
-            shutil.rmtree(final)
+            os.rename(final, trash)
         os.rename(staging, final)
+        if os.path.isdir(trash):
+            shutil.rmtree(trash)
 
     def commit_wave(
         self,
@@ -160,11 +171,13 @@ class SnapshotStore:
         written. Every resume calls this first."""
         import shutil
 
-        removed = []
+        removed = self.clear_staging()
         root = os.path.join(self.root, "seen_deletes")
         if not os.path.isdir(root):
             return removed
         for name in os.listdir(root):
+            if name.startswith("."):
+                continue  # staging/trash handled above, never wave-parsed
             try:
                 w = int(name.split("=", 1)[1])
             except (IndexError, ValueError):
@@ -173,6 +186,25 @@ class SnapshotStore:
                 d = os.path.join(root, name)
                 shutil.rmtree(d)
                 removed.append(d)
+        return removed
+
+    def clear_staging(self) -> list[str]:
+        """Sweep dot-prefixed staging/trash leftovers (a crash mid
+        ``_write_wave_atomic``) from every table dir — these are never
+        referenced by any reader, and unlike committed waves their
+        cleanup must not depend on their embedded wave number."""
+        import shutil
+
+        removed = []
+        for table in os.listdir(self.root):
+            tdir = os.path.join(self.root, table)
+            if not os.path.isdir(tdir):
+                continue
+            for name in os.listdir(tdir):
+                d = os.path.join(tdir, name)
+                if name.startswith(".") and os.path.isdir(d):
+                    shutil.rmtree(d)
+                    removed.append(d)
         return removed
 
     def read_seen(self, spark: SparkSession, upto_wave: int) -> DataFrame:

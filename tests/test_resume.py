@@ -328,3 +328,97 @@ def test_orphan_tombstones_cleared_on_resume(
         .collect()
     }
     assert before <= after  # nothing silently erased
+
+
+def test_staging_and_trash_swept_on_resume(spark, corpus_df, robots_df, tmp_path):
+    """Dot-prefixed staging/trash leftovers (a crash mid
+    _write_wave_atomic) are swept by clear_staging on resume — including
+    ones whose embedded wave number is <= latest committed, which the
+    orphan-tombstone wave rule alone would never touch."""
+    import os
+
+    from seo_crawler_spark.state.snapshots import SnapshotStore
+
+    state = str(tmp_path / "stagingstate")
+    CrawlEngine(
+        spark,
+        corpus_df,
+        robots_df,
+        CrawlConfig(max_depth=2, max_urls=10_000, max_waves=1),
+        state_dir=state,
+    ).run(seed_urls(N_HOSTS))
+    store = SnapshotStore(state)
+    latest = store.latest_wave()
+    leftovers = [
+        os.path.join(state, "pages", ".staging-wave=0"),
+        os.path.join(state, "seen", f".trash-wave={latest}"),
+        os.path.join(state, "seen_deletes", ".staging-wave=0"),
+    ]
+    for d in leftovers:
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "junk"), "w") as f:
+            f.write("x")
+
+    removed = store.clear_orphan_tombstones(latest)
+    for d in leftovers:
+        assert not os.path.isdir(d), d
+    assert set(removed) >= set(leftovers)
+
+
+def test_wave_orphan_replaced_without_partial_visibility(
+    spark, corpus_df, robots_df, tmp_path
+):
+    """An orphan wave dir (renamed but manifest-commit crashed) is
+    replaced via rename-aside: after the rewrite the final dir holds the
+    NEW write only, and no trash/staging dirs remain."""
+    import os
+
+    from seo_crawler_spark.state.snapshots import SnapshotStore
+
+    state = str(tmp_path / "orphanwave")
+    store = SnapshotStore(state)
+    df1 = spark.range(5).selectExpr("id", "'old' AS tag")
+    df2 = spark.range(3).selectExpr("id", "'new' AS tag")
+    store._write_wave_atomic(df1, "pages", 0)  # the orphan
+    store._write_wave_atomic(df2, "pages", 0)  # resume's rewrite
+    got = spark.read.parquet(store._wave_dir("pages", 0))
+    assert got.count() == 3
+    assert {r["tag"] for r in got.select("tag").distinct().collect()} == {"new"}
+    names = os.listdir(os.path.join(state, "pages"))
+    assert names == ["wave=0"]
+
+
+def test_dashboard_schema_matches_written_pages(
+    spark, corpus_df, robots_df, tmp_path
+):
+    """PAGE_SCHEMA (the dashboard's cold-start stream schema) must agree
+    name+type with the parquet commit_wave actually writes — otherwise a
+    dashboard attached before wave 0 silently reads nulls after a schema
+    drift instead of failing."""
+    from seo_crawler_spark.schema import PAGE_SCHEMA
+    from seo_crawler_spark.state.snapshots import SnapshotStore
+
+    state = str(tmp_path / "schemastate")
+    CrawlEngine(
+        spark,
+        corpus_df,
+        robots_df,
+        CrawlConfig(max_depth=2, max_urls=10_000, max_waves=1),
+        state_dir=state,
+    ).run(seed_urls(N_HOSTS))
+    store = SnapshotStore(state)
+    written = spark.read.parquet(store._wave_dir("pages", store.latest_wave())).schema
+    # nullability normalized (parquet round-trips relax NOT NULL):
+    # simpleString carries names + types but not nullability
+    written_types = {f.name: f.dataType.simpleString() for f in written.fields}
+    pinned_types = {f.name: f.dataType.simpleString() for f in PAGE_SCHEMA.fields}
+    # every aggregated dashboard column must exist in BOTH, same type
+    for col in ("status_code", "depth", "wave", "word_count"):
+        assert written_types.get(col) == pinned_types.get(col) != None  # noqa: E711
+    # and the pinned schema must not drift from the written one at all
+    drift = {
+        n: (pinned_types[n], written_types[n])
+        for n in pinned_types.keys() & written_types.keys()
+        if pinned_types[n] != written_types[n]
+    }
+    assert drift == {}

@@ -73,9 +73,54 @@ def test_template_cap_tag_admits_fifo_per_template(spark):
     assert all(a for u, a in got.items() if "ok.com" in u)
 
 
+def test_url_template_noncanonical_fallback(spark):
+    """Scheme-less URLs must NOT collapse into one '' bucket: they
+    template as their raw digit-folded string (politeness.py fallback)."""
+    df = spark.createDataFrame(
+        [("relative/path/1",), ("other/2",), ("http://h.com/x/3",)],
+        "url string",
+    )
+    got = [r[0] for r in df.select(url_template(F.col("url"))).collect()]
+    assert got == ["relative/path/N", "other/N", "/x/N"]
+
+
+def test_template_cap_tag_salted_bounds(spark):
+    """Salted trap cap: per-salt FIFO with cap ceil(cap/k); total
+    admitted for an over-cap template lands in [cap, k*ceil(cap/k)];
+    below-cap templates are untouched."""
+    rows = [
+        *[
+            (f"http://trap.com/cal/2024/{i}/1", i, "trap.com", 1, 1, i)
+            for i in range(40)
+        ],
+        *[
+            (f"http://ok.com/page{i}", 100 + i, "ok.com", 1, 1, 100 + i)
+            for i in range(3)
+        ],
+    ]
+    cap, k = 6, 4  # per-salt cap = 2
+    tagged = template_cap_tag(_frontier(spark, rows), cap=cap, salt_buckets=k)
+    got = {r["url"]: r["trap_admitted"] for r in tagged.collect()}
+    assert len(got) == 43
+    trap_admitted = {
+        int(u.rsplit("/", 2)[1]) for u, a in got.items() if a and "trap.com" in u
+    }
+    assert cap <= len(trap_admitted) <= k * -(-cap // k)
+    # deterministic FIFO within each salt bucket: admitted seqs are the
+    # per-salt minima (url_hash = seq = i here, salt = i % k)
+    by_salt = {}
+    for i in sorted(trap_admitted):
+        by_salt.setdefault(i % k, []).append(i)
+    for s, seqs in by_salt.items():
+        expect = [i for i in range(40) if i % k == s][: len(seqs)]
+        assert seqs == expect
+    assert all(a for u, a in got.items() if "ok.com" in u)
+
+
 def test_engine_template_cap_defers_not_drops(spark):
     """A capped crawl visits the same final URL set as an uncapped one
-    (deferral re-admits cap URLs per wave), just across more waves."""
+    (deferral re-admits cap URLs per wave), just across more waves —
+    with salting OFF and ON (salted per-wave bound is k*ceil(cap/k))."""
     corpus = generate_corpus(spark, n_docs=150, n_hosts=3, seed=7).localCheckpoint(
         eager=True
     )
@@ -83,29 +128,33 @@ def test_engine_template_cap_defers_not_drops(spark):
     seeds = seed_urls(3)
     kw = dict(max_depth=2, max_urls=150, crawl_external=True, max_waves=40)
     base = CrawlEngine(spark, corpus, robots, CrawlConfig(**kw)).run(seeds)
-    capped = CrawlEngine(
-        spark, corpus, robots, CrawlConfig(template_cap=5, **kw)
-    ).run(seeds)
-
     base_urls = {r["url"] for r in base.pages.select("url").collect()}
-    capped_urls = {r["url"] for r in capped.pages.select("url").collect()}
-    assert base_urls == capped_urls
     base_seen = {r["url"] for r in base.seen.select("url").collect()}
-    capped_seen = {r["url"] for r in capped.seen.select("url").collect()}
-    assert base_seen == capped_seen
-    # capping is real: more waves were needed to drain the same set
-    assert len(capped.metrics) > len(base.metrics)
-    # per-wave cap holds on every scheduled wave
-    pages = capped.pages.select(
-        "wave", "host", url_template(F.col("url")).alias("tpl")
-    )
-    max_per = (
-        pages.groupBy("wave", "host", "tpl")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.max("n").alias("m"))
-        .collect()[0]["m"]
-    )
-    assert max_per <= 5
+
+    for salt in (1, 2):
+        capped = CrawlEngine(
+            spark,
+            corpus,
+            robots,
+            CrawlConfig(template_cap=5, salt_buckets=salt, **kw),
+        ).run(seeds)
+        capped_urls = {r["url"] for r in capped.pages.select("url").collect()}
+        assert capped_urls == base_urls
+        capped_seen = {r["url"] for r in capped.seen.select("url").collect()}
+        assert capped_seen == base_seen
+        # capping is real: more waves were needed to drain the same set
+        assert len(capped.metrics) > len(base.metrics)
+        # per-wave cap holds on every scheduled wave
+        pages = capped.pages.select(
+            "wave", "host", url_template(F.col("url")).alias("tpl")
+        )
+        max_per = (
+            pages.groupBy("wave", "host", "tpl")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("m"))
+            .collect()[0]["m"]
+        )
+        assert max_per <= salt * -(-5 // salt)
 
 
 def test_template_cap_zero_rejected(spark):
