@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from seo_crawler_spark.operators import corpus_stats as CS
+from seo_crawler_spark.operators import curation as CU
 from seo_crawler_spark.operators import dedup as D
 from seo_crawler_spark.operators import graph as G
 from seo_crawler_spark.operators import multimodal as MM
@@ -143,6 +144,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": CS.length_quantiles,
         "dedup_keep_best": CS.dedup_keep_best,
         "mixture_allocation": CS.mixture_allocation,
+        # round-3 curation: semantic dedup, batch packing, rule bundle
+        "semdedup": CU.semdedup,
+        "sequence_packing": CU.sequence_packing,
+        "quality_filter_verdicts": CU.quality_filter_verdicts,
     }
 
 
@@ -205,4 +210,7 @@ def oracle_sql() -> dict[str, str]:
         "length_quantiles": CS.length_quantiles_sql(),
         "dedup_keep_best": CS.dedup_keep_best_sql(),
         "mixture_allocation": CS.mixture_allocation_sql(),
+        "semdedup": CU.semdedup_sql(),
+        "sequence_packing": CU.sequence_packing_sql(),
+        "quality_filter_verdicts": CU.quality_filter_verdicts_sql(),
     }

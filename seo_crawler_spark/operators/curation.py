@@ -1,0 +1,291 @@
+"""Corpus-curation operators round 3: semantic dedup over embeddings,
+training-sequence packing, and the keep/drop rule bundle.
+
+These extend the LLM-pipeline suite (dedup.py / textstats.py /
+simsearch.py) with the three remaining steps a pretraining data
+pipeline runs between "scored" and "training batches":
+
+* :func:`semdedup` — SemDeDup (Abbas et al., 2023): cluster the
+  embedding space coarsely, then inside each cluster drop every vector
+  that is cosine-similar to a lower-id keeper. Pairwise keep-first
+  (drop b when some a<b in the same cell has cos≥t) rather than the
+  paper's sequential scan — deterministic, SQL-expressible, and at
+  scale the intra-cell self-join is bounded by the cell size (n/K per
+  cell; for mega-cells compose with the banded LSH from simsearch.py
+  inside the cell).
+* :func:`sequence_packing` — Megatron-style greedy chop: stream each
+  (source, hash-bucket) partition in doc_id order and cut it into
+  fixed ``ctx_len``-token bins; a doc's bin and intra-bin offset are
+  pure prefix-sum arithmetic (one window). Bucketing bounds every
+  window partition so a mega-source never serializes into one task —
+  same salting discipline as the politeness gate.
+* :func:`quality_filter_verdicts` — the Gopher/RedPajama-shaped rule
+  bundle over the quality heuristics already in textstats.py, emitting
+  keep + machine-readable reasons so downstream mixture sampling can
+  re-weight instead of hard-dropping.
+
+Every operator has a DuckDB oracle twin (md5int parity hashing where
+hashing is needed; fixed-point integer dots for the cluster
+assignment, as in simsearch.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import MD5INT_SQL, TOKENS_SQL, md5int, tokens
+from ..sources.tables import load
+from .simsearch import DOT_SCALE, N_CELLS, _cosine, _int_dot
+from .textstats import STOPWORDS
+
+SEM_THRESHOLD = 0.45
+
+
+def semdedup(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = SEM_THRESHOLD,
+    n_cells: int = N_CELLS,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """(vec_id, cell, is_kept): coarse-cluster every embedding to its
+    nearest pivot centroid (deterministic integer dots — same quantizer
+    as ann_ivf_topk), then within each cell drop vectors cosine-similar
+    (round(cos,4) >= threshold) to any lower-id vector of that cell.
+
+    Plan: row-local cell assignment (no shuffle), ONE intra-cell
+    self-join on the id-ordered pair predicate, distinct drop set,
+    left-anti flag join. The pair join carries only (cell, vec_id,
+    embedding); at 10^10 vectors the table is stored partitioned by
+    cell so the self-join is partition-local."""
+    emb = load(spark, "embeddings", sf_dir)
+    cents = centroids
+    if cents is None:
+        cents = [
+            (r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in emb.filter(F.col("vec_id") < n_cells)
+            .select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .collect()
+        ]
+
+    def cell_of(col):
+        scores = F.array(
+            *[
+                F.struct(
+                    _int_dot(col, F.array(*[F.lit(x) for x in cv])).alias("s"),
+                    F.lit(-cid).alias("nc"),
+                )
+                for cid, cv in cents
+            ]
+        )
+        return (-F.array_max(scores).getField("nc")).alias("cell")
+
+    assigned = emb.select("vec_id", "embedding", cell_of(F.col("embedding")))
+    a = assigned.select(
+        F.col("cell"), F.col("vec_id").alias("a"), F.col("embedding").alias("va")
+    )
+    b = assigned.select(
+        F.col("cell"), F.col("vec_id").alias("b"), F.col("embedding").alias("vb")
+    )
+    drops = (
+        a.join(b, "cell")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", F.round(_cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("b")
+        .distinct()
+        .withColumn("__dropped", F.lit(True))
+    )
+    return (
+        assigned.join(drops, assigned.vec_id == F.col("b"), "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("__dropped").isNull().alias("is_kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def semdedup_sql(
+    threshold: float = SEM_THRESHOLD, n_cells: int = N_CELLS
+) -> str:
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS ccid, embedding AS cvec FROM embeddings
+  WHERE vec_id < {n_cells}
+),
+ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS v
+  FROM embeddings
+),
+cex AS (
+  SELECT ccid, generate_subscripts(cvec, 1) AS d, unnest(cvec) AS cv
+  FROM cents
+),
+idots AS (
+  SELECT ex.vec_id, cex.ccid,
+         sum(floor(ex.v::DOUBLE * {DOT_SCALE})::BIGINT *
+             floor(cex.cv::DOUBLE * {DOT_SCALE})::BIGINT) AS idot
+  FROM ex JOIN cex ON ex.d = cex.d
+  GROUP BY ex.vec_id, cex.ccid
+),
+cells AS (
+  SELECT vec_id, ccid AS cell FROM (
+    SELECT vec_id, ccid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY idot DESC, ccid ASC) AS rn
+    FROM idots
+  ) WHERE rn = 1
+),
+assigned AS (
+  SELECT c.vec_id, c.cell, e.embedding
+  FROM cells c JOIN embeddings e USING (vec_id)
+),
+drops AS (
+  SELECT DISTINCT y.vec_id AS b
+  FROM assigned x JOIN assigned y
+    ON x.cell = y.cell AND x.vec_id < y.vec_id
+  WHERE round(list_cosine_similarity(x.embedding, y.embedding), 4) >= {threshold}
+)
+SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+       (d.b IS NULL) AS is_kept
+FROM assigned a LEFT JOIN drops d ON a.vec_id = d.b
+ORDER BY a.vec_id
+"""
+
+
+PACK_CTX = 512
+PACK_BUCKETS = 8
+
+
+def sequence_packing(
+    spark: SparkSession,
+    sf_dir: str,
+    ctx_len: int = PACK_CTX,
+    buckets: int = PACK_BUCKETS,
+) -> DataFrame:
+    """Greedy-chop sequence packing: concatenate each (source, bucket)
+    stream in doc_id order and cut every ``ctx_len`` tokens; each doc
+    reports its bin and intra-bin token offset (docs may straddle bins —
+    the boundary-bleed packing used for pretraining batches).
+
+    bin/offset are prefix sums over ONE window; ``buckets``
+    (md5int-salted) bounds the window partition size so a source owning
+    most of the corpus still packs in parallel — per-bucket streams are
+    independent training shards."""
+    docs = load(spark, "documents", sf_dir)
+    n_tok = F.size(tokens(F.col("text")))
+    bucket = F.pmod(
+        md5int(F.concat(F.lit("pk:"), F.col("doc_id").cast("string"))),
+        F.lit(buckets),
+    ).cast("int")
+    base = docs.select(
+        "source", "doc_id", bucket.alias("bucket"), n_tok.alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tok").over(w), F.lit(0).cast("long"))
+    return (
+        base.withColumn("bin", F.floor(cum_before / ctx_len).cast("int"))
+        .withColumn("bin_offset", F.pmod(cum_before, F.lit(ctx_len)).cast("int"))
+        .orderBy("doc_id")
+    )
+
+
+def sequence_packing_sql(
+    ctx_len: int = PACK_CTX, buckets: int = PACK_BUCKETS
+) -> str:
+    tok = TOKENS_SQL.format(c="text")
+    h = MD5INT_SQL.format(c="('pk:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH base AS (
+  SELECT source, doc_id,
+         CAST({h} % {buckets} AS INT) AS bucket,
+         len({tok}) AS n_tok
+  FROM documents
+),
+packed AS (
+  SELECT source, doc_id, bucket, n_tok,
+         coalesce(sum(n_tok) OVER (PARTITION BY source, bucket
+                                   ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS cum_before
+  FROM base
+)
+SELECT source, doc_id, bucket, CAST(n_tok AS INT) AS n_tok,
+       CAST(cum_before // {ctx_len} AS INT) AS bin,
+       CAST(cum_before % {ctx_len} AS INT) AS bin_offset
+FROM packed ORDER BY doc_id
+"""
+
+
+def quality_filter_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep/drop verdict per doc with machine-readable reasons, built
+    from the same row-local heuristics quality_scores computes (Gopher
+    rules §A1.1 shape): token count bounds, mean word length band,
+    punctuation density, stopword presence. All codegen exprs, no
+    shuffle (final orderBy is presentation only)."""
+    docs = load(spark, "documents", sf_dir)
+    tok = tokens(F.col("text"))
+    n_tok = F.size(tok)
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace(F.col("text"), r"[^\w\s]", ""))
+    en_hits = F.size(F.filter(tok, lambda t: t.isin(*STOPWORDS["en"])))
+    mean_wl = F.aggregate(
+        tok, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(n_tok, F.lit(1))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    rules = [
+        ("too_short", n_tok < 30),
+        ("too_long", n_tok > 100_000),
+        ("word_len_out_of_band", (mean_wl < 3) | (mean_wl > 10)),
+        ("high_punctuation", punct_ratio > 0.1),
+        ("no_stopwords", en_hits == 0),
+    ]
+    reasons = F.filter(
+        F.array(
+            *[F.when(cond, F.lit(name)).otherwise(F.lit(None)) for name, cond in rules]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    return docs.select(
+        "doc_id",
+        reasons.alias("reasons"),
+        (F.size(reasons) == 0).alias("keep"),
+    ).orderBy("doc_id")
+
+
+def quality_filter_verdicts_sql() -> str:
+    tok = TOKENS_SQL.format(c="text")
+    lst = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         len({tok}) AS n_tok,
+         list_sum(list_transform({tok}, t -> length(t))) * 1.0 /
+           greatest(len({tok}), 1) AS mean_wl,
+         (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+           * 1.0 / greatest(length(text), 1) AS punct_ratio,
+         len(list_filter({tok}, t -> t IN ({lst}))) AS en_hits
+  FROM documents
+),
+v AS (
+  SELECT doc_id,
+         list_filter([
+           CASE WHEN n_tok < 30 THEN 'too_short' END,
+           CASE WHEN n_tok > 100000 THEN 'too_long' END,
+           CASE WHEN mean_wl < 3 OR mean_wl > 10 THEN 'word_len_out_of_band' END,
+           CASE WHEN punct_ratio > 0.1 THEN 'high_punctuation' END,
+           CASE WHEN en_hits = 0 THEN 'no_stopwords' END
+         ], x -> x IS NOT NULL) AS reasons
+  FROM m
+)
+SELECT doc_id, reasons, (len(reasons) = 0) AS keep
+FROM v ORDER BY doc_id
+"""

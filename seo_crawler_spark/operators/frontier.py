@@ -600,6 +600,10 @@ class CrawlEngine:
             extracted, fetch_obs = observe_fetch(extract_pages(fetched, base_domain))
             extracted = extracted.transform(local_ckpt)  # materializes obs
             pages_parts.append(extracted)
+            # NOT checkpointed: a map-only explode over the checkpointed
+            # extracted frame — recomputing it per consumer (cand build,
+            # finalize union, snapshot) is cheaper than one more
+            # materialization barrier per wave, locally and at scale
             wave_links = explode_links(
                 extracted.withColumn(
                     "links",
@@ -607,7 +611,7 @@ class CrawlEngine:
                         F.array().cast(extracted.schema["links"].dataType)
                     ),
                 )
-            ).transform(local_ckpt)
+            )
             links_parts.append(wave_links)
             crawled_total += n_sched
             _mark("fetch_extract")

@@ -10,6 +10,9 @@ SF001 = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("tests", master="local[4]", shuffle_partitions=8)
+    # local[8]/shuffle=4: engine waves are dozens of tiny jobs — more
+    # concurrent tasks and fewer shuffle partitions both cut the
+    # per-job constant that dominates the suite's wall time
+    s = get_spark("tests", master="local[8]", shuffle_partitions=4)
     yield s
     s.stop()
