@@ -205,6 +205,7 @@ HEADLINE = [
     "inverted_index",
     "interleaved_spans",
     "events_sessionize",
+    "semdedup",
 ]
 
 

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import MD5INT_SQL, TOKENS_SQL, md5int, tokens
 from ..sources.tables import load
-from .simsearch import DOT_SCALE, N_CELLS, _cosine, _int_dot
+from .simsearch import DOT_SCALE, N_CELLS, _int_dot
 from .textstats import STOPWORDS
 
 SEM_THRESHOLD = 0.45
@@ -83,16 +83,38 @@ def semdedup(
         return (-F.array_max(scores).getField("nc")).alias("cell")
 
     assigned = emb.select("vec_id", "embedding", cell_of(F.col("embedding")))
-    a = assigned.select(
-        F.col("cell"), F.col("vec_id").alias("a"), F.col("embedding").alias("va")
+    # norm precomputed per VECTOR (one array fold each) instead of per
+    # PAIR inside a cosine helper — the pair stage then runs a single
+    # zip_with dot per candidate pair: 3 O(d) folds/pair → 1
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v,
+        )
     )
-    b = assigned.select(
-        F.col("cell"), F.col("vec_id").alias("b"), F.col("embedding").alias("vb")
+    sides = assigned.withColumn("norm", norm)
+    a = sides.select(
+        F.col("cell"),
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = sides.select(
+        F.col("cell"),
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
     )
     drops = (
         a.join(b, "cell")
         .filter(F.col("a") < F.col("b"))
-        .withColumn("cos", F.round(_cosine(F.col("va"), F.col("vb")), 4))
+        .withColumn("cos", F.round(dot / (F.col("na") * F.col("nb")), 4))
         .filter(F.col("cos") >= threshold)
         .select("b")
         .distinct()
