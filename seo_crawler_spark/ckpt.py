@@ -39,13 +39,34 @@ def local_ckpt(df: DataFrame) -> DataFrame:
     at ~5 unrolled iterations) can keep plain ``localCheckpoint`` — the
     estimate gains a bounded number of factors and never reaches
     BigInteger blowup territory.
+
+    Tradeoffs of the stats-free rebuild:
+
+    * The fresh ``LogicalRDD`` also loses ``outputPartitioning`` /
+      ``outputOrdering`` metadata that plain ``localCheckpoint``
+      preserves, so a downstream join keyed on the checkpoint's
+      partitioning re-shuffles. The engine loop accepts that: each
+      wave shuffles on different keys anyway, and an extra bounded
+      shuffle beats an unbounded stats blowup.
+    * ``internalCreateDataFrame`` is `private[sql]` (reachable via py4j
+      in classic mode, stable across Spark 3.x/4.x bytecode) and does
+      NOT exist under Spark Connect. When the py4j surface is absent we
+      fall back to plain ``localCheckpoint`` — correct, but the caller
+      should bound loop depth or persist to the snapshot store at fold
+      points to keep stats from compounding.
     """
     spark = df.sparkSession
+    if not hasattr(df, "_jdf") or not hasattr(spark, "_jsparkSession"):
+        # Spark Connect: no py4j handles; stats-free rebuild unavailable.
+        return df.localCheckpoint(eager=True)
     jdf = df._jdf.localCheckpoint(True)
     # internalCreateDataFrame is private[sql] in Scala — public in
     # bytecode, stable across Spark 3.x/4.x — and builds a LogicalRDD
     # with NO stats argument (falls back to defaultSizeInBytes).
-    out_jdf = spark._jsparkSession.internalCreateDataFrame(
-        jdf.queryExecution().toRdd(), jdf.schema(), False
-    )
+    try:
+        out_jdf = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+    except Exception:  # py4j method missing/renamed in a future Spark
+        return DataFrame(jdf, spark)
     return DataFrame(out_jdf, spark)

@@ -36,7 +36,13 @@ from pyspark.sql import functions as F
 
 from ..functions.text import MD5INT_SQL, TOKENS_SQL, md5int, tokens
 from ..sources.tables import load
-from .simsearch import DOT_SCALE, N_CELLS, _int_dot
+from .simsearch import (
+    N_CELLS,
+    cell_assign_udf,
+    literal_cell_scores,
+    pivot_centroids,
+)
+from .simsearch import DOT_SCALE  # noqa: F401 — used by semdedup_sql
 from .textstats import STOPWORDS
 
 SEM_THRESHOLD = 0.45
@@ -46,43 +52,42 @@ def semdedup(
     spark: SparkSession,
     sf_dir: str,
     threshold: float = SEM_THRESHOLD,
-    n_cells: int = N_CELLS,
+    n_cells: int | str = N_CELLS,
     centroids: list[tuple[int, list[float]]] | None = None,
+    quantizer: str = "matmul",
 ) -> DataFrame:
     """(vec_id, cell, is_kept): coarse-cluster every embedding to its
     nearest pivot centroid (deterministic integer dots — same quantizer
     as ann_ivf_topk), then within each cell drop vectors cosine-similar
     (round(cos,4) >= threshold) to any lower-id vector of that cell.
 
-    Plan: row-local cell assignment (no shuffle), ONE intra-cell
-    self-join on the id-ordered pair predicate, distinct drop set,
-    left-anti flag join. The pair join carries only (cell, vec_id,
-    embedding); at 10^10 vectors the table is stored partitioned by
-    cell so the self-join is partition-local."""
+    Plan: row-local cell assignment (no shuffle — an Arrow-batched
+    int64-matmul Pandas UDF carrying the centroid matrix in its
+    closure; ``quantizer="literal"`` selects the F.lit expression twin,
+    bit-identical, for parity tests), ONE intra-cell self-join on the
+    id-ordered pair predicate, distinct drop set, left-anti flag join.
+    The pair join carries only (cell, vec_id, embedding); at 10^10
+    vectors the table is stored partitioned by cell so the self-join is
+    partition-local.
+
+    Cell-count scaling: SemDeDup needs k ∝ √N (Abbas et al. 2023) so
+    the expected intra-cell pair count N²/k grows as N^1.5, not N².
+    ``n_cells="sqrt"`` sets k = max(16, ⌈√N⌉) from the corpus count;
+    the registered oracle query keeps the fixed default so the DuckDB
+    twin (literal {n_cells}) stays reproducible."""
     emb = load(spark, "embeddings", sf_dir)
-    cents = centroids
-    if cents is None:
-        cents = [
-            (r["vec_id"], [float(x) for x in r["embedding"]])
-            for r in emb.filter(F.col("vec_id") < n_cells)
-            .select("vec_id", "embedding")
-            .orderBy("vec_id")
-            .collect()
-        ]
+    if n_cells == "sqrt":
+        import math
 
-    def cell_of(col):
-        scores = F.array(
-            *[
-                F.struct(
-                    _int_dot(col, F.array(*[F.lit(x) for x in cv])).alias("s"),
-                    F.lit(-cid).alias("nc"),
-                )
-                for cid, cv in cents
-            ]
-        )
-        return (-F.array_max(scores).getField("nc")).alias("cell")
+        n_cells = max(16, math.isqrt(emb.count() - 1) + 1)
+    cents = centroids if centroids is not None else pivot_centroids(emb, n_cells)
 
-    assigned = emb.select("vec_id", "embedding", cell_of(F.col("embedding")))
+    if quantizer == "matmul":
+        cell_col = cell_assign_udf(cents, 1)(F.col("embedding")).getItem(0)
+    else:
+        scores = literal_cell_scores(cents)
+        cell_col = -F.array_max(scores(F.col("embedding"))).getField("nc")
+    assigned = emb.select("vec_id", "embedding", cell_col.alias("cell"))
     # norm precomputed per VECTOR (one array fold each) instead of per
     # PAIR inside a cosine helper — the pair stage then runs a single
     # zip_with dot per candidate pair: 3 O(d) folds/pair → 1
@@ -167,10 +172,16 @@ assigned AS (
   FROM cells c JOIN embeddings e USING (vec_id)
 ),
 drops AS (
+  -- DOUBLE[] cast: Spark's zip_with/aggregate cosine accumulates in
+  -- double; DuckDB's list_cosine_similarity on FLOAT[] computes in
+  -- single precision (~1e-4 error), which can flip is_kept for pairs
+  -- within ~1e-4 of the threshold. Casting makes both engines run the
+  -- identical sequential double sum.
   SELECT DISTINCT y.vec_id AS b
   FROM assigned x JOIN assigned y
     ON x.cell = y.cell AND x.vec_id < y.vec_id
-  WHERE round(list_cosine_similarity(x.embedding, y.embedding), 4) >= {threshold}
+  WHERE round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4)
+        >= {threshold}
 )
 SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
        (d.b IS NULL) AS is_kept

@@ -497,9 +497,9 @@ def dedup_embedding_cosine_brute(
 def dedup_embedding_cosine_brute_sql(threshold: float = 0.45) -> str:
     return f"""
 SELECT x.vec_id AS a, y.vec_id AS b,
-       round(list_cosine_similarity(x.embedding, y.embedding), 4) AS cos
+       round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) AS cos
 FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
-WHERE round(list_cosine_similarity(x.embedding, y.embedding), 4) >= {threshold}
+WHERE round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) >= {threshold}
 ORDER BY a, b
 """
 
@@ -590,10 +590,10 @@ cand AS (
                             AND x.vec_id < y.vec_id
 )
 SELECT c.a, c.b,
-       round(list_cosine_similarity(p.embedding, q.embedding), 4) AS cos
+       round(list_cosine_similarity(p.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cos
 FROM cand c JOIN embeddings p ON c.a = p.vec_id
             JOIN embeddings q ON c.b = q.vec_id
-WHERE round(list_cosine_similarity(p.embedding, q.embedding), 4) >= {threshold}
+WHERE round(list_cosine_similarity(p.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) >= {threshold}
 ORDER BY a, b
 """
 

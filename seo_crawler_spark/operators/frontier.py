@@ -725,11 +725,25 @@ class CrawlEngine:
                     "fetch": fetch_stats,
                     "partitions": lineage_rows,
                     # per-phase wall seconds (sched/fetch_extract/expand
-                    # are marked above; snapshot/fold land after append —
-                    # dict is shared, so they appear in the same entry)
+                    # are marked above; fold is marked after append and
+                    # snapshot inside commit_wave's on_data_written hook,
+                    # so the PERSISTED manifest metric carries all five)
                     "phases": phases,
                 }
             )
+            # in-memory seen compaction (cfg.seen_fold_every): collapse
+            # the delta-part list into one checkpointed base so a long
+            # run's anti-join plan stays K-deep instead of O(waves)-deep.
+            # Runs BEFORE the snapshot (it only touches seen_parts, which
+            # the snapshot doesn't read) so the persisted manifest metric
+            # carries ALL five phase timings — only the manifest write
+            # itself (ms) is unattributed.
+            if len(seen_parts) >= cfg.seen_fold_every:
+                folded = seen_parts[0]
+                for p in seen_parts[1:]:
+                    folded = folded.unionByName(p)
+                seen_parts = [folded.transform(local_ckpt)]
+            _mark("fold")
             if self.state_dir:
                 if wave_deltas:
                     delta = wave_deltas[0]
@@ -737,17 +751,12 @@ class CrawlEngine:
                         delta = delta.unionByName(p)
                 else:
                     delta = spark.createDataFrame([], seen_parts[0].schema)
-                self._snapshot(wave, frontier, delta, extracted, wave_links, metrics[-1])
-            _mark("snapshot")
-            # in-memory seen compaction (cfg.seen_fold_every): collapse
-            # the delta-part list into one checkpointed base so a long
-            # run's anti-join plan stays K-deep instead of O(waves)-deep
-            if len(seen_parts) >= cfg.seen_fold_every:
-                folded = seen_parts[0]
-                for p in seen_parts[1:]:
-                    folded = folded.unionByName(p)
-                seen_parts = [folded.transform(local_ckpt)]
-            _mark("fold")
+                self._snapshot(
+                    wave, frontier, delta, extracted, wave_links, metrics[-1],
+                    on_data_written=lambda: _mark("snapshot"),
+                )
+            else:
+                _mark("snapshot")
             wave += 1
 
         if self.state_dir:
@@ -837,7 +846,8 @@ class CrawlEngine:
             "seq",
         )
 
-    def _snapshot(self, wave, frontier, seen, pages, links, metric):
+    def _snapshot(self, wave, frontier, seen, pages, links, metric,
+                  on_data_written=None):
         from ..state.snapshots import SnapshotStore
 
         store = SnapshotStore(self.state_dir)
@@ -849,4 +859,5 @@ class CrawlEngine:
             links=links,
             metric=metric,
             base_domain=getattr(self, "_base_domain", None),
+            on_data_written=on_data_written,
         )

@@ -15,6 +15,8 @@ broadcast.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -66,8 +68,10 @@ def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ANN_BRUTE_SQL = f"""
 WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < {N_QUERIES}),
 scored AS (
+  -- DOUBLE[] cast: match Spark's double-accumulating cosine exactly
+  -- (FLOAT[] would run list_cosine_similarity in single precision)
   SELECT q.qid, c.vec_id AS cid,
-         round(list_cosine_similarity(q.qv, c.embedding), 4) AS cos
+         round(list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cos
   FROM q JOIN embeddings c ON q.qid <> c.vec_id
 ),
 ranked AS (
@@ -176,44 +180,73 @@ def _int_dot(a, b):
     )
 
 
-def ann_ivf_topk(
-    spark: SparkSession,
-    sf_dir: str,
-    n_probe: int = N_PROBE,
-    centroids: list[tuple[int, list[float]]] | None = None,
-) -> DataFrame:
-    """IVF (inverted-file) ANN: coarse-quantize every vector to its
-    nearest of N_CELLS pivot centroids, then answer each query by
-    scanning only its n_probe closest cells with an exact cosine
-    re-rank — the classic IVF-Flat layout (Jégou et al., PAMI 2011).
+def cell_assign_udf(centroids: list[tuple[int, list[float]]], n_probe: int = 1):
+    """Production coarse quantizer: a vectorized (Arrow-batched) Pandas
+    UDF mapping an embedding column to its ``n_probe`` nearest cell ids
+    by fixed-point integer dot — bit-identical to the
+    ``_int_dot``-over-``F.lit``-literals expression path and therefore
+    to the DuckDB oracle, but O(1) plan size in the number of cells.
 
-    Pivot centroids (the first N_CELLS vectors by vec_id) keep the
-    quantizer deterministic — a float k-means mean is accumulation-
-    order-dependent and would break oracle parity. Production passes a
-    trained quantizer via ``centroids`` ([(cell_id, vector), ...]) and
-    skips the pivot collect entirely. The quantizer is a
-    driver-side constant (like any trained coarse quantizer), so cell
-    assignment is row-local column arithmetic: NO shuffle until the
-    (query_cell ⋈ index_cell) equi-join, and that join touches
-    n_probe/N_CELLS of the corpus. At 10^10 vectors the index table is
-    written partitioned by cell, so each query reads only its probed
-    partitions; assignment itself would move to a Pandas-UDF matmul
-    once N_CELLS reaches the thousands.
+    The literal-expression path embeds n_cells × dim literals in the
+    expression tree: fine as a 16-pivot oracle twin, fatal at the
+    thousands of cells a SemDeDup/IVF index needs (k ∝ √N — Abbas et
+    al. 2023) because codegen blows up. Here the centroid matrix rides
+    in the UDF closure instead — pickled ONCE per executor (a few MB at
+    k=10^4, dim=64), and each Arrow batch does one int64 matmul:
+    floor(E·1e6) @ floor(C·1e6)ᵀ, |dot| ≤ dim·1e12 ≪ 2^63.
+
+    Tie-break matches the expression path: max integer dot, then
+    smallest cell id — centroids are sorted by cell id so a stable
+    argsort on -dots resolves ties toward the smaller id.
     """
-    emb = load(spark, "embeddings", sf_dir)
-    cents = centroids
-    if cents is None:
-        cents = [
-            (r["vec_id"], [float(x) for x in r["embedding"]])
-            for r in emb.filter(F.col("vec_id") < N_CELLS)
-            .select("vec_id", "embedding")
-            .orderBy("vec_id")
-            .collect()
-        ]
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cents = sorted(centroids, key=lambda c: c[0])
+    cids = np.asarray([c for c, _ in cents], dtype=np.int64)
+    cq = np.floor(
+        np.asarray([v for _, v in cents], dtype=np.float64) * DOT_SCALE
+    ).astype(np.int64)
+    p = min(n_probe, len(cents))
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def assign(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        e = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+        dots = np.floor(e * DOT_SCALE).astype(np.int64) @ cq.T
+        idx = np.argsort(-dots, axis=1, kind="stable")[:, :p]
+        return pd.Series(list(cids[idx].astype(np.int32)))
+
+    return assign
+
+
+def pivot_centroids(
+    emb: DataFrame, n_cells: int
+) -> list[tuple[int, list[float]]]:
+    """First ``n_cells`` vectors by vec_id as the coarse quantizer —
+    deterministic (a float k-means mean is accumulation-order-dependent
+    and would break oracle parity). A trained quantizer is likewise a
+    driver-side constant; at k ∝ √N = 10^5 for 10^10 vectors this
+    collect is ~50 MB, a dimension-sized driver constant."""
+    return [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < n_cells)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    ]
+
+
+def literal_cell_scores(cents: list[tuple[int, list[float]]]):
+    """Oracle-twin quantizer: (idot, -cid) struct array with every
+    centroid embedded as F.lit literals — array_max/sort_array break
+    idot ties toward the smallest centroid id. Only viable for pivot-
+    sized cell counts (n_cells × dim literals in the expression tree);
+    the production path is :func:`cell_assign_udf`, which is
+    bit-identical. Kept so tests can pin matmul ≡ literal ≡ DuckDB."""
 
     def scores(col):
-        # (idot, -cid) structs: array_max/sort_array break idot ties
-        # toward the smallest centroid id
         return F.array(
             *[
                 F.struct(
@@ -224,21 +257,67 @@ def ann_ivf_topk(
             ]
         )
 
-    index = emb.select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("cv"),
-        (-F.array_max(scores(F.col("embedding"))).getField("nc")).alias("cell"),
-    )
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qv"),
-        F.slice(
-            F.sort_array(scores(F.col("embedding")), asc=False), 1, n_probe
-        ).alias("probes"),
-    )
-    probes = q.select("qid", "qv", F.explode("probes").alias("pr")).select(
-        "qid", "qv", (-F.col("pr.nc")).alias("cell")
-    )
+    return scores
+
+
+def ann_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_probe: int = N_PROBE,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    n_cells: int = N_CELLS,
+    quantizer: str = "matmul",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize every vector to its
+    nearest of ``n_cells`` pivot centroids, then answer each query by
+    scanning only its n_probe closest cells with an exact cosine
+    re-rank — the classic IVF-Flat layout (Jégou et al., PAMI 2011).
+
+    Production passes a trained quantizer via ``centroids``
+    ([(cell_id, vector), ...]) and skips the pivot collect entirely.
+    The quantizer is a driver-side constant, so cell assignment is
+    row-local (one Arrow-batched int64 matmul per batch —
+    :func:`cell_assign_udf`; ``quantizer="literal"`` selects the
+    F.lit expression twin for parity tests): NO shuffle until the
+    (query_cell ⋈ index_cell) equi-join, and that join touches
+    n_probe/n_cells of the corpus. At 10^10 vectors the index table is
+    written partitioned by cell (k ∝ √N cells), so each query reads
+    only its probed partitions.
+    """
+    emb = load(spark, "embeddings", sf_dir)
+    cents = centroids if centroids is not None else pivot_centroids(emb, n_cells)
+
+    if quantizer == "matmul":
+        assign1 = cell_assign_udf(cents, 1)
+        assign_p = cell_assign_udf(cents, n_probe)
+        index = emb.select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cv"),
+            assign1(F.col("embedding")).getItem(0).alias("cell"),
+        )
+        q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            assign_p(F.col("embedding")).alias("probes"),
+        )
+        probes = q.select("qid", "qv", F.explode("probes").alias("cell"))
+    else:
+        scores = literal_cell_scores(cents)
+        index = emb.select(
+            F.col("vec_id").alias("cid"),
+            F.col("embedding").alias("cv"),
+            (-F.array_max(scores(F.col("embedding"))).getField("nc")).alias("cell"),
+        )
+        q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            F.slice(
+                F.sort_array(scores(F.col("embedding")), asc=False), 1, n_probe
+            ).alias("probes"),
+        )
+        probes = q.select("qid", "qv", F.explode("probes").alias("pr")).select(
+            "qid", "qv", (-F.col("pr.nc")).alias("cell")
+        )
     scored = (
         F.broadcast(probes)
         .join(index, "cell")
@@ -293,7 +372,7 @@ qprobes AS (
 ),
 scored AS (
   SELECT p.qid, c.vec_id AS cid,
-         round(list_cosine_similarity(qe.embedding, c.embedding), 4) AS cos
+         round(list_cosine_similarity(qe.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cos
   FROM qprobes p
   JOIN cells ON cells.cell = p.cell
   JOIN embeddings c ON c.vec_id = cells.vec_id AND c.vec_id <> p.qid
@@ -414,8 +493,8 @@ cand AS (
     ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id
 )
 SELECT c.a, c.b,
-       round(list_cosine_similarity(x.embedding, y.embedding), 4) AS cos
+       round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) AS cos
 FROM cand c JOIN embeddings x ON c.a = x.vec_id JOIN embeddings y ON c.b = y.vec_id
-WHERE round(list_cosine_similarity(x.embedding, y.embedding), 4) >= {threshold}
+WHERE round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) >= {threshold}
 ORDER BY a, b
 """

@@ -93,15 +93,21 @@ class SnapshotStore:
         links: DataFrame,
         metric: dict,
         base_domain: str | None = None,
+        on_data_written=None,
     ) -> None:
         """Write wave-N snapshots (staged + renamed), then atomically
-        publish the manifest."""
+        publish the manifest. ``on_data_written`` (if given) runs after
+        the parquet writes and BEFORE the manifest is serialized, so a
+        caller can finalize fields of ``metric`` (e.g. phase timings)
+        that must land in the persisted copy."""
         self._write_wave_atomic(frontier, "frontier", wave)
         # seen arrives as the wave's DELTA — appends stay O(new URLs)
         # per wave instead of O(|seen|)
         self._write_wave_atomic(seen, "seen", wave)
         self._write_wave_atomic(pages, "pages", wave)
         self._write_wave_atomic(links, "links", wave)
+        if on_data_written is not None:
+            on_data_written()
 
         prev = self.manifest() or {"waves": [], "metrics": []}
         prev["waves"] = sorted(set(prev["waves"]) | {wave})

@@ -101,6 +101,45 @@ def test_ivf_topk_recall_and_determinism(spark):
     assert full == brute
 
 
+def test_matmul_quantizer_equals_literal(spark):
+    """The production quantizer (Arrow-batched int64-matmul Pandas UDF,
+    centroid matrix in the closure) must be bit-identical to the
+    F.lit-literal expression twin — same fixed-point dots, same
+    max-dot/smallest-id tie-break — for BOTH consumers. This is what
+    lets the registered (matmul) queries keep hash-matching the DuckDB
+    oracle while scaling to thousands of cells."""
+    from seo_crawler_spark.operators.curation import semdedup
+    from seo_crawler_spark.operators.simsearch import ann_ivf_topk
+
+    ivf_m = [tuple(r) for r in ann_ivf_topk(spark, SF0001, quantizer="matmul").collect()]
+    ivf_l = [tuple(r) for r in ann_ivf_topk(spark, SF0001, quantizer="literal").collect()]
+    assert ivf_m == ivf_l
+
+    sd_m = [tuple(r) for r in semdedup(spark, SF0001, quantizer="matmul").collect()]
+    sd_l = [tuple(r) for r in semdedup(spark, SF0001, quantizer="literal").collect()]
+    assert sd_m == sd_l
+
+
+def test_semdedup_sqrt_cells(spark):
+    """n_cells='sqrt' sizes the quantizer k = ⌈√N⌉ (SemDeDup's k ∝ √N)
+    — 23 cells at N=500 — and still partitions the drop decision
+    per-cell deterministically (two runs identical). More cells can
+    only SPLIT clusters, so sqrt-cells keeps a superset of the
+    16-cell keepers (a drop needs a same-cell lower-id neighbor)."""
+    from seo_crawler_spark.operators.curation import semdedup
+
+    out = semdedup(spark, SF0001, n_cells="sqrt").collect()
+    cells = {r["cell"] for r in out}
+    assert len(out) == 500
+    assert max(cells) >= 16  # actually using more than the pivot default
+    again = semdedup(spark, SF0001, n_cells="sqrt").collect()
+    assert [tuple(r) for r in out] == [tuple(r) for r in again]
+
+    kept16 = {r["vec_id"] for r in semdedup(spark, SF0001).collect() if r["is_kept"]}
+    kept_sqrt = {r["vec_id"] for r in out if r["is_kept"]}
+    assert kept16 <= kept_sqrt
+
+
 def test_neardup_multiprobe_recall(spark):
     """The registered embedding_neardup_lsh (banded + hamming-1
     multi-probe per band) must actually FIND near-dups at its shipped
