@@ -27,6 +27,25 @@ SIZES = [
 ]
 
 
+def _scratch_bytes() -> int:
+    """Total bytes under this JVM's shuffle/block-manager scratch dirs —
+    a peak-shuffle-spill proxy (local mode writes shuffle files and any
+    spills to blockmgr-*; sampled right after the timed run, before GC
+    of shuffle files)."""
+    import glob
+
+    total = 0
+    for pat in ("/tmp/blockmgr-*", "/tmp/spark-*/blockmgr-*"):
+        for d in glob.glob(pat):
+            for root, _dirs, files in os.walk(d):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+    return total
+
+
 def run_at(spark, n: int) -> dict:
     # the pipeline under test IS bench.sched_pipeline — shared code, so
     # the linearity evidence and the headline frontier number can never
@@ -38,12 +57,14 @@ def run_at(spark, n: int) -> dict:
 
     best = float("inf")
     counts0 = None
+    peak_scratch = 0
     for _ in range(3):
         dt, counts = bench.sched_pipeline(raw, seen)
         if counts0 is None:
             counts0 = counts
         assert counts == counts0  # determinism across repeats
         best = min(best, dt)
+        peak_scratch = max(peak_scratch, _scratch_bytes())
     raw.unpersist()
     seen.unpersist()
     return {
@@ -52,6 +73,7 @@ def run_at(spark, n: int) -> dict:
         "urls_per_sec": round(n / best),
         "admitted": counts0.get(True, 0),
         "deferred": counts0.get(False, 0),
+        "peak_shuffle_scratch_mb": round(peak_scratch / 1e6, 1),
     }
 
 
@@ -70,24 +92,28 @@ def main() -> int:
     base = results[0]
     rows = "\n".join(
         f"| {r['n']:,} | {r['sec']} | {r['urls_per_sec']:,} | "
-        f"{r['urls_per_sec'] / base['urls_per_sec']:.2f}× |"
+        f"{r['urls_per_sec'] / base['urls_per_sec']:.2f}× | "
+        f"{r['peak_shuffle_scratch_mb']:,} |"
         for r in results
     )
     ratio = results[-1]["urls_per_sec"] / base["urls_per_sec"]
+    growth = results[-1]["n"] // base["n"]
     md = f"""
-## Frontier scale linearity ({base['n'] // 1_000_000}M vs {results[-1]['n'] // 1_000_000}M URLs)
+## Frontier scale linearity ({base['n'] // 1_000_000}M → {results[-1]['n'] // 1_000_000}M URLs)
 
 Same scheduling pipeline (canonicalize → xxhash → exact seen anti-join
 → salted politeness rank, best-of-3, local[{os.environ.get("SPARK_GRAFT_CPUS", "32")}]),
-frontier grown 10×; flat throughput = no hidden super-linear term
+frontier grown {growth}×; flat throughput = no hidden super-linear term
 (driver collects, single-partition windows, quadratic joins would all
-cliff here):
+cliff here). Scratch column = peak bytes in blockmgr-* after a timed
+run (shuffle files + spills; disk-backed shuffle is the design at this
+size — the scheduling plan never requires the frontier in memory):
 
-| frontier URLs | sec | URLs/sec | throughput vs 2M |
-|---|---|---|---|
+| frontier URLs | sec | URLs/sec | throughput vs base | peak shuffle scratch (MB) |
+|---|---|---|---|---|
 {rows}
 
-Throughput retention at 10× input: **{ratio:.2f}×** of the 2M-URL rate.
+Throughput retention at {growth}× input: **{ratio:.2f}×** of the base rate.
 Admitted/deferred counts identical across repeats (determinism).
 """
     out_path = "/root/repo/BENCH/BASELINE.md"

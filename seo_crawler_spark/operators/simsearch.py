@@ -209,12 +209,27 @@ def cell_assign_udf(centroids: list[tuple[int, list[float]]], n_probe: int = 1):
     ).astype(np.int64)
     p = min(n_probe, len(cents))
 
+    # BLAS fast path: every fixed-point product and partial sum is an
+    # integer; as long as the largest possible |dot| stays below 2^53
+    # a float64 matmul is EXACT (every intermediate is an exactly-
+    # representable integer, so accumulation order cannot matter) and
+    # ~50× faster than numpy's non-BLAS int64 matmul. The bound is
+    # re-checked per batch against the batch's own magnitudes; an
+    # over-range batch falls back to the exact int64 matmul.
+    cqf = cq.astype(np.float64)
+    c_max = float(np.abs(cq).max()) if cq.size else 0.0
+    dim = cq.shape[1] if cq.ndim == 2 else 0
+
     @pandas_udf(ArrayType(IntegerType()))
     def assign(col: pd.Series) -> pd.Series:
         if len(col) == 0:
             return pd.Series([], dtype=object)
         e = np.stack([np.asarray(v, dtype=np.float64) for v in col])
-        dots = np.floor(e * DOT_SCALE).astype(np.int64) @ cq.T
+        q = np.floor(e * DOT_SCALE)
+        if abs(q).max() * c_max * dim < 2.0**53:
+            dots = (q @ cqf.T).astype(np.int64)
+        else:
+            dots = q.astype(np.int64) @ cq.T
         idx = np.argsort(-dots, axis=1, kind="stable")[:, :p]
         return pd.Series(list(cids[idx].astype(np.int32)))
 
