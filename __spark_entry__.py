@@ -18,6 +18,7 @@ from seo_crawler_spark.operators import graph as G
 from seo_crawler_spark.operators import multimodal as MM
 from seo_crawler_spark.operators import sampling as SA
 from seo_crawler_spark.operators import simsearch as S
+from seo_crawler_spark.operators import temporal as TP
 from seo_crawler_spark.operators import textstats as TS
 from seo_crawler_spark.plans import crawl_queries as CQ
 from seo_crawler_spark.plans import relational as R
@@ -123,8 +124,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal: meta/dims are md5int-derived (SQL-reproducible);
         # the payload BYTES stay pinned rows-only in tests/test_multimodal.py
         "multimodal_pipeline": MM.multimodal_pipeline,
-        "pagespeed_selection": CQ.pagespeed_selection,
-        "text_search_filter": CQ.text_search_filter,
+        # temporal joins (new in r4 — must sit inside the 50-row window)
+        "events_asof_join": TP.events_asof_join,
+        "events_range_join": TP.events_range_join,
         "analytics_detection": CQ.analytics_detection,
         "recrawl_schedule": CQ.recrawl_schedule,
         "crawl_trap_detection": CQ.crawl_trap_detection,
@@ -156,6 +158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_counts": E.sliding_counts,
         "events_sessionize": E.sessionize,
         "events_user_rates": E.user_event_rates,
+        "pagespeed_selection": CQ.pagespeed_selection,
+        "text_search_filter": CQ.text_search_filter,
     }
 
 
@@ -200,6 +204,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": SA.stratified_sample_sql(),
         "sample_bottomk": SA.sample_bottomk_sql(),
         "multimodal_pipeline": MM.multimodal_pipeline_sql(),
+        "events_asof_join": TP.events_asof_join_sql(),
+        "events_range_join": TP.events_range_join_sql(),
         "events_tumbling_counts": E.TUMBLING_COUNTS_SQL,
         "events_sliding_counts": E.SLIDING_COUNTS_SQL,
         "events_sessionize": E.SESSIONIZE_SQL,

@@ -222,6 +222,9 @@ HEADLINE = [
     "interleaved_spans",
     "events_sessionize",
     "semdedup",
+    # temporal joins added round 4
+    "events_asof_join",
+    "events_range_join",
 ]
 
 
