@@ -114,7 +114,11 @@ def pagerank_sql(iters: int = ITERS) -> str:
     prev = "s0"
     for k in range(1, iters + 1):
         steps.append(
-            f"s{k} AS (SELECT d.doc_id, ({BASE} + coalesce(x.m, 0))::BIGINT AS score "
+            # MATERIALIZED: each step references the previous one inside
+            # a derived table; without the hint DuckDB inlines CTEs and
+            # re-executes the whole iteration prefix at every reference
+            # (exponential in iters — measured 20+s at sf0.001).
+            f"s{k} AS MATERIALIZED (SELECT d.doc_id, ({BASE} + coalesce(x.m, 0))::BIGINT AS score "
             f"FROM documents d LEFT JOIN ("
             f"SELECT e2.dst, sum((s.score * {DAMP_NUM}) // ({DAMP_DEN} * e2.outdeg)) AS m "
             f"FROM e2 JOIN {prev} s ON e2.src = s.doc_id GROUP BY e2.dst"
@@ -124,9 +128,9 @@ def pagerank_sql(iters: int = ITERS) -> str:
     return f"""
 WITH n AS (SELECT count(*) AS c FROM documents),
 e0 AS ({gens}),
-e AS (SELECT * FROM e0 WHERE src <> dst),
+e AS MATERIALIZED (SELECT * FROM e0 WHERE src <> dst),
 od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
-e2 AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+e2 AS MATERIALIZED (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
 s0 AS (SELECT doc_id, {SCALE}::BIGINT AS score FROM documents),
 {', '.join(steps)}
 SELECT doc_id, score,
@@ -198,7 +202,10 @@ def dedup_clusters_sql(iters: int = CC_ITERS) -> str:
     prev = "l0"
     for k in range(1, iters + 1):
         steps.append(
-            f"l{k} AS (SELECT l.node, least(l.label, coalesce(x.nlabel, l.label)) AS label "
+            # MATERIALIZED: prev is referenced twice per step (probe +
+            # neighbor-min derived table) — inlined CTEs re-execute the
+            # whole prefix incl. the n-gram pair join 2^iters times.
+            f"l{k} AS MATERIALIZED (SELECT l.node, least(l.label, coalesce(x.nlabel, l.label)) AS label "
             f"FROM {prev} l LEFT JOIN ("
             f"SELECT ed.a AS node, min(s.label) AS nlabel "
             f"FROM ed JOIN {prev} s ON ed.b = s.node GROUP BY ed.a"
@@ -206,8 +213,8 @@ def dedup_clusters_sql(iters: int = CC_ITERS) -> str:
         )
         prev = f"l{k}"
     return f"""
-WITH pairs AS ({pairs_inner}),
-ed AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+WITH pairs AS MATERIALIZED ({pairs_inner}),
+ed AS MATERIALIZED (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
 l0 AS (SELECT DISTINCT a AS node, a AS label FROM ed),
 {', '.join(steps)}
 SELECT node AS doc_id, label AS cluster_id, node = label AS is_keeper
@@ -389,31 +396,35 @@ def hits_scores_sql(iters: int = HITS_ITERS) -> str:
     prev_auth = None
     for k in range(1, iters + 1):
         steps.append(
-            f"a{k}r AS (SELECT d.doc_id, coalesce(x.s, 0)::BIGINT AS auth "
+            # MATERIALIZED throughout: a{k}r is referenced twice in a{k}
+            # (projection + sum-normalizer scalar subquery); without the
+            # hint DuckDB inlines and re-executes the whole iteration
+            # prefix at every reference — exponential in iters.
+            f"a{k}r AS MATERIALIZED (SELECT d.doc_id, coalesce(x.s, 0)::BIGINT AS auth "
             f"FROM documents d LEFT JOIN (SELECT e.dst, sum(h.hub) AS s "
             f"FROM e JOIN {prev_hub} h ON e.src = h.doc_id GROUP BY e.dst) x "
             f"ON d.doc_id = x.dst)"
         )
         steps.append(
-            f"a{k} AS (SELECT doc_id, (auth * {SCALE}) // "
+            f"a{k} AS MATERIALIZED (SELECT doc_id, (auth * {SCALE}) // "
             f"(SELECT sum(auth) FROM a{k}r) AS auth FROM a{k}r)"
         )
         prev_auth = f"a{k}"
         steps.append(
-            f"h{k}r AS (SELECT d.doc_id, coalesce(x.s, 0)::BIGINT AS hub "
+            f"h{k}r AS MATERIALIZED (SELECT d.doc_id, coalesce(x.s, 0)::BIGINT AS hub "
             f"FROM documents d LEFT JOIN (SELECT e.src, sum(a.auth) AS s "
             f"FROM e JOIN {prev_auth} a ON e.dst = a.doc_id GROUP BY e.src) x "
             f"ON d.doc_id = x.src)"
         )
         steps.append(
-            f"h{k} AS (SELECT doc_id, (hub * {SCALE}) // "
+            f"h{k} AS MATERIALIZED (SELECT doc_id, (hub * {SCALE}) // "
             f"(SELECT sum(hub) FROM h{k}r) AS hub FROM h{k}r)"
         )
         prev_hub = f"h{k}"
     return f"""
 WITH n AS (SELECT count(*) AS c FROM documents),
 e0 AS ({gens}),
-e AS (SELECT * FROM e0 WHERE src <> dst),
+e AS MATERIALIZED (SELECT * FROM e0 WHERE src <> dst),
 h0 AS (SELECT doc_id, {SCALE}::BIGINT AS hub FROM documents),
 {', '.join(steps)}
 SELECT h.doc_id, h.hub, a.auth,
