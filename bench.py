@@ -134,15 +134,18 @@ def frontier_bench(spark) -> dict:
     # primary timed path = sched_pipeline (exact anti-join: what the
     # engine picks at this seen size — bloom pays off when |seen| dwarfs
     # candidates and lives bucketed on disk; measured separately below).
-    # median-of-3 + CV (VERDICT r3 #4): run 1 pays codegen JIT; the
-    # driver round also runs this box under variable background load,
-    # so the median + a dispersion marker let a judge tell ±20% host
-    # wobble from a real regression
-    d1, counts = sched_pipeline(raw, seen)
-    d2, counts2 = sched_pipeline(raw, seen)
-    d3, counts3 = sched_pipeline(raw, seen)
-    assert counts == counts2 == counts3
-    dt = _median([d1, d2, d3])
+    # cold + median-of-5 + CV (VERDICT r3 #4): run 1 pays codegen JIT,
+    # and this sandbox VM suffers multi-second noisy-neighbor bursts
+    # (measured: back-to-back identical runs swing 2.8s..10.4s on an
+    # otherwise-idle box) — 5 steady reps give the median a better
+    # chance of straddling a burst; the CV marks when it didn't.
+    cold_sec, counts = sched_pipeline(raw, seen)
+    reps = []
+    for _ in range(5):
+        d, c = sched_pipeline(raw, seen)
+        assert c == counts
+        reps.append(d)
+    dt = _median(reps)
     n_sched, n_def = counts.get(True, 0), counts.get(False, 0)
 
     # secondary: bloom-path numbers (build once + probe per wave)
@@ -186,7 +189,8 @@ def frontier_bench(spark) -> dict:
         "frontier_scheduled": n_sched,
         "frontier_deferred": n_def,
         "frontier_sec": round(dt, 3),
-        "frontier_sec_cv": _cv([d1, d2, d3]),
+        "frontier_sec_cv": _cv(reps),
+        "frontier_sec_cold": round(cold_sec, 3),
         "frontier_urls_per_sec": round(FRONTIER_N / dt),
         "frontier_bloom_build_sec": round(bloom_build_sec, 3),
         "frontier_bloom_dedupe_sec": round(bloom_probe_sec, 3),
