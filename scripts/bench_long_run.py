@@ -36,6 +36,7 @@ MAX_WAVES = int(os.environ.get("LONG_RUN_MAX_WAVES", 250))
 MODES = os.environ.get("LONG_RUN_MODES", "fold16,nofold").split(",")
 USE_STATE = os.environ.get("LONG_RUN_STATE", "0") == "1"
 COMPACT_EVERY = int(os.environ.get("LONG_RUN_COMPACT_EVERY", 0))
+BUDGET = int(os.environ.get("LONG_RUN_BUDGET", 3))
 
 
 def main() -> int:
@@ -80,7 +81,7 @@ def main() -> int:
                 max_depth=DEPTH,
                 max_urls=DOCS,
                 crawl_external=True,
-                politeness_budget=3,
+                politeness_budget=BUDGET,
                 max_waves=MAX_WAVES,
                 use_bloom=False,  # exact anti-join: the union IS the cost
                 seen_fold_every=fold_every,
@@ -90,6 +91,7 @@ def main() -> int:
         eng.control = control  # between-waves poll (maintenance hook)
         res = eng.run(seed_urls(3))
         secs = [m["seconds"] for m in res.metrics]
+        waves_m = res.metrics
         crawled = res.metrics[-1]["crawled_total"]
         n_seen_dirs = None
         if state_dir:
@@ -97,20 +99,41 @@ def main() -> int:
             if os.path.isdir(seen_root):
                 n_seen_dirs = len(os.listdir(seen_root))
             shutil.rmtree(state_dir, ignore_errors=True)
-        return secs, crawled, n_seen_dirs
+        return secs, crawled, n_seen_dirs, waves_m
 
     out = {}
     for label in MODES:
         fold = 16 if label == "fold16" else 1 << 30
-        secs, crawled, n_seen_dirs = run(fold)
+        secs, crawled, n_seen_dirs, waves_m = run(fold)
         early = statistics.mean(secs[5:15]) if len(secs) > 15 else None
         late = statistics.mean(secs[-10:])
+        # per-decile curve (VERDICT r3 #5 follow-up): locate WHERE late-wave
+        # growth lives — each bin is 10% of waves; phases are the engine's
+        # own per-wave marks (sched/fetch_extract/expand/fold/snapshot).
+        n = len(waves_m)
+        curve = []
+        for b in range(10):
+            lo, hi = (b * n) // 10, ((b + 1) * n) // 10
+            if hi <= lo:
+                continue
+            chunk = waves_m[lo:hi]
+            ph = {}
+            for m in chunk:
+                for k, v in (m.get("phases") or {}).items():
+                    ph[k] = ph.get(k, 0.0) + v
+            curve.append({
+                "waves": f"{lo}-{hi - 1}",
+                "sec": round(statistics.mean(m["seconds"] for m in chunk), 3),
+                "frontier": round(statistics.mean(m["frontier"] for m in chunk)),
+                "phases": {k: round(v / len(chunk), 3) for k, v in sorted(ph.items())},
+            })
         out[label] = {
             "waves": len(secs),
             "crawled": crawled,
             "early_wave_sec": round(early, 3) if early else None,
             "late_wave_sec": round(late, 3),
             "late_over_early": round(late / early, 2) if early else None,
+            "curve": curve,
         }
         if n_seen_dirs is not None:
             out[label]["n_seen_dirs"] = n_seen_dirs
@@ -120,6 +143,7 @@ def main() -> int:
         "max_waves": MAX_WAVES,
         "state": USE_STATE,
         "compact_every": COMPACT_EVERY,
+        "budget": BUDGET,
     }
     print(json.dumps(out))
     spark.stop()
