@@ -339,7 +339,7 @@ class CrawlEngine:
         seen = store.read_seen(self.spark, latest).transform(local_ckpt)
         pages = store.read_pages(self.spark, latest).transform(local_ckpt)
         links = store.read_links(self.spark, latest).transform(local_ckpt)
-        metrics = sorted(manifest["metrics"], key=lambda m: m["wave"])
+        metrics = store.metrics()  # committed waves only, sorted by wave
         crawled_total = sum(m["scheduled"] for m in metrics)
         cfg = self.cfg
         if cfg.base_domain:

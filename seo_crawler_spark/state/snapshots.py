@@ -97,9 +97,20 @@ class SnapshotStore:
     ) -> None:
         """Write wave-N snapshots (staged + renamed), then atomically
         publish the manifest. ``on_data_written`` (if given) runs after
-        the parquet writes and BEFORE the manifest is serialized, so a
+        the parquet writes and BEFORE the metric is serialized, so a
         caller can finalize fields of ``metric`` (e.g. phase timings)
-        that must land in the persisted copy."""
+        that must land in the persisted copy.
+
+        The per-wave metric APPENDS to ``metrics.jsonl`` instead of
+        living in the manifest: re-serializing all prior metrics each
+        wave is O(waves) per commit — the 520-wave run in
+        BENCH/BASELINE.md measures the drift — where the append is
+        O(1), so per-wave commit cost is independent of crawl depth.
+        The manifest commit (os.replace) remains the publish point: a
+        line for a wave the manifest never committed (crash between
+        append and rename, or a re-committed wave after resume) is
+        superseded by last-line-wins + the committed-waves filter in
+        :meth:`metrics`."""
         self._write_wave_atomic(frontier, "frontier", wave)
         # seen arrives as the wave's DELTA — appends stay O(new URLs)
         # per wave instead of O(|seen|)
@@ -109,13 +120,49 @@ class SnapshotStore:
         if on_data_written is not None:
             on_data_written()
 
-        prev = self.manifest() or {"waves": [], "metrics": []}
+        prev = self.manifest() or {"waves": []}
+        # pre-sidecar store: migrate manifest-embedded metrics into the
+        # sidecar before dropping them from the manifest (metrics()
+        # dedups by wave if a crash lands between the two writes)
+        legacy = prev.pop("metrics", None) or []
+        with open(self._metrics_path, "a") as f:
+            for mm in legacy:
+                f.write(json.dumps(mm) + "\n")
+            f.write(json.dumps(metric) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
         prev["waves"] = sorted(set(prev["waves"]) | {wave})
         prev["latest_wave"] = wave
-        prev["metrics"] = [m for m in prev["metrics"] if m["wave"] != wave] + [metric]
         if base_domain is not None:
             prev["base_domain"] = base_domain
         self._commit_manifest(prev)
+
+    @property
+    def _metrics_path(self) -> str:
+        return os.path.join(self.root, "metrics.jsonl")
+
+    def metrics(self) -> list[dict]:
+        """Committed per-wave metrics, sorted by wave.
+
+        Last line per wave wins (a resume re-commits its crash wave);
+        lines for never-committed waves and a torn final line (crash
+        mid-append) are dropped. Metrics still embedded in a
+        pre-sidecar manifest are merged in, sidecar winning."""
+        m = self.manifest() or {}
+        committed = set(m.get("waves", []))
+        by_wave = {mm["wave"]: mm for mm in m.get("metrics", [])}
+        try:
+            with open(self._metrics_path) as f:
+                lines = f.read().splitlines()
+        except FileNotFoundError:
+            lines = []
+        for line in lines:
+            try:
+                mm = json.loads(line)
+            except json.JSONDecodeError:
+                continue  # torn tail write; its wave never committed
+            by_wave[mm["wave"]] = mm
+        return [by_wave[w] for w in sorted(by_wave) if w in committed]
 
     # -- crawl-level metadata ---------------------------------------------
     # The reference keeps a crawls table with a status column
@@ -126,7 +173,7 @@ class SnapshotStore:
     # the engine holds no wall clock).
 
     def set_crawl_status(self, status: str, at: str | None = None) -> None:
-        m = self.manifest() or {"waves": [], "metrics": []}
+        m = self.manifest() or {"waves": []}
         crawl = m.get("crawl") or {"history": []}
         crawl["status"] = status
         crawl["history"] = crawl.get("history", []) + [
@@ -270,7 +317,7 @@ class SnapshotStore:
                 return w
         base = self.read_seen(spark, w)
         base.write.mode("overwrite").parquet(self._wave_dir("seen_base", w))
-        m = self.manifest() or {"waves": [], "metrics": []}
+        m = self.manifest() or {"waves": []}
         m["seen_base_wave"] = w
         self._commit_manifest(m)
         return w

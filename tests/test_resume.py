@@ -422,3 +422,37 @@ def test_dashboard_schema_matches_written_pages(
         if pinned_types[n] != written_types[n]
     }
     assert drift == {}
+
+
+# -- metrics sidecar (O(1) per-wave append; manifest stays depth-free) ----
+
+
+def test_metrics_sidecar_last_wins_and_committed_filter(tmp_path):
+    import json
+
+    from seo_crawler_spark.state.snapshots import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path))
+    store._commit_manifest({"waves": [0, 1], "latest_wave": 1})
+    with open(store._metrics_path, "w") as f:
+        f.write(json.dumps({"wave": 0, "scheduled": 3}) + "\n")
+        f.write(json.dumps({"wave": 1, "scheduled": 5}) + "\n")
+        # resume re-committed wave 1: the later line supersedes
+        f.write(json.dumps({"wave": 1, "scheduled": 7}) + "\n")
+        # appended but its manifest commit never happened (crash window)
+        f.write(json.dumps({"wave": 2, "scheduled": 9}) + "\n")
+        f.write('{"wave": 3, "sched')  # torn tail write
+    ms = store.metrics()
+    assert [m["wave"] for m in ms] == [0, 1]
+    assert ms[1]["scheduled"] == 7
+
+
+def test_metrics_legacy_manifest_metrics_still_readable(tmp_path):
+    from seo_crawler_spark.state.snapshots import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path))
+    store._commit_manifest(
+        {"waves": [0], "latest_wave": 0,
+         "metrics": [{"wave": 0, "scheduled": 2}]}
+    )
+    assert store.metrics() == [{"wave": 0, "scheduled": 2}]
