@@ -111,12 +111,31 @@ class SnapshotStore:
         append and rename, or a re-committed wave after resume) is
         superseded by last-line-wins + the committed-waves filter in
         :meth:`metrics`."""
-        self._write_wave_atomic(frontier, "frontier", wave)
+        # The four table writes are independent (different dirs, no
+        # ordering constraint — only the manifest publishes them), so
+        # they submit as CONCURRENT Spark jobs from four threads: the
+        # scheduler interleaves their stages across the executor pool
+        # instead of paying four serial rounds of plan+schedule+write
+        # latency per wave. All four must complete (or raise) before
+        # the manifest commit below — .result() re-raises any failure,
+        # and a partially-written wave stays invisible (staging dirs).
         # seen arrives as the wave's DELTA — appends stay O(new URLs)
-        # per wave instead of O(|seen|)
-        self._write_wave_atomic(seen, "seen", wave)
-        self._write_wave_atomic(pages, "pages", wave)
-        self._write_wave_atomic(links, "links", wave)
+        # per wave instead of O(|seen|).
+        from concurrent.futures import ThreadPoolExecutor
+
+        tables = [
+            (frontier, "frontier"),
+            (seen, "seen"),
+            (pages, "pages"),
+            (links, "links"),
+        ]
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = [
+                pool.submit(self._write_wave_atomic, df, name, wave)
+                for df, name in tables
+            ]
+            for f in futs:
+                f.result()
         if on_data_written is not None:
             on_data_written()
 
