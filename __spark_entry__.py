@@ -95,12 +95,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_rank": CQ.politeness_rank,
         "admission_filter": CQ.admission_filter,
         "word_counts": CQ.word_counts,
-        "thin_content_issues": CQ.thin_content_issues,
         "linked_from_counts": CQ.linked_from_counts,
         # training-data pipeline: dedup family
         "dedup_exact": D.dedup_exact,
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
+        "dedup_incremental": D.dedup_incremental,
         "dedup_simhash": D.dedup_simhash,
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
         "decontaminate": D.decontaminate,
@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_rates": E.user_event_rates,
         "pagespeed_selection": CQ.pagespeed_selection,
         "text_search_filter": CQ.text_search_filter,
+        "thin_content_issues": CQ.thin_content_issues,
     }
 
 
@@ -185,6 +186,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard_sql(),
         "dedup_minhash_lsh": D.dedup_minhash_lsh_sql(),
+        "dedup_incremental": D.dedup_incremental_sql(),
         "dedup_simhash": D.dedup_simhash_sql(),
         "dedup_embedding_cosine": D.dedup_embedding_cosine_sql(),
         "decontaminate": D.decontaminate_sql(),

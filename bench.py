@@ -226,9 +226,10 @@ HEADLINE = [
     "interleaved_spans",
     "events_sessionize",
     "semdedup",
-    # temporal joins added round 4
+    # temporal joins + incremental dedup added round 4
     "events_asof_join",
     "events_range_join",
+    "dedup_incremental",
 ]
 
 

@@ -18,6 +18,10 @@ candidate sets are bit-identical across engines):
                      hamming ≤ 3 verify (bit_count(xor))
   * embedding near-dup — cosine ≥ τ pairs (simsearch.py holds the
                      ANN/brute-force search variants)
+  * incremental    — today's crawl DELTA deduped against the standing
+                     base via the base's stored band index; base docs
+                     are never paired with each other (the daily-batch
+                     shape at 100 TB)
 
 The reference has only the O(n²) difflib duplication pass
 (issue_detector.py:315-375, rewritten in operators/issues.py); these
@@ -197,6 +201,47 @@ N_PERM, N_BANDS = 32, 8  # r = 4 rows/band
 _R = N_PERM // N_BANDS
 
 
+def _perm(i):
+    # NOTE: must stay a ONE-arg lambda — pyspark's transform() treats
+    # a two-arg callable as (element, index), so a default-bound
+    # `lambda h, i=i:` silently receives the array position as i
+    return lambda h: (F.lit(2 * i + 1) * h + F.lit(7919 * i + 13)) % MOD
+
+
+def _minhash_bands(hashed: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) LSH band keys from (doc_id, hh) shingle-hash
+    arrays: 32 row-local permutation minima folded into 8 bands of 4.
+    Shared by the full self-dedup and the incremental (delta-vs-base)
+    variant so both engines band identically."""
+    sig_wide = hashed.select(
+        "doc_id",
+        *[
+            F.array_min(F.transform("hh", _perm(i))).alias(f"mh{i}")
+            for i in range(N_PERM)
+        ],
+    )
+    return sig_wide.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.concat_ws(
+                            "-",
+                            *[
+                                F.col(f"mh{k * _R + j}").cast("string")
+                                for j in range(_R)
+                            ],
+                        ).alias("sig"),
+                    )
+                    for k in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.sig")
+
+
 def dedup_minhash_lsh(
     spark: SparkSession, sf_dir: str, threshold: float = 0.5,
     use_xxhash: bool = False,
@@ -236,39 +281,7 @@ def dedup_minhash_lsh(
         "sh",
         F.transform("sh", shingle_hash).alias("hh"),
     ).localCheckpoint(eager=False)
-    def _perm(i):
-        # NOTE: must stay a ONE-arg lambda — pyspark's transform() treats
-        # a two-arg callable as (element, index), so a default-bound
-        # `lambda h, i=i:` silently receives the array position as i
-        return lambda h: (F.lit(2 * i + 1) * h + F.lit(7919 * i + 13)) % MOD
-
-    sig_wide = hashed.select(
-        "doc_id",
-        *[
-            F.array_min(F.transform("hh", _perm(i))).alias(f"mh{i}")
-            for i in range(N_PERM)
-        ],
-    )
-    bands = sig_wide.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("band"),
-                        F.concat_ws(
-                            "-",
-                            *[
-                                F.col(f"mh{k * _R + j}").cast("string")
-                                for j in range(_R)
-                            ],
-                        ).alias("sig"),
-                    )
-                    for k in range(N_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.sig")
+    bands = _minhash_bands(hashed)
     pa = bands.select(F.col("doc_id").alias("a"), "band", "sig")
     pb = bands.select(F.col("doc_id").alias("b"), "band", "sig")
     cand = (
@@ -330,6 +343,143 @@ verified AS (
 SELECT a, b, round(inter * 1.0 / (na + nb - inter), 4) AS jaccard
 FROM verified WHERE round(inter * 1.0 / (na + nb - inter), 4) >= {threshold}
 ORDER BY a, b
+"""
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: today's crawl delta vs the standing corpus
+# ---------------------------------------------------------------------------
+
+DELTA_MOD = 5  # deterministic split: md5int(doc_id) % 5 == 0 → delta
+
+
+def dedup_incremental(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.5,
+    delta_mod: int = DELTA_MOD,
+) -> DataFrame:
+    """Dedup an incoming DELTA against the standing base corpus without
+    ever pairing base docs with each other.
+
+    At 100 TB this is the shape that actually runs daily: the base is
+    already deduped and its band index (doc_id, band, sig) is a stored
+    table, so each new crawl batch pays minhash for the DELTA ONLY and
+    two equi-joins — delta-bands ⋈ base-band-index (dup-of-base) and
+    delta-bands ⋈ delta-bands (dup-within-batch, keep-first by
+    doc_id) — shuffling O(|delta| + touched base buckets), never the
+    base corpus. Re-running :func:`dedup_minhash_lsh` over base ∪ delta
+    would re-band the full corpus and re-materialize every base-base
+    band collision per batch.
+
+    Here the split is derived deterministically from the one driver
+    ``documents`` table (md5int(doc_id) % delta_mod == 0 → delta,
+    ~20%) so the DuckDB oracle sees the identical partition. Output:
+    one row per delta doc — ``dup_of`` = lexicographically smallest
+    matching partner (base doc, or an earlier delta doc) at exact
+    Jaccard ≥ threshold, NULL when the doc is novel; ``is_kept`` =
+    novelty verdict."""
+    docs = load(spark, "documents", sf_dir)
+    is_delta = (md5int(F.col("doc_id").cast("string")) % delta_mod) == 0
+    arrays = (
+        _token_arrays(docs)
+        .select(
+            "doc_id", F.array_distinct(shingles(F.col("tok"))).alias("sh")
+        )
+        .filter(F.size("sh") > 0)
+    )
+    hashed = arrays.select(
+        "doc_id",
+        "sh",
+        F.transform("sh", lambda s: md5int(s) % MOD).alias("hh"),
+    ).localCheckpoint(eager=False)
+    bands = _minhash_bands(hashed)
+    delta_bands = bands.filter(is_delta)
+    base_bands = bands.filter(~is_delta)
+    da = delta_bands.select(F.col("doc_id").alias("a"), "band", "sig")
+    # dup-of-base: disjoint sides, no ordering predicate needed
+    cand_base = da.join(
+        base_bands.select(F.col("doc_id").alias("b"), "band", "sig"),
+        ["band", "sig"],
+    ).select("a", "b")
+    # dup-within-delta: keep-first — only an EARLIER delta doc may
+    # claim a later one (b < a), mirroring arrival order
+    cand_delta = da.join(
+        delta_bands.select(F.col("doc_id").alias("b"), "band", "sig"),
+        ["band", "sig"],
+    ).filter(F.col("b") < F.col("a")).select("a", "b")
+    cand = cand_base.unionByName(cand_delta).distinct()
+    sets_ = hashed.select("doc_id", "sh")
+    pairs = F.broadcast(cand).join(
+        sets_.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha")), "a"
+    )
+    pairs = F.broadcast(pairs).join(
+        sets_.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb")), "b"
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    na, nb = F.size("sha"), F.size("shb")
+    matches = (
+        pairs.withColumn("jaccard", F.round(inter / (na + nb - inter), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .groupBy("a")
+        .agg(F.min("b").alias("dup_of"))
+    )
+    # every delta doc appears — including shingle-less ones (trivially
+    # novel), which `arrays` filtered out of the banding
+    return (
+        docs.filter(is_delta)
+        .select("doc_id")
+        .join(matches.withColumnRenamed("a", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup_of",
+            F.col("dup_of").isNull().alias("is_kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dedup_incremental_sql(
+    threshold: float = 0.5, delta_mod: int = DELTA_MOD
+) -> str:
+    tok = TOKENS_SQL.format(c="text")
+    h = MD5INT_SQL.format(c="s")
+    flag = MD5INT_SQL.format(c="CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH tokd AS (SELECT doc_id, {tok} AS tok FROM documents),
+shd AS (SELECT doc_id, list_distinct({shingles_sql("tok")}) AS sh FROM tokd
+        WHERE len(list_distinct({shingles_sql("tok")})) > 0),
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shd),
+hashed AS (SELECT doc_id, {h} % {MOD} AS h FROM ex),
+perms AS (SELECT i, i*2+1 AS pa, i*7919+13 AS pb FROM (SELECT unnest(range(0,{N_PERM})) AS i)),
+sig AS (
+  SELECT doc_id, i, min((pa * h + pb) % {MOD}) AS mh
+  FROM hashed CROSS JOIN perms GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, (i // {_R}) AS band,
+         string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS sig
+  FROM sig GROUP BY doc_id, band
+),
+flags AS (SELECT doc_id, ({flag} % {delta_mod}) = 0 AS is_delta FROM documents),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands x
+  JOIN flags fx ON x.doc_id = fx.doc_id AND fx.is_delta
+  JOIN bands y ON x.band = y.band AND x.sig = y.sig AND x.doc_id <> y.doc_id
+  JOIN flags fy ON y.doc_id = fy.doc_id
+  WHERE (NOT fy.is_delta) OR y.doc_id < x.doc_id
+),
+matches AS (
+  SELECT c.a, min(c.b) AS dup_of
+  FROM cand c JOIN shd d1 ON c.a = d1.doc_id JOIN shd d2 ON c.b = d2.doc_id
+  WHERE round(len(list_intersect(d1.sh, d2.sh)) * 1.0 /
+              (len(d1.sh) + len(d2.sh) - len(list_intersect(d1.sh, d2.sh))), 4)
+        >= {threshold}
+  GROUP BY c.a
+)
+SELECT f.doc_id, m.dup_of, m.dup_of IS NULL AS is_kept
+FROM flags f LEFT JOIN matches m ON f.doc_id = m.a
+WHERE f.is_delta
+ORDER BY f.doc_id
 """
 
 
