@@ -85,7 +85,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the events family, status_histogram — green since round 1/2).
     return {
         # relational core (SURVEY.md §2.2-2.6)
-        "multi_filter_counts": R.multi_filter_counts,
         "part_cooccurrence": R.part_cooccurrence,
         "pagerank": G.pagerank,
         "dedup_clusters": G.dedup_clusters,
@@ -136,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_scores": G.hits_scores,
         # corpus curation rollups
         "substring_dup_fraction": CS.substring_dup_fraction,
+        "exact_substring_trim": CS.exact_substring_trim,
         "host_stats": CS.host_stats,
         "length_quantiles": CS.length_quantiles,
         "dedup_keep_best": CS.dedup_keep_best,
@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagespeed_selection": CQ.pagespeed_selection,
         "text_search_filter": CQ.text_search_filter,
         "thin_content_issues": CQ.thin_content_issues,
+        "multi_filter_counts": R.multi_filter_counts,
     }
 
 
@@ -222,6 +223,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text_agg": G.anchor_text_agg_sql(),
         "hits_scores": G.hits_scores_sql(),
         "substring_dup_fraction": CS.substring_dup_fraction_sql(),
+        "exact_substring_trim": CS.exact_substring_trim_sql(),
         "host_stats": CS.HOST_STATS_SQL,
         "length_quantiles": CS.length_quantiles_sql(),
         "dedup_keep_best": CS.dedup_keep_best_sql(),

@@ -230,6 +230,9 @@ HEADLINE = [
     "events_asof_join",
     "events_range_join",
     "dedup_incremental",
+    # exact-substring removal added round 4 (heaviest per-token op:
+    # positional occ explode + keep-one-copy aggs + row-local cut)
+    "exact_substring_trim",
 ]
 
 

@@ -3,9 +3,13 @@
 
 No real multi-node cluster exists in this sandbox, so the N-vs-4N
 criterion is evidenced with REAL executor JVMs at two cluster sizes —
-N = local-cluster[1,4] (1 executor × 4 cores) vs 4N = local-cluster[4,4]
-(4 executors × 4 cores) — running the IDENTICAL job on the same
-pre-materialized input; efficiency = (T_4N/T_N)/4.
+N = local-cluster[1,c] (1 executor × c cores) vs 4N = local-cluster[4,c]
+(4 executors × c cores, c = SCALING_CORES_PER_EXEC, default 4) —
+running the IDENTICAL job on the same pre-materialized input;
+efficiency = (T_4N/T_N)/4. A raw-CPU control (hw_ceiling) measures the
+host's OWN 4×-load scaling — the sandbox's 32 CPUs are SMT threads, so
+keep 4N's ~2-threads-per-slot load (= 8·c busy processes) within
+physical capacity or the ratio measures the silicon, not the plan.
 
 The job is the dominant-compute stage of a crawl wave at 10^10 scale:
 parquet corpus scan ("fetch") → Arrow-batched HTML span/link/page-field
@@ -48,15 +52,15 @@ spark.stop()
 
 RUN_SNIPPET = r"""
 import json, time, sys
-cores = int(sys.argv[1]); path = sys.argv[2]
-n_exec = cores // 4
+n_exec = int(sys.argv[1]); cpe = int(sys.argv[2]); path = sys.argv[3]
+cores = n_exec * cpe
 from seo_crawler_spark.session import get_spark
 from pyspark.sql import functions as F
 from seo_crawler_spark.functions import urls as U
 from seo_crawler_spark.operators.extract import extract_pages, explode_links
 from seo_crawler_spark.operators.seen import dedupe_against_seen
 from seo_crawler_spark.operators.politeness import politeness_tag
-spark = get_spark('scaling', master=f'local-cluster[{n_exec},4,6144]',
+spark = get_spark('scaling', master=f'local-cluster[{n_exec},{cpe},6144]',
                   shuffle_partitions=max(cores, 8),
                   extra_conf={'spark.executor.memory': '6g',
                               'spark.local.dir': '/dev/shm/spark-local',
@@ -111,12 +115,50 @@ def run_snippet(snippet: str, *args: str) -> str:
     return out.stdout + ("" if out.returncode == 0 else f"\nSTDERR:{out.stderr[-2000:]}")
 
 
-def run(cores: int) -> dict:
-    out = run_snippet(RUN_SNIPPET, str(cores), CORPUS_PATH)
+def run(n_exec: int, cpe: int) -> dict:
+    out = run_snippet(RUN_SNIPPET, str(n_exec), str(cpe), CORPUS_PATH)
     for line in out.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
-    raise RuntimeError(f"no RESULT from cores={cores}: {out[-3000:]}")
+    raise RuntimeError(f"no RESULT from {n_exec}x{cpe}: {out[-3000:]}")
+
+
+def _burn(_):
+    # module-level so mp.Pool can pickle it
+    import time as _t
+
+    t0 = _t.monotonic()
+    x = 0
+    while _t.monotonic() - t0 < 3:
+        x += 1
+    return x
+
+
+def hw_ceiling(cpe: int) -> dict:
+    """Raw-CPU control for the efficiency ratio: the sandbox's '32
+    CPUs' are SMT threads, so K concurrent busy processes do NOT get
+    K × the single-process rate once K crosses the physical-core
+    count. A mapInPandas stage keeps ~2 busy threads per task slot
+    (JVM arrow encode + python worker), so the N and 4N jobs load the
+    box at ~2×cores each. This measures pure-python iteration
+    throughput at those two load levels; their per-worker ratio is the
+    HARDWARE ceiling any job's 4×-scaling can reach on this host."""
+    import multiprocessing as mp
+
+    rates = {}
+    for workers in (2 * cpe, 2 * 4 * cpe):
+        with mp.Pool(workers) as pool:
+            total = sum(pool.map(_burn, range(workers)))
+        rates[workers] = total / 3.0
+    lo, hi = sorted(rates)
+    ceiling = (rates[hi] / rates[lo]) / 4.0
+    return {
+        "workers_n": lo,
+        "workers_4n": hi,
+        "iters_per_sec_n": round(rates[lo]),
+        "iters_per_sec_4n": round(rates[hi]),
+        "hw_scaling_ceiling": round(ceiling, 3),
+    }
 
 
 def main() -> int:
@@ -130,18 +172,21 @@ def main() -> int:
     # single-run N times swing ±25% on this shared host (time-varying
     # background load), which would dominate the efficiency ratio;
     # interleaving samples both configs under the same conditions
+    cpe = int(os.environ.get("SCALING_CORES_PER_EXEC", 4))
     runs_n, runs_4n = [], []
     for _ in range(int(os.environ.get("SCALING_REPEATS", 2))):
-        runs_n.append(run(4))
-        runs_4n.append(run(16))
+        runs_n.append(run(1, cpe))
+        runs_4n.append(run(4, cpe))
     r1 = min(runs_n, key=lambda r: r["sec"])
     r4 = min(runs_4n, key=lambda r: r["sec"])
     eff = (r4["docs_per_sec"] / r1["docs_per_sec"]) / 4.0
     for key in ("n_pages", "words", "n_links", "n_spans"):
         assert r1[key] == r4[key], (key, r1, r4)
+    hw = hw_ceiling(cpe)
     print(json.dumps({
         "all_N_sec": [r["sec"] for r in runs_n],
         "all_4N_sec": [r["sec"] for r in runs_4n],
+        "hw_ceiling": hw,
     }))
 
     md = f"""# BENCH — scaling evidence (N vs 4N executors)
@@ -153,10 +198,21 @@ cluster sizes, fresh JVMs per run, warm page cache + codegen:
 
 | run | cluster | input | docs/sec | sec |
 |---|---|---|---|---|
-| bench-N  | local-cluster[1,4] — 1 executor × 4 cores | corpus seed 42 | {r1["docs_per_sec"]:,} | {r1["sec"]} |
-| bench-4N | local-cluster[4,4] — 4 executors × 4 cores | same input | {r4["docs_per_sec"]:,} | {r4["sec"]} |
+| bench-N  | local-cluster[1,{cpe}] — 1 executor × {cpe} cores | corpus seed 42 | {r1["docs_per_sec"]:,} | {r1["sec"]} |
+| bench-4N | local-cluster[4,{cpe}] — 4 executors × {cpe} cores | same input | {r4["docs_per_sec"]:,} | {r4["sec"]} |
 
 **Scaling efficiency = (T_4N / T_N) / 4 = {eff:.3f}** (target ≥ 0.8).
+
+Hardware control: this sandbox's 32 "CPUs" are SMT threads, and a
+mapInPandas stage keeps ~2 busy threads per task slot (JVM arrow
+encode + python worker), so the two configs load the box at
+~{hw["workers_n"]} and ~{hw["workers_4n"]} busy processes. Pure-python
+burn throughput at those loads: {hw["iters_per_sec_n"]:,} vs
+{hw["iters_per_sec_4n"]:,} iters/s → the host itself scales 4× load at
+**{hw["hw_scaling_ceiling"]:.3f}** efficiency — the ceiling ANY job can
+show here; cores-per-executor is kept at {cpe} so the 4N config stays
+within physical capacity. On a real 4N-executor cluster each executor
+owns its cores and this ceiling does not apply.
 
 Determinism: page/word/link/span aggregates identical at both cluster
 sizes (asserted by this script).

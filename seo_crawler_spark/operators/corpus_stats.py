@@ -126,6 +126,173 @@ FROM per_doc ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# exact-substring removal (the production step behind the fraction above)
+# ---------------------------------------------------------------------------
+
+
+def exact_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr dedup (Lee et al. 2022): REMOVE duplicated token
+    windows from every document, keeping exactly one copy corpus-wide.
+
+    Semantics (deterministic, occurrence-granular keep-first): a token
+    8-gram occurrence is removable iff its hash occurs >= 2 times in the
+    corpus AND it is not the canonical copy — the occurrence at the
+    lexicographically-smallest ``doc_id``, earliest start within that
+    doc. Removable windows are cut from the doc's token sequence
+    (overlapping windows union); output is the cleaned lowercased token
+    text plus removal stats. Docs shorter than the window keep all
+    tokens.
+
+    Scale shape — same discipline as :func:`substring_dup_fraction`:
+      1. window construction + start positions are ROW-LOCAL
+         (posexplode over the shingle array);
+      2. the canonical-copy rule is TWO map-side-combined aggs
+         ((h, doc) then (h): sum/min/min_by) — no window function over
+         occurrences, so a boilerplate gram with df = d costs d rows at
+         every stage, never a d-row sort partition;
+      3. one equi-join occ ⋈ per-hash verdicts on h, then one per-doc
+         collect of removable starts (bounded by windows/doc);
+      4. the cut itself is row-local higher-order exprs (exists-scan of
+         the start list per token — O(tokens × dup-windows) per doc;
+         fine until a doc is mostly boilerplate, at which point it
+         should have been dropped by the quality gate first).
+    No windows over the corpus, no cartesian, shuffles = 2 aggs + 1
+    equi-join + 1 per-doc agg."""
+    docs = load(spark, "documents", sf_dir)
+    d = _token_arrays(docs)
+    grams = d.select(
+        "doc_id",
+        "tok",
+        F.posexplode(shingles(F.col("tok"), SUB_NGRAM)).alias("p", "g"),
+    )
+    # 1-based start index of the window in the token array
+    occ = grams.select(
+        "doc_id",
+        (F.col("p") + 1).alias("s"),
+        (md5int(F.col("g")) % MOD).alias("h"),
+    ).localCheckpoint(eager=False)
+    hd = occ.groupBy("h", "doc_id").agg(
+        F.min("s").alias("ms"), F.count(F.lit(1)).alias("c")
+    )
+    byh = hd.groupBy("h").agg(
+        F.sum("c").alias("n_occ"),
+        F.min("doc_id").alias("kdoc"),
+        # earliest start inside the keeper doc ((h, doc_id) is unique
+        # in hd, so min_by has no tie to break)
+        F.min_by("ms", "doc_id").alias("ks"),
+    )
+    removable = (
+        occ.join(byh, "h")
+        .filter(
+            (F.col("n_occ") >= 2)
+            & ~((F.col("doc_id") == F.col("kdoc")) & (F.col("s") == F.col("ks")))
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("s")).alias("starts"))
+    )
+    n = F.lit(SUB_NGRAM)
+    out = (
+        d.join(removable, "doc_id", "left")
+        .withColumn(
+            "starts",
+            F.coalesce(F.col("starts"), F.array().cast("array<int>")),
+        )
+        .withColumn(
+            "kept",
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tok")),
+                    lambda i: F.struct(
+                        F.element_at("tok", i).alias("t"), i.alias("i")
+                    ),
+                ),
+                lambda x: ~F.exists(
+                    "starts",
+                    lambda st: (st <= x["i"]) & (x["i"] < st + n),
+                ),
+            ),
+        )
+    )
+    # merged removed-span count: equal-length windows sorted by start
+    # merge iff the gap to the previous start is < window length
+    n_spans = F.when(F.size("starts") == 0, F.lit(0)).otherwise(
+        F.lit(1)
+        + F.size(
+            F.filter(
+                F.sequence(F.lit(2), F.greatest(F.size("starts"), F.lit(2))),
+                lambda j: (j <= F.size("starts"))
+                & (
+                    F.element_at("starts", j) - F.element_at("starts", j - 1)
+                    >= n
+                ),
+            )
+        )
+    )
+    return out.select(
+        "doc_id",
+        F.size("tok").alias("n_tokens"),
+        (F.size("tok") - F.size("kept")).alias("removed_tokens"),
+        n_spans.alias("n_spans"),
+        F.concat_ws(" ", F.transform("kept", lambda x: x["t"])).alias(
+            "cleaned_text"
+        ),
+    ).orderBy("doc_id")
+
+
+def exact_substring_trim_sql() -> str:
+    tok = TOKENS_SQL.format(c="text")
+    grams = shingles_sql("tok", SUB_NGRAM)
+    h = MD5INT_SQL.format(c="g")
+    n = SUB_NGRAM
+    return f"""
+WITH tokd AS (SELECT doc_id, {tok} AS tok FROM documents),
+occ AS (
+  -- unnest + generate_subscripts must sit in the SAME select so they
+  -- zip positionally (separating them cross-products the two)
+  SELECT doc_id, s, ({h} % {MOD}) AS h
+  FROM (SELECT doc_id, generate_subscripts(grams, 1) AS s,
+               unnest(grams) AS g
+        FROM (SELECT doc_id, {grams} AS grams
+              FROM tokd WHERE len(tok) >= {n}))
+),
+hd AS (SELECT h, doc_id, min(s) AS ms, count(*) AS c
+       FROM occ GROUP BY h, doc_id),
+byh AS (SELECT h, sum(c) AS n_occ, min(doc_id) AS kdoc,
+               arg_min(ms, doc_id) AS ks
+        FROM hd GROUP BY h),
+removable AS (
+  SELECT doc_id, list_sort(list(DISTINCT s)) AS starts
+  FROM occ JOIN byh USING (h)
+  WHERE n_occ >= 2 AND NOT (doc_id = kdoc AND s = ks)
+  GROUP BY doc_id
+),
+cut AS (
+  SELECT t.doc_id, t.tok,
+         coalesce(r.starts, []) AS starts,
+         list_filter(
+           list_transform(range(1, len(t.tok) + 1),
+                          i -> {{'t': t.tok[i], 'i': i}}),
+           x -> len(list_filter(coalesce(r.starts, []),
+                                st -> st <= x['i'] AND x['i'] < st + {n})) = 0
+         ) AS kept
+  FROM tokd t LEFT JOIN removable r USING (doc_id)
+)
+SELECT doc_id,
+       len(tok)::BIGINT AS n_tokens,
+       (len(tok) - len(kept))::BIGINT AS removed_tokens,
+       (CASE WHEN len(starts) = 0 THEN 0 ELSE
+         1 + len(list_filter(range(2, greatest(len(starts), 2) + 1),
+                  j -> j <= len(starts)
+                       AND starts[j] - starts[j-1] >= {n}))
+        END)::INT AS n_spans,
+       -- DuckDB's array_to_string([]) is NULL; Spark's concat_ws is ''
+       coalesce(array_to_string(list_transform(kept, x -> x['t']), ' '), '')
+         AS cleaned_text
+FROM cut ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # per-source rollup
 # ---------------------------------------------------------------------------
 

@@ -290,14 +290,20 @@ def dedup_minhash_lsh(
         .select("a", "b")
         .distinct()
     )
-    # exact verify of band collisions: candidates are few → broadcast
-    # them through two joins against the per-doc shingle arrays, then
-    # intersect row-locally (list_intersect in the oracle)
+    # exact verify of band collisions: two equi-joins against the
+    # per-doc shingle arrays, then intersect row-locally
+    # (list_intersect in the oracle). No broadcast HINT: AQE broadcasts
+    # both joins at bench scale (cand is id-pairs, far under the
+    # threshold) but a forced hint would also ship `pairs` — candidate
+    # pairs CARRYING their sha arrays — through the driver; on a
+    # near-dup-heavy web corpus |cand| × |shingle set| is unbounded and
+    # the hint becomes a driver OOM. Unhinted, the same query degrades
+    # to shuffle joins keyed on doc_id exactly when it must.
     sets_ = hashed.select("doc_id", "sh")
-    pairs = F.broadcast(cand).join(
+    pairs = cand.join(
         sets_.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha")), "a"
     )
-    pairs = F.broadcast(pairs).join(
+    pairs = pairs.join(
         sets_.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb")), "b"
     )
     inter = F.size(F.array_intersect("sha", "shb"))
@@ -407,11 +413,14 @@ def dedup_incremental(
         ["band", "sig"],
     ).filter(F.col("b") < F.col("a")).select("a", "b")
     cand = cand_base.unionByName(cand_delta).distinct()
+    # no broadcast hint on the verify joins (same rationale as
+    # dedup_minhash_lsh): AQE broadcasts them while candidates are
+    # small; a hint would force array-carrying pairs through the driver
     sets_ = hashed.select("doc_id", "sh")
-    pairs = F.broadcast(cand).join(
+    pairs = cand.join(
         sets_.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha")), "a"
     )
-    pairs = F.broadcast(pairs).join(
+    pairs = pairs.join(
         sets_.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb")), "b"
     )
     inter = F.size(F.array_intersect("sha", "shb"))
