@@ -88,13 +88,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_cooccurrence": R.part_cooccurrence,
         "pagerank": G.pagerank,
         "dedup_clusters": G.dedup_clusters,
+        "connected_components": G.connected_components_query,
         # crawl-engine operator semantics (SURVEY.md §2.2, §2.3, §2.5, §2.7)
         "canonicalize_urls": CQ.canonicalize_urls,
         "seen_anti_join": CQ.seen_anti_join,
         "politeness_rank": CQ.politeness_rank,
         "admission_filter": CQ.admission_filter,
-        "word_counts": CQ.word_counts,
-        "linked_from_counts": CQ.linked_from_counts,
         # training-data pipeline: dedup family
         "dedup_exact": D.dedup_exact,
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
@@ -107,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": S.ann_brute_topk,
         "ann_lsh_buckets": S.ann_lsh_bucketed,
         "ann_ivf_topk": S.ann_ivf_topk,
+        "kmeans_quantizer": S.kmeans_quantizer,
         "embedding_neardup_lsh": S.embedding_neardup_lsh,
         # text analysis
         "lang_id": TS.lang_id,
@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_search_filter": CQ.text_search_filter,
         "thin_content_issues": CQ.thin_content_issues,
         "multi_filter_counts": R.multi_filter_counts,
+        "word_counts": CQ.word_counts,
+        "linked_from_counts": CQ.linked_from_counts,
     }
 
 
@@ -177,6 +179,7 @@ def oracle_sql() -> dict[str, str]:
         "part_cooccurrence": R.PART_COOCCURRENCE_SQL,
         "pagerank": G.pagerank_sql(),
         "dedup_clusters": G.dedup_clusters_sql(),
+        "connected_components": G.connected_components_sql(),
         "canonicalize_urls": CQ.canonicalize_urls_sql(),
         "seen_anti_join": CQ.seen_anti_join_sql(),
         "politeness_rank": CQ.POLITENESS_RANK_SQL,
@@ -194,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_topk": S.ANN_BRUTE_SQL,
         "ann_lsh_buckets": S.ann_lsh_bucketed_sql(),
         "ann_ivf_topk": S.ann_ivf_topk_sql(),
+        "kmeans_quantizer": S.kmeans_quantizer_sql(),
         "embedding_neardup_lsh": S.embedding_neardup_lsh_sql(),
         "lang_id": TS.lang_id_sql(),
         "quality_scores": TS.quality_scores_sql(),

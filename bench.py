@@ -233,6 +233,10 @@ HEADLINE = [
     # exact-substring removal added round 4 (heaviest per-token op:
     # positional occ explode + keep-one-copy aggs + row-local cut)
     "exact_substring_trim",
+    # round-4 iterative additions: O(log n)-round component resolution
+    # and quantizer training (multi-job loops with driver-side scalars)
+    "connected_components",
+    "kmeans_quantizer",
 ]
 
 

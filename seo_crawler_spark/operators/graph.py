@@ -432,3 +432,161 @@ SELECT h.doc_id, h.hub, a.auth,
 FROM {prev_hub} h JOIN {prev_auth} a ON h.doc_id = a.doc_id
 ORDER BY rnk
 """
+
+
+# ---------------------------------------------------------------------------
+# connected components — alternating large-star / small-star
+# ---------------------------------------------------------------------------
+
+# chain block length for the registered query's synthetic graph: paths
+# of diameter CC_CHAIN-1, far beyond any fixed label-propagation depth
+CC_CHAIN = 50
+CC_MAX_ROUNDS = 60
+
+
+def connected_components(
+    edges: DataFrame,
+    max_rounds: int = CC_MAX_ROUNDS,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond") — the web-scale companion to :func:`dedup_clusters`:
+    label propagation resolves a component in O(diameter) rounds,
+    which is unbounded on chain-shaped link graphs; the two-phase star
+    algorithm converges in O(log n) rounds on ANY topology, so a
+    10^10-node crawl graph needs ~35 rounds, not millions.
+
+    Per round, both steps are one map-side-combined min-aggregate plus
+    one equi-join over the current edge set — no windows, no pair
+    explosion; edge count never exceeds the input edge count (each
+    step emits at most one edge per (node, neighbor)). The loop is
+    UNBOUNDED, so every round re-wraps through ``local_ckpt`` (the
+    stats-squaring trap in PLANS.md §"iterative-plan stats blowup")
+    and convergence is checked with a 1-row fingerprint collect
+    (count + xor-ish hash sum) — a bounded driver scalar per round,
+    O(log n) rounds total.
+
+    Input: (u, v) int64 edge list, any orientation, self-loops ok.
+    Output: (node, label) for every node incident to >= 1 edge, label
+    = the component's minimum node id. Algorithm verified against
+    union-find on 300 random graphs + a diameter-4999 chain (14
+    rounds) in tests/test_connected_components.py."""
+    from ..ckpt import local_ckpt
+
+    e = (
+        edges.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .transform(local_ckpt)
+    )
+    prev_fp = None
+    for rnd in range(max_rounds):
+        # large-star: for each node u (symmetric adjacency), connect
+        # every LARGER neighbor v to m = min(N(u) + {u}). v > u >= m,
+        # so emitted edges stay canonically (big, small) oriented.
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: edges are (big, small); connect every smaller
+        # neighbor AND u itself to m = min of the smaller neighbors.
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss_n = (
+            ls.join(mins2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        ss_u = mins2.select("u", F.col("m").alias("v"))
+        e = (
+            ss_n.unionByName(ss_u)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .transform(local_ckpt)
+        )
+        fp = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # xor-fold, not sum: an int64 sum of per-edge hashes
+            # overflows under ANSI mode; xor is closed over int64
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        fp = (fp["n"], fp["h"])
+        if fp == prev_fp:
+            if stats is not None:
+                stats["rounds"] = rnd + 1
+            break
+        prev_fp = fp
+    else:
+        raise RuntimeError(f"connected_components: no fixed point in {max_rounds} rounds")
+    # converged: e is a star forest (node -> component min)
+    roots = e.select(F.col("v").alias("node")).distinct()
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("label"))
+        .unionByName(roots.select("node", F.col("node").alias("label")))
+        .distinct()
+    )
+
+
+def connected_components_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered query: components of a deterministic chain+tree graph
+    over the documents table — CC_CHAIN-long paths (diameter 49, which
+    a 5-round label propagation provably cannot resolve) plus mod-7
+    shortcut edges that merge some blocks; ground truth is the DuckDB
+    recursive-CTE closure. Output (doc_id, cluster_id, is_keeper),
+    keeper = component min."""
+    docs = load(spark, "documents", sf_dir).select("doc_id")
+    n = docs.count()
+    chain = docs.filter(
+        (F.col("doc_id") % CC_CHAIN != CC_CHAIN - 1) & (F.col("doc_id") + 1 < n)
+    ).select(F.col("doc_id").alias("u"), (F.col("doc_id") + 1).alias("v"))
+    # mod-7 shortcuts bound within the block (doc_id%CC_CHAIN >= 7 keeps
+    # v in the same block): components = the CC_CHAIN blocks, and each
+    # block's internal diameter stays ~CC_CHAIN/7, still far beyond any
+    # fixed label-propagation depth
+    tree = docs.filter(
+        (F.col("doc_id") % 7 != 0) & (F.col("doc_id") % CC_CHAIN >= 7)
+    ).select(
+        F.col("doc_id").alias("u"),
+        (F.col("doc_id") - F.col("doc_id") % 7).alias("v"),
+    )
+    labels = connected_components(chain.unionByName(tree))
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).alias("is_keeper"),
+    ).orderBy("doc_id")
+
+
+def connected_components_sql() -> str:
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id AS u, doc_id + 1 AS v FROM documents
+  WHERE doc_id % {CC_CHAIN} <> {CC_CHAIN - 1}
+    AND doc_id + 1 < (SELECT count(*) FROM documents)
+  UNION ALL
+  SELECT doc_id AS u, doc_id - (doc_id % 7) AS v FROM documents
+  WHERE doc_id % 7 <> 0 AND doc_id % {CC_CHAIN} >= 7
+),
+ed AS (SELECT u, v FROM base WHERE u <> v
+       UNION SELECT v AS u, u AS v FROM base WHERE u <> v),
+reach(node, lbl) AS (
+  SELECT u AS node, u AS lbl FROM ed
+  UNION
+  SELECT e.u AS node, r.lbl FROM ed e JOIN reach r ON e.v = r.node
+)
+SELECT node AS doc_id, min(lbl) AS cluster_id,
+       (node = min(lbl)) AS is_keeper
+FROM reach GROUP BY node ORDER BY doc_id
+"""

@@ -513,3 +513,225 @@ FROM cand c JOIN embeddings x ON c.a = x.vec_id JOIN embeddings y ON c.b = y.vec
 WHERE round(list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]), 4) >= {threshold}
 ORDER BY a, b
 """
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means — trains the coarse quantizer for IVF / SemDeDup
+# ---------------------------------------------------------------------------
+
+KM_K = 8
+KM_ITERS = 3
+
+
+def _sq_assign_udf(cents_q: list[tuple[int, list[int]]]):
+    """Nearest-centroid assignment (squared Euclidean) over FIXED-POINT
+    integer vectors — the training-time twin of :func:`cell_assign_udf`
+    (which maximizes dot product at query time): one Arrow-batched
+    matmul per batch, centroid matrix in the closure, ties broken
+    toward the smallest cell id. All arithmetic is exact integer
+    (dist = ||q||^2 - 2 q.C + ||C||^2; the row-constant ||q||^2 is
+    dropped), so assignment is bit-identical across Spark
+    partitionings and the DuckDB oracle. BLAS float64 fast path under
+    the same < 2^53 magnitude bound as cell_assign_udf."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    cents = sorted(cents_q, key=lambda c: c[0])
+    cids = np.asarray([c for c, _ in cents], dtype=np.int64)
+    cq = np.asarray([v for _, v in cents], dtype=np.int64)
+    cc = (cq.astype(object) ** 2).sum(axis=1).astype(np.int64)  # exact
+    cqf = cq.astype(np.float64)
+    c_max = float(np.abs(cq).max()) if cq.size else 0.0
+    dim = cq.shape[1] if cq.ndim == 2 else 0
+
+    @pandas_udf(LongType())
+    def assign(col: pd.Series) -> pd.Series:
+        # input column is the ALREADY-QUANTIZED int64 `qv` array — do
+        # not re-scale (cell_assign_udf, by contrast, takes raw floats)
+        if len(col) == 0:
+            return pd.Series([], dtype="int64")
+        q = np.stack([np.asarray(v, dtype=np.int64) for v in col])
+        if 2.0 * abs(q).max() * c_max * dim < 2.0**53:
+            score = cc.astype(np.float64) - 2.0 * (
+                q.astype(np.float64) @ cqf.T
+            )
+            score = score.astype(np.int64)
+        else:
+            score = cc - 2 * (q @ cq.T)
+        # np.argmin returns the FIRST minimum; cids are ascending, so
+        # ties resolve to the smallest cell id (ORDER BY dist, cid)
+        return pd.Series(cids[np.argmin(score, axis=1)])
+
+    return assign
+
+
+def kmeans_train(
+    emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS
+) -> list[tuple[int, list[int]]]:
+    """Distributed Lloyd's k-means over the embeddings table in exact
+    fixed-point integer arithmetic — how the ``centroids=`` quantizer
+    of :func:`ann_ivf_topk` / ``semdedup`` gets TRAINED at corpus
+    scale (pivot_centroids is the untrained fallback).
+
+    Every step is deterministic in any partitioning, so training is
+    reproducible cross-engine (a float k-means mean depends on
+    accumulation order and can flip assignments):
+
+    * assignment — row-local Arrow-batched integer matmul
+      (:func:`_sq_assign_udf`), zero shuffle;
+    * update — posexplode to (cell, dim) and ONE map-side-combined
+      sum/count aggregate (k x dim result rows), then the new centroid
+      is the exact integer floor-mean computed driver-side — the same
+      k-row-per-iteration driver constant every distributed k-means
+      (incl. Spark MLlib's) collects;
+    * empty cells keep their previous centroid.
+
+    Init = the first k vectors by vec_id (deterministic; k-means|| is
+    the seeding upgrade at 10^10 rows and changes only this step).
+    Returns [(cell_id, fixed-point int64 vector), ...]; divide by
+    DOT_SCALE via :func:`kmeans_centroids_float` to feed the
+    ``centroids=`` APIs."""
+    base = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * DOT_SCALE).cast("long"),
+        ).alias("qv"),
+    ).localCheckpoint(eager=False)  # reused iters+1 times
+    cents = [
+        (r["vec_id"], [int(x) for x in r["qv"]])
+        for r in base.filter(F.col("vec_id") < k).orderBy("vec_id").collect()
+    ]
+    for _ in range(iters):
+        assign = _sq_assign_udf(cents)
+        sums = (
+            base.select(assign(F.col("qv")).alias("cell"), "qv")
+            .select("cell", F.posexplode("qv").alias("p", "v"))
+            .groupBy("cell", "p")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = {}
+        for r in sums:
+            # python // floors — mirrored in SQL by the explicit
+            # floor-div adjustment (DuckDB // truncates toward zero)
+            new.setdefault(r["cell"], {})[r["p"]] = r["s"] // r["n"]
+        cents = [
+            (
+                cid,
+                [new[cid][p] for p in range(len(old))]
+                if cid in new
+                else old,
+            )
+            for cid, old in cents
+        ]
+    return cents
+
+
+def kmeans_centroids_float(
+    cents: list[tuple[int, list[int]]]
+) -> list[tuple[int, list[float]]]:
+    """Adapter to the ``centroids=`` interface of ann_ivf_topk /
+    semdedup, which re-quantize via floor(v * DOT_SCALE): (cval + 0.5)
+    / DOT_SCALE floors back to EXACTLY cval (cval/DOT_SCALE alone can
+    round below the integer and floor to cval - 1)."""
+    return [(cid, [(v + 0.5) / DOT_SCALE for v in vec]) for cid, vec in cents]
+
+
+def kmeans_quantizer(
+    spark: SparkSession, sf_dir: str, k: int = KM_K, iters: int = KM_ITERS
+) -> DataFrame:
+    """Registered query: train the k-means quantizer and report it —
+    one row per (cell, dimension) with the fixed-point centroid value
+    plus the cell's final population. Assignment UDF is bit-identical
+    to the oracle's unrolled-CTE Lloyd iterations."""
+    emb = load(spark, "embeddings", sf_dir)
+    cents = kmeans_train(emb, k, iters)
+    assign = _sq_assign_udf(cents)
+    counts = (
+        emb.select(
+            assign(
+                F.transform(
+                    "embedding",
+                    lambda x: F.floor(x.cast("double") * DOT_SCALE).cast(
+                        "long"
+                    ),
+                )
+            ).alias("cell")
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+    rows = spark.createDataFrame(
+        [
+            (cid, d + 1, int(v))
+            for cid, vec in cents
+            for d, v in enumerate(vec)
+        ],
+        "cell long, d int, cval long",
+    )
+    return (
+        rows.join(counts, "cell", "left")
+        .select(
+            "cell",
+            "d",
+            "cval",
+            F.coalesce("n_vecs", F.lit(0).cast("long")).alias("n_vecs"),
+        )
+        .orderBy("cell", "d")
+    )
+
+
+def kmeans_quantizer_sql(k: int = KM_K, iters: int = KM_ITERS) -> str:
+    """Unrolled Lloyd iterations as DuckDB CTEs — exact integer twin of
+    kmeans_train (same fixed-point quantization, same dist/cid
+    tie-break, same floor-mean, same empty-cell keep-old)."""
+    steps = []
+    prev = "c0"
+    for i in range(1, iters + 1):
+        steps.append(
+            # MATERIALIZED: each step is referenced by the next; DuckDB
+            # would otherwise inline and re-run the whole prefix
+            f"""a{i} AS MATERIALIZED (
+  SELECT q.vec_id, q.qv, c.cid,
+         list_sum(list_transform(range(1, len(q.qv) + 1),
+                  j -> (q.qv[j] - c.cv[j]) * (q.qv[j] - c.cv[j]))) AS dist
+  FROM q, {prev} c),
+w{i} AS (SELECT vec_id, qv, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         FROM a{i}),
+m{i} AS (SELECT cell, p, sum(v) AS s, count(*) AS n FROM (
+   SELECT cid AS cell, generate_subscripts(qv, 1) AS p, unnest(qv) AS v
+   FROM w{i} WHERE rn = 1) GROUP BY cell, p),
+c{i} AS MATERIALIZED (
+  SELECT pv.cid, coalesce(nm.cv, pv.cv) AS cv FROM {prev} pv LEFT JOIN (
+    SELECT cell AS cid,
+           list((s // n) - CASE WHEN s % n <> 0 AND s < 0 THEN 1 ELSE 0 END
+                ORDER BY p) AS cv
+    FROM m{i} GROUP BY cell) nm ON pv.cid = nm.cid)"""
+        )
+        prev = f"c{i}"
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x::DOUBLE * {DOT_SCALE})::BIGINT) AS qv
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, qv AS cv FROM q WHERE vec_id < {k}),
+{', '.join(steps)},
+fa AS (
+  SELECT q.vec_id, c.cid,
+         list_sum(list_transform(range(1, len(q.qv) + 1),
+                  j -> (q.qv[j] - c.cv[j]) * (q.qv[j] - c.cv[j]))) AS dist
+  FROM q, {prev} c),
+fw AS (SELECT vec_id, cid,
+       row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       FROM fa),
+cnt AS (SELECT cid AS cell, count(*) AS n_vecs FROM fw WHERE rn = 1 GROUP BY cid),
+fx AS (SELECT cid, generate_subscripts(cv, 1) AS d, unnest(cv) AS cval
+       FROM {prev})
+SELECT fx.cid AS cell, fx.d::INT AS d, fx.cval,
+       coalesce(cnt.n_vecs, 0) AS n_vecs
+FROM fx LEFT JOIN cnt ON fx.cid = cnt.cell
+ORDER BY cell, d
+"""
