@@ -17,15 +17,18 @@ def spark():
     # concurrent tasks and fewer shuffle partitions both cut the
     # per-job constant that dominates the suite's wall time.
     # SPARK_TEST_* env knobs allow A/B-ing the constants without edits.
+    extra = {}
+    if os.environ.get("SPARK_TEST_AQE") == "off":
+        extra["spark.sql.adaptive.enabled"] = "false"
+    if os.environ.get("SPARK_TEST_NO_CONSTRAINTS") == "1":
+        # constraint propagation is quadratic-ish in plan depth and is
+        # a known driver-CPU sink on iterative per-wave-unique plans
+        extra["spark.sql.constraintPropagation.enabled"] = "false"
     s = get_spark(
         "tests",
         master=f"local[{os.environ.get('SPARK_TEST_CPUS', '8')}]",
         shuffle_partitions=int(os.environ.get("SPARK_TEST_SHUFFLE", "4")),
-        extra_conf=(
-            {"spark.sql.adaptive.enabled": "false"}
-            if os.environ.get("SPARK_TEST_AQE") == "off"
-            else None
-        ),
+        extra_conf=extra or None,
     )
     yield s
     s.stop()
