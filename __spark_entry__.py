@@ -22,6 +22,7 @@ from seo_crawler_spark.operators import temporal as TP
 from seo_crawler_spark.operators import textstats as TS
 from seo_crawler_spark.plans import crawl_queries as CQ
 from seo_crawler_spark.plans import relational as R
+from seo_crawler_spark.streaming import dedup_stream as DS
 from seo_crawler_spark.streaming import events as E
 
 SF0001 = "/root/testdata/sf0.001"
@@ -93,12 +94,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonicalize_urls": CQ.canonicalize_urls,
         "seen_anti_join": CQ.seen_anti_join,
         "politeness_rank": CQ.politeness_rank,
-        "admission_filter": CQ.admission_filter,
         # training-data pipeline: dedup family
         "dedup_exact": D.dedup_exact,
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
         "dedup_incremental": D.dedup_incremental,
+        # Structured Streaming twin of dedup_incremental (foreachBatch +
+        # stream-static band-index joins); same oracle SQL as the batch
+        # operator — a streaming operator with a full hash-match gate
+        "dedup_incremental_stream": DS.dedup_incremental_stream,
         "dedup_simhash": D.dedup_simhash,
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
         "decontaminate": D.decontaminate,
@@ -164,6 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multi_filter_counts": R.multi_filter_counts,
         "word_counts": CQ.word_counts,
         "linked_from_counts": CQ.linked_from_counts,
+        "admission_filter": CQ.admission_filter,
     }
 
 
@@ -191,6 +196,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard_sql(),
         "dedup_minhash_lsh": D.dedup_minhash_lsh_sql(),
         "dedup_incremental": D.dedup_incremental_sql(),
+        # the streamed verdicts equal the batch operator's by contract,
+        # so the stream shares its DuckDB oracle verbatim
+        "dedup_incremental_stream": D.dedup_incremental_sql(),
         "dedup_simhash": D.dedup_simhash_sql(),
         "dedup_embedding_cosine": D.dedup_embedding_cosine_sql(),
         "decontaminate": D.decontaminate_sql(),

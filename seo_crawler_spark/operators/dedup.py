@@ -359,6 +359,28 @@ ORDER BY a, b
 DELTA_MOD = 5  # deterministic split: md5int(doc_id) % 5 == 0 → delta
 
 
+def _hashed_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh, hh): distinct shingle arrays plus their md5-derived
+    hash arrays — the input both :func:`_minhash_bands` (banding) and
+    the exact-Jaccard verify stage consume. Shared by the batch
+    incremental dedup and its Structured Streaming twin
+    (streaming/dedup_stream.py) so both band identically. Docs with no
+    shingles are dropped (trivially novel — callers re-attach them via
+    a left join on the full doc list)."""
+    arrays = (
+        _token_arrays(docs)
+        .select(
+            "doc_id", F.array_distinct(shingles(F.col("tok"))).alias("sh")
+        )
+        .filter(F.size("sh") > 0)
+    )
+    return arrays.select(
+        "doc_id",
+        "sh",
+        F.transform("sh", lambda s: md5int(s) % MOD).alias("hh"),
+    )
+
+
 def dedup_incremental(
     spark: SparkSession, sf_dir: str, threshold: float = 0.5,
     delta_mod: int = DELTA_MOD,
@@ -385,18 +407,7 @@ def dedup_incremental(
     novelty verdict."""
     docs = load(spark, "documents", sf_dir)
     is_delta = (md5int(F.col("doc_id").cast("string")) % delta_mod) == 0
-    arrays = (
-        _token_arrays(docs)
-        .select(
-            "doc_id", F.array_distinct(shingles(F.col("tok"))).alias("sh")
-        )
-        .filter(F.size("sh") > 0)
-    )
-    hashed = arrays.select(
-        "doc_id",
-        "sh",
-        F.transform("sh", lambda s: md5int(s) % MOD).alias("hh"),
-    ).localCheckpoint(eager=False)
+    hashed = _hashed_shingles(docs).localCheckpoint(eager=False)
     bands = _minhash_bands(hashed)
     delta_bands = bands.filter(is_delta)
     base_bands = bands.filter(~is_delta)

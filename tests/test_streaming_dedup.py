@@ -1,0 +1,96 @@
+"""Streaming incremental dedup ≡ the batch operator, and the stream's
+exactly-once/retry contract."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from seo_crawler_spark.functions.text import md5int
+from seo_crawler_spark.operators.dedup import DELTA_MOD, dedup_incremental
+from seo_crawler_spark.sources.tables import load
+from seo_crawler_spark.streaming.dedup_stream import (
+    _stage_delta_files,
+    dedup_incremental_stream,
+    prepare_dedup_base,
+    read_verdicts,
+    stream_dedup_incremental,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(
+        (r["doc_id"], r["dup_of"], r["is_kept"]) for r in df.collect()
+    )
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    """3 doc_id-ordered arrival batches through the stream produce the
+    batch operator's verdicts row-for-row: dup-of-base, dup-of-earlier-
+    batch, and dup-within-batch all resolve to the same min partner."""
+    got = _rows(dedup_incremental_stream(spark, SF))
+    want = _rows(dedup_incremental(spark, SF))
+    assert got == want
+    assert len(want) > 50
+    # the split is real: some delta docs are duplicates, some novel
+    kept = [r for r in want if r[2]]
+    assert 0 < len(kept) < len(want)
+
+
+def test_stream_rerun_is_noop(spark, tmp_path):
+    """availableNow + checkpoint: a second run of the same stream sees
+    no new files, processes zero batches, and leaves verdicts/state
+    byte-identical (the exactly-once contract a restarted job needs)."""
+    docs = load(spark, "documents", SF).select("doc_id", "text")
+    is_delta = (md5int(F.col("doc_id").cast("string")) % DELTA_MOD) == 0
+    state_dir, input_dir = str(tmp_path / "state"), str(tmp_path / "in")
+    prepare_dedup_base(docs.filter(~is_delta), state_dir)
+    delta = docs.filter(is_delta)
+    _stage_delta_files(spark, delta, input_dir, 2)
+    stream_dedup_incremental(spark, input_dir, delta.schema, state_dir)
+    first = _rows(read_verdicts(spark, state_dir))
+    batches = sorted(os.listdir(f"{state_dir}/verdicts"))
+    stream_dedup_incremental(spark, input_dir, delta.schema, state_dir)
+    assert _rows(read_verdicts(spark, state_dir)) == first
+    assert sorted(os.listdir(f"{state_dir}/verdicts")) == batches
+    # both staged files became their own micro-batch
+    assert len([b for b in batches if b.startswith("batch=")]) == 2
+
+
+def test_late_novel_batch_dedups_against_earlier_arrival(spark, tmp_path):
+    """State accumulation across batches: a doc re-arriving in a LATER
+    file is claimed by its first arrival, not marked novel."""
+    docs = load(spark, "documents", SF).select("doc_id", "text")
+    is_delta = (md5int(F.col("doc_id").cast("string")) % DELTA_MOD) == 0
+    state_dir, input_dir = str(tmp_path / "state"), str(tmp_path / "in")
+    prepare_dedup_base(docs.filter(~is_delta), state_dir)
+    delta = docs.filter(is_delta)
+    first_kept = [
+        r["doc_id"]
+        for r in dedup_incremental(spark, SF).filter("is_kept").collect()
+    ]
+    probe = min(first_kept)  # novel on first arrival by construction
+    _stage_delta_files(spark, delta, input_dir, 1)
+    # second arrival: same text, new doc_id larger than every delta id
+    clone = (
+        delta.filter(F.col("doc_id") == probe)
+        .withColumn("doc_id", F.lit(10_000_000).cast("long"))
+    )
+    clone.coalesce(1).write.mode("overwrite").parquet(f"{input_dir}/_c")
+    import glob
+    import shutil
+
+    part = glob.glob(f"{input_dir}/_c/part-*.parquet")[0]
+    shutil.move(part, f"{input_dir}/zzz.parquet")
+    shutil.rmtree(f"{input_dir}/_c")
+    os.utime(f"{input_dir}/zzz.parquet", (2_000_000, 2_000_000))
+    stream_dedup_incremental(spark, input_dir, delta.schema, state_dir)
+    verdicts = {
+        r["doc_id"]: (r["dup_of"], r["is_kept"])
+        for r in read_verdicts(spark, state_dir).collect()
+    }
+    assert verdicts[probe] == (None, True)
+    assert verdicts[10_000_000] == (probe, False)
