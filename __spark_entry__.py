@@ -91,7 +91,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": G.dedup_clusters,
         "connected_components": G.connected_components_query,
         # crawl-engine operator semantics (SURVEY.md §2.2, §2.3, §2.5, §2.7)
-        "canonicalize_urls": CQ.canonicalize_urls,
         "seen_anti_join": CQ.seen_anti_join,
         "politeness_rank": CQ.politeness_rank,
         # training-data pipeline: dedup family
@@ -112,6 +111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": S.ann_ivf_topk,
         "kmeans_quantizer": S.kmeans_quantizer,
         "embedding_neardup_lsh": S.embedding_neardup_lsh,
+        # media-modality exact dedup (hash map-side, blobs never shuffle)
+        "media_dedup": MM.media_dedup,
         # text analysis
         "lang_id": TS.lang_id,
         "quality_scores": TS.quality_scores,
@@ -169,6 +170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_counts": CQ.word_counts,
         "linked_from_counts": CQ.linked_from_counts,
         "admission_filter": CQ.admission_filter,
+        "canonicalize_urls": CQ.canonicalize_urls,
     }
 
 
@@ -207,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": S.ann_ivf_topk_sql(),
         "kmeans_quantizer": S.kmeans_quantizer_sql(),
         "embedding_neardup_lsh": S.embedding_neardup_lsh_sql(),
+        "media_dedup": MM.media_dedup_sql(),
         "lang_id": TS.lang_id_sql(),
         "quality_scores": TS.quality_scores_sql(),
         "token_counts": TS.TOKEN_COUNTS_SQL,

@@ -302,3 +302,120 @@ SELECT media_ref, kind, width, height,
 FROM meta
 ORDER BY media_ref
 """
+
+
+# ---------------------------------------------------------------------------
+# media dedup — exact dedup of the binary modality
+# ---------------------------------------------------------------------------
+
+# distinct payload contents in the registered query's synthetic reuse
+# pattern: ~250 media objects at sf0.01 / 40 contents ≈ 6 copies each
+MEDIA_DEDUP_CONTENTS = 40
+
+
+def media_dedup(
+    spark: SparkSession, sf_dir: str, n_contents: int = MEDIA_DEDUP_CONTENTS
+) -> DataFrame:
+    """Exact dedup of the MEDIA modality — the web serves the same
+    image from many pages, so a multimodal training pipeline dedups
+    media objects by payload bytes before paying decode/feature cost.
+
+    Scale shape (the part that matters at 100 TB): the content hash is
+    computed MAP-SIDE over the payload column and only
+    (hash, media_ref, length) rows enter the groupBy shuffle — binary
+    blobs never cross the network. ``F.md5(payload)`` is JVM-side
+    (no Python round-trip for the hash itself).
+
+    Synthetic reuse: one media object per even-doc_id page
+    (media_ref 'm/<doc_id>'), payload = splitmix64 stream seeded ONLY
+    by content_key = md5int(media_ref) % n_contents — so distinct refs
+    share byte-identical payloads. Spark groups by the ACTUAL byte
+    hash; the DuckDB oracle groups by the content_key arithmetic. The
+    hash-match therefore proves the byte-level grouping coincides with
+    the key-level one (any ref-dependence leaking into payload bytes
+    would split Spark's groups and mismatch).
+
+    Output: one row per unique payload — keeper (min media_ref),
+    n_copies, payload_bytes, dup_bytes_saved = (n_copies-1) × bytes."""
+    from ..functions.text import md5int
+    from ..sources.tables import load
+
+    docs = load(spark, "documents", sf_dir)
+    refs = docs.filter(F.pmod("doc_id", F.lit(2)) == 0).select(
+        F.concat(F.lit("m/"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        )
+    )
+    tagged = refs.select(
+        "media_ref",
+        F.pmod(md5int(F.col("media_ref")), F.lit(n_contents)).alias(
+            "content_key"
+        ),
+    )
+
+    pay_schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                _fake_bytes(
+                    np.uint64(
+                        (int(k) * 0x9E3779B97F4A7C15 + 1)
+                        & 0xFFFFFFFFFFFFFFFF
+                    ),
+                    136,
+                )
+                for k in pdf["content_key"]
+            ]
+            yield pdf[["media_ref", "payload"]]
+
+    media = tagged.mapInPandas(attach, schema=pay_schema)
+    hashed = media.select(
+        "media_ref",
+        F.md5("payload").alias("content_hash"),
+        F.length("payload").alias("nbytes"),
+    )
+    return (
+        hashed.groupBy("content_hash")
+        .agg(
+            F.min("media_ref").alias("keeper_ref"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("nbytes").alias("payload_bytes"),
+        )
+        .select(
+            "keeper_ref",
+            "n_copies",
+            "payload_bytes",
+            ((F.col("n_copies") - 1) * F.col("payload_bytes")).alias(
+                "dup_bytes_saved"
+            ),
+        )
+        .orderBy("keeper_ref")
+    )
+
+
+def media_dedup_sql(n_contents: int = MEDIA_DEDUP_CONTENTS) -> str:
+    """content_key twin of :func:`media_dedup` — groups by the seed
+    arithmetic instead of the byte hash (DuckDB never sees the
+    splitmix64 bytes; equality of the two groupings is the check)."""
+    from ..functions.text import MD5INT_SQL
+
+    h = MD5INT_SQL.format(c="media_ref")
+    return f"""
+WITH refs AS (
+  SELECT 'm/' || CAST(doc_id AS VARCHAR) AS media_ref
+  FROM documents WHERE doc_id % 2 = 0
+),
+keys AS (SELECT media_ref, {h} % {n_contents} AS content_key FROM refs)
+SELECT min(media_ref) AS keeper_ref,
+       count(*) AS n_copies,
+       136 AS payload_bytes,
+       (count(*) - 1) * 136 AS dup_bytes_saved
+FROM keys GROUP BY content_key ORDER BY keeper_ref
+"""

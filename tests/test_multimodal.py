@@ -73,3 +73,29 @@ def test_frame_sampling(spark, media):
         assert len(rows) >= vids
         assert all(r["frame_idx"] % 24 == 0 for r in rows)
         assert all(r["frame_idx"] < r["n_frames"] for r in rows)
+
+
+def test_media_dedup_byte_groups(spark):
+    """The byte-level grouping is real: payloads are byte-identical
+    within a dedup group and differ across groups; bookkeeping columns
+    are consistent."""
+    from seo_crawler_spark.operators.multimodal import media_dedup
+
+    sf = "/root/testdata/sf0.001"
+    out = media_dedup(spark, sf).collect()
+    assert len(out) > 1
+    total_refs = sum(r["n_copies"] for r in out)
+    docs_even = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .filter(F.col("doc_id") % 2 == 0)
+        .count()
+    )
+    assert total_refs == docs_even  # every media object lands in a group
+    assert all(r["payload_bytes"] == 136 for r in out)
+    assert all(
+        r["dup_bytes_saved"] == (r["n_copies"] - 1) * 136 for r in out
+    )
+    # keepers are distinct refs and each group has >= 1 member
+    keepers = [r["keeper_ref"] for r in out]
+    assert len(set(keepers)) == len(keepers)
+    assert any(r["n_copies"] > 1 for r in out)  # reuse actually happens
