@@ -12,6 +12,16 @@ batch's OWN bands/sets are appended to the state so every later batch
 dedups against it. At warehouse scale the state tables are the stored
 band index the batch path already assumes — the stream just grows it.
 
+Per-batch cost is kept proportional to the BATCH, not the state:
+state tables are hash-partitioned on sig/doc buckets and every batch
+scan carries an explicit touched-bucket IN filter (bounded collects;
+Catalyst's dynamic partition pruning doesn't fire here — the delta
+side has no selective predicate), delta appends coalesce to one file
+per bucket dir, and ``compact_every`` folds deltas into a versioned
+base (meta.json rename = commit point) so dir/file counts stay
+bounded over an unbounded stream — the same merge-on-read +
+compaction discipline as the crawl loop's seen-state.
+
 Exactly-once: every per-batch write lands in a ``batch=<id>``
 subdirectory with mode("overwrite"), so a retried micro-batch
 overwrites its own partial output instead of duplicating it, and state
@@ -39,53 +49,234 @@ from ..functions.text import md5int
 from ..sources.tables import load
 
 
+# the band-index state is hash-partitioned on sig_bucket so each
+# micro-batch reads only the TOUCHED bucket dirs: the delta's distinct
+# sig_bucket values (a bounded ≤ N_SIG_BUCKETS-row collect) are pushed
+# as a static IN partition filter on the state scan, so per-batch scan
+# cost tracks the delta's bucket fan-out, not total state size.
+# (Catalyst's dynamic partition pruning was measured NOT to fire here —
+# the delta side carries no selective predicate, which the
+# PartitionPruning rule requires — so the explicit filter is the
+# reliable route; at warehouse scale N_SIG_BUCKETS grows to thousands
+# and a small batch touches a sliver of them.)
+N_SIG_BUCKETS = 32
+
+# the shingle-set state (the verify side — the BIG table at scale,
+# carrying full shingle arrays) is likewise partitioned on a doc_id
+# hash bucket; the verify join reads only buckets holding candidate
+# partners (bounded ≤ N_DOC_BUCKETS-row collect of candidates'
+# distinct buckets). Without this the verify scan is O(total state)
+# per batch — measured as the linear term in bench_stream_dedup.py.
+N_DOC_BUCKETS = 32
+
+
+def _with_sig_bucket(bands: DataFrame, n: int = None) -> DataFrame:
+    n = N_SIG_BUCKETS if n is None else n
+    return bands.withColumn(
+        "sig_bucket", F.pmod(F.xxhash64("sig"), F.lit(n)).cast("int")
+    )
+
+
+def _doc_bucket(c, n: int = None) -> F.Column:
+    n = N_DOC_BUCKETS if n is None else n
+    return F.pmod(F.xxhash64(c), F.lit(n)).cast("int")
+
+
+def _write_meta(state_dir: str, meta: dict) -> None:
+    """Atomically publish state metadata. The bucket counts pin the
+    layout the state was written with — the pruning filters must
+    compute buckets with the SAME modulus as the partition columns on
+    disk; a resumed stream after a constant bump would otherwise
+    silently prune the wrong dirs (miss dups). ``base_version`` /
+    ``compacted_upto`` make compaction crash-safe: the meta rename is
+    the commit point."""
+    import json
+
+    os.makedirs(state_dir, exist_ok=True)
+    tmp = f"{state_dir}/meta.json.tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, f"{state_dir}/meta.json")
+
+
+def _read_meta(state_dir: str) -> dict:
+    import json
+
+    path = f"{state_dir}/meta.json"
+    if os.path.exists(path):  # states from before meta existed: constants
+        with open(path) as f:
+            return json.load(f)
+    return {
+        "n_sig_buckets": N_SIG_BUCKETS,
+        "n_doc_buckets": N_DOC_BUCKETS,
+        "base_version": 0,
+        "compacted_upto": 0,
+    }
+
+
+def _base_dir(state_dir: str, kind: str, version: int) -> str:
+    return f"{state_dir}/base_{kind}" + (f"_v{version}" if version else "")
+
+
 def prepare_dedup_base(base_docs: DataFrame, state_dir: str) -> None:
     """One-time: band the standing base corpus and persist its band
-    index + shingle sets as the stream's state tables."""
+    index + shingle sets as the stream's state tables. Writes are
+    repartitioned ON the partition column first, so each bucket dir
+    gets ~1 file instead of one per shuffle partition (32 buckets x
+    32 tasks = 1024 tiny files per write was the measured state-scan
+    killer)."""
+    _write_meta(
+        state_dir,
+        {
+            "n_sig_buckets": N_SIG_BUCKETS,
+            "n_doc_buckets": N_DOC_BUCKETS,
+            "base_version": 0,
+            "compacted_upto": 0,
+        },
+    )
     hashed = _hashed_shingles(base_docs).localCheckpoint(eager=False)
-    _minhash_bands(hashed).write.mode("overwrite").parquet(
-        f"{state_dir}/base_bands"
+    _with_sig_bucket(_minhash_bands(hashed)).repartition(
+        "sig_bucket"
+    ).write.mode("overwrite").partitionBy("sig_bucket").parquet(
+        _base_dir(state_dir, "bands", 0)
     )
-    hashed.select("doc_id", "sh").write.mode("overwrite").parquet(
-        f"{state_dir}/base_sets"
+    hashed.select(
+        "doc_id", "sh", _doc_bucket(F.col("doc_id")).alias("doc_bucket")
+    ).repartition("doc_bucket").write.mode("overwrite").partitionBy(
+        "doc_bucket"
+    ).parquet(_base_dir(state_dir, "sets", 0))
+
+
+def compact_dedup_state(spark: SparkSession, state_dir: str, upto: int) -> None:
+    """Fold delta batches < ``upto`` into a new base version and drop
+    them — the maintenance step that keeps per-batch state reads
+    bounded (same role as the crawl loop's compact_seen). Crash-safe:
+    the new base is written to versioned dirs, the meta rename is the
+    commit point, and only then are folded delta dirs deleted. In the
+    window where both a folded delta and the new base exist, state
+    reads exclude the delta via ``compacted_upto`` — and even a
+    double-read would be harmless (candidates go through distinct();
+    the verify groupBy-min is idempotent to duplicate partner rows)."""
+    import shutil
+
+    meta = _read_meta(state_dir)
+    old_ver, new_ver = meta["base_version"], meta["base_version"] + 1
+    for kind, part_col in (("bands", "sig_bucket"), ("sets", "doc_bucket")):
+        folded = _read_state(spark, state_dir, kind, upto, meta)
+        folded.repartition(part_col).write.mode("overwrite").partitionBy(
+            part_col
+        ).parquet(_base_dir(state_dir, kind, new_ver))
+    _write_meta(
+        state_dir,
+        {**meta, "base_version": new_ver, "compacted_upto": upto},
     )
+    # post-commit cleanup; a crash here only leaves dead dirs behind
+    for kind in ("bands", "sets"):
+        shutil.rmtree(_base_dir(state_dir, kind, old_ver), ignore_errors=True)
+        ddir = f"{state_dir}/delta_{kind}"
+        if os.path.isdir(ddir):
+            for name in os.listdir(ddir):
+                if name.startswith("batch=") and int(name.split("=")[1]) < upto:
+                    shutil.rmtree(f"{ddir}/{name}", ignore_errors=True)
 
 
 def _read_state(
-    spark: SparkSession, state_dir: str, kind: str, before_batch: int
+    spark: SparkSession,
+    state_dir: str,
+    kind: str,
+    before_batch: int,
+    meta: dict | None = None,
 ) -> DataFrame:
-    """base_<kind> ∪ delta_<kind> from batches strictly before
-    ``before_batch`` (a retried batch must not see its own failed
-    attempt's partial appends)."""
-    state = spark.read.parquet(f"{state_dir}/base_{kind}")
+    """base_<kind> ∪ delta_<kind> from batches in
+    [compacted_upto, before_batch): already-folded batches live in the
+    base, and a retried batch must not see its own failed attempt's
+    partial appends."""
+    meta = meta or _read_meta(state_dir)
+    state = spark.read.parquet(
+        _base_dir(state_dir, kind, meta["base_version"])
+    )
     ddir = f"{state_dir}/delta_{kind}"
-    if os.path.isdir(ddir) and any(
-        n.startswith("batch=") for n in os.listdir(ddir)
-    ):
+    live = (
+        [
+            n
+            for n in os.listdir(ddir)
+            if n.startswith("batch=")
+            and meta["compacted_upto"] <= int(n.split("=")[1]) < before_batch
+        ]
+        if os.path.isdir(ddir)
+        else []
+    )
+    if live:
+        # explicit dir list: folded-but-not-yet-deleted batch dirs are
+        # never listed, and partition discovery skips dead dirs
         delta = (
-            spark.read.parquet(ddir)
-            .filter(F.col("batch") < before_batch)
+            spark.read.option("basePath", ddir)
+            .parquet(*[f"{ddir}/{n}" for n in live])
             .drop("batch")
         )
         state = state.unionByName(delta)
     return state
 
 
-def _process_batch(spark: SparkSession, state_dir: str, threshold: float):
+def _process_batch(
+    spark: SparkSession,
+    state_dir: str,
+    threshold: float,
+    compact_every: int | None = None,
+):
     def process(batch_docs: DataFrame, batch_id: int) -> None:
+        # maintenance: fold earlier deltas into the base every
+        # compact_every batches. Strictly < batch_id — folding only
+        # batches whose stream checkpoint has committed, so a RETRY of
+        # the current batch can never find its own docs in the base
+        # (which would break keep-first ordering).
+        if (
+            compact_every
+            and batch_id
+            and batch_id % compact_every == 0
+        ):
+            meta0 = _read_meta(state_dir)
+            if meta0["compacted_upto"] < batch_id:
+                compact_dedup_state(spark, state_dir, batch_id)
+        meta = _read_meta(state_dir)
+        # bucket moduli pinned at prepare time (state partition layout)
+        n_sig, n_doc = meta["n_sig_buckets"], meta["n_doc_buckets"]
         # reused by banding, both verify legs, and the state append
         hashed = _hashed_shingles(
             batch_docs.select("doc_id", "text")
         ).localCheckpoint(eager=False)
-        bands = _minhash_bands(hashed)
-        state_bands = _read_state(spark, state_dir, "bands", batch_id)
-        da = bands.select(F.col("doc_id").alias("a"), "band", "sig")
+        bands = _with_sig_bucket(
+            _minhash_bands(hashed), n_sig
+        ).localCheckpoint(eager=False)
+        # bounded collect (≤ N_SIG_BUCKETS rows): which bucket dirs of
+        # the standing index this batch can possibly touch
+        touched = [
+            r["sig_bucket"]
+            for r in bands.select("sig_bucket").distinct().collect()
+        ]
+        state_bands = _read_state(
+            spark, state_dir, "bands", batch_id, meta
+        ).filter(
+            F.col("sig_bucket").isin(touched) if touched else F.lit(False)
+        )
+        da = bands.select(
+            F.col("doc_id").alias("a"), "sig_bucket", "band", "sig"
+        )
         # dup-of-state: base corpus + every earlier arrival, no
-        # ordering predicate (all state docs precede this batch)
-        cand_state = da.join(
-            state_bands.select(F.col("doc_id").alias("b"), "band", "sig"),
-            ["band", "sig"],
-        ).select("a", "b")
+        # ordering predicate (all state docs precede this batch).
+        # sig_bucket in the join key is redundant on equality (it is a
+        # function of sig) but it is the STATE PARTITION COLUMN — with
+        # the isin filter above, untouched bucket dirs are never read.
+        cand_state = (
+            da.join(
+                state_bands.select(
+                    F.col("doc_id").alias("b"), "sig_bucket", "band", "sig"
+                ),
+                ["sig_bucket", "band", "sig"],
+            )
+            .filter(F.col("a") != F.col("b"))  # belt-and-braces vs retries
+            .select("a", "b")
+        )
         # dup-within-batch: keep-first by doc_id, as the batch operator
         cand_batch = (
             da.join(
@@ -95,9 +286,28 @@ def _process_batch(spark: SparkSession, state_dir: str, threshold: float):
             .filter(F.col("b") < F.col("a"))
             .select("a", "b")
         )
-        cand = cand_state.unionByName(cand_batch).distinct()
-        sets_ = _read_state(spark, state_dir, "sets", batch_id).unionByName(
-            hashed.select("doc_id", "sh")
+        cand = (
+            cand_state.unionByName(cand_batch)
+            .distinct()
+            .localCheckpoint(eager=False)  # reused: bucket probe + verify
+        )
+        # bounded collect (≤ N_DOC_BUCKETS rows): which partner-doc
+        # bucket dirs of the sets state the verify join can touch
+        b_buckets = [
+            r["bk"]
+            for r in cand.select(_doc_bucket(F.col("b"), n_doc).alias("bk"))
+            .distinct()
+            .collect()
+        ]
+        sets_ = (
+            _read_state(spark, state_dir, "sets", batch_id, meta)
+            .filter(
+                F.col("doc_bucket").isin(b_buckets)
+                if b_buckets
+                else F.lit(False)
+            )
+            .drop("doc_bucket")
+            .unionByName(hashed.select("doc_id", "sh"))
         )
         pairs = cand.join(
             hashed.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha")),
@@ -126,12 +336,19 @@ def _process_batch(spark: SparkSession, state_dir: str, threshold: float):
         verdicts.write.mode("overwrite").parquet(
             f"{state_dir}/verdicts/batch={batch_id}"
         )
-        bands.write.mode("overwrite").parquet(
-            f"{state_dir}/delta_bands/batch={batch_id}"
-        )
-        hashed.select("doc_id", "sh").write.mode("overwrite").parquet(
-            f"{state_dir}/delta_sets/batch={batch_id}"
-        )
+        # coalesce(1): batch-sized appends write ONE file per bucket
+        # dir, not one per shuffle partition (32x32 tiny files was the
+        # measured per-batch state-scan killer)
+        bands.coalesce(1).write.mode("overwrite").partitionBy(
+            "sig_bucket"
+        ).parquet(f"{state_dir}/delta_bands/batch={batch_id}")
+        hashed.select(
+            "doc_id",
+            "sh",
+            _doc_bucket(F.col("doc_id"), n_doc).alias("doc_bucket"),
+        ).coalesce(1).write.mode("overwrite").partitionBy(
+            "doc_bucket"
+        ).parquet(f"{state_dir}/delta_sets/batch={batch_id}")
 
     return process
 
@@ -143,16 +360,20 @@ def stream_dedup_incremental(
     state_dir: str,
     threshold: float = 0.5,
     max_files_per_trigger: int | None = 1,
+    compact_every: int | None = None,
 ) -> None:
     """Drive the stream to completion (Trigger.AvailableNow): every
     parquet file in ``input_dir`` becomes (up to) one micro-batch,
-    processed in file modification-time order."""
+    processed in file modification-time order. ``compact_every``
+    folds delta state into the base every that-many batches."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     q = (
         reader.parquet(input_dir)
-        .writeStream.foreachBatch(_process_batch(spark, state_dir, threshold))
+        .writeStream.foreachBatch(
+            _process_batch(spark, state_dir, threshold, compact_every)
+        )
         .option("checkpointLocation", f"{state_dir}/_ckpt")
         .trigger(availableNow=True)
         .start()
@@ -223,7 +444,10 @@ def dedup_incremental_stream(
     prepare_dedup_base(docs.filter(~is_delta), state_dir)
     delta = docs.filter(is_delta)
     _stage_delta_files(spark, delta, input_dir, n_batches)
+    # compact_every=2 on purpose: the oracle hash-match then covers the
+    # compaction path (batch 2 runs against a folded base), not just
+    # the append path
     stream_dedup_incremental(
-        spark, input_dir, delta.schema, state_dir, threshold
+        spark, input_dir, delta.schema, state_dir, threshold, compact_every=2
     )
     return read_verdicts(spark, state_dir)

@@ -94,3 +94,43 @@ def test_late_novel_batch_dedups_against_earlier_arrival(spark, tmp_path):
     }
     assert verdicts[probe] == (None, True)
     assert verdicts[10_000_000] == (probe, False)
+
+
+def test_compaction_preserves_verdicts_and_bounds_state(spark, tmp_path):
+    """compact_every=1 (fold before every batch after the first)
+    produces the same verdicts as the uncompacted stream AND the batch
+    operator; folded delta dirs are gone, base_version advanced, and
+    bucket moduli pinned in meta survive a module-constant change."""
+    import json
+
+    from seo_crawler_spark.streaming import dedup_stream as DS
+
+    docs = load(spark, "documents", SF).select("doc_id", "text")
+    is_delta = (md5int(F.col("doc_id").cast("string")) % DELTA_MOD) == 0
+    state_dir, input_dir = str(tmp_path / "state"), str(tmp_path / "in")
+    prepare_dedup_base(docs.filter(~is_delta), state_dir)
+    delta = docs.filter(is_delta)
+    _stage_delta_files(spark, delta, input_dir, 3)
+    # simulate a version bump between prepare and stream: the stream
+    # must keep pruning with the moduli the state was WRITTEN with
+    old_sig = DS.N_SIG_BUCKETS
+    DS.N_SIG_BUCKETS = old_sig * 2
+    try:
+        stream_dedup_incremental(
+            spark, input_dir, delta.schema, state_dir, compact_every=1
+        )
+    finally:
+        DS.N_SIG_BUCKETS = old_sig
+    got = _rows(read_verdicts(spark, state_dir))
+    assert got == _rows(dedup_incremental(spark, SF))
+    meta = json.load(open(f"{state_dir}/meta.json"))
+    assert meta["base_version"] == 2 and meta["compacted_upto"] == 2
+    assert meta["n_sig_buckets"] == old_sig  # pinned, not the bumped value
+    live = [
+        n
+        for n in os.listdir(f"{state_dir}/delta_bands")
+        if n.startswith("batch=")
+    ]
+    assert live == ["batch=2"]  # batches 0-1 folded into base_v2
+    assert os.path.isdir(f"{state_dir}/base_bands_v2")
+    assert not os.path.isdir(f"{state_dir}/base_bands_v1")
