@@ -36,6 +36,12 @@ N_BATCHES = 12
 COMPACT_EVERY = 4
 WORK = "/tmp/bench_stream_dedup"
 
+# --long: 50 batches of 2k docs (state grows 60k -> 160k, 12 compaction
+# cycles) — the flatness claim at 4x the batch depth, plus skipping the
+# pruning A/B (unchanged). Overrides via argv.
+if "--long" in sys.argv:
+    BATCH_N, N_BATCHES = 2_000, 50
+
 
 def synth_docs(spark, lo: int, hi: int):
     """Deterministic docs [lo, hi) with CONSTANT dup density: by id%20,
@@ -111,6 +117,27 @@ def main() -> int:
             text=True,
         ).stdout
     )
+
+    if "--long" in sys.argv:
+        out = {
+            "per_batch": rows,
+            "trickle": trickle,
+            "verdicts": total,
+            "kept": kept,
+            "state_parquet_files": n_files,
+            "compact_every": COMPACT_EVERY,
+        }
+        print(json.dumps(out))
+        q = lambda i: rows[i]["sec"]
+        early = sorted(q(i) for i in range(2, 10))
+        late = sorted(q(i) for i in range(N_BATCHES - 8, N_BATCHES))
+        med = lambda xs: xs[len(xs) // 2]
+        print(
+            f"\nlong-run: {N_BATCHES} batches x {BATCH_N}, early median "
+            f"{med(early)}s vs late median {med(late)}s, files {n_files}"
+        )
+        spark.stop()
+        return 0
 
     # --- 3. pruning A/B at production bucket count ----------------------
     from seo_crawler_spark.operators.dedup import _hashed_shingles, _minhash_bands

@@ -170,9 +170,15 @@ def compact_dedup_state(spark: SparkSession, state_dir: str, upto: int) -> None:
         state_dir,
         {**meta, "base_version": new_ver, "compacted_upto": upto},
     )
-    # post-commit cleanup; a crash here only leaves dead dirs behind
+    # post-commit cleanup; a crash here only leaves dead dirs behind,
+    # and the sweep below removes EVERY non-current base version (not
+    # just old_ver) so orphans from an earlier crash get collected too
+    del old_ver
     for kind in ("bands", "sets"):
-        shutil.rmtree(_base_dir(state_dir, kind, old_ver), ignore_errors=True)
+        cur = os.path.basename(_base_dir(state_dir, kind, new_ver))
+        for name in os.listdir(state_dir):
+            if name.startswith(f"base_{kind}") and name != cur:
+                shutil.rmtree(f"{state_dir}/{name}", ignore_errors=True)
         ddir = f"{state_dir}/delta_{kind}"
         if os.path.isdir(ddir):
             for name in os.listdir(ddir):

@@ -134,3 +134,74 @@ def test_compaction_preserves_verdicts_and_bounds_state(spark, tmp_path):
     assert live == ["batch=2"]  # batches 0-1 folded into base_v2
     assert os.path.isdir(f"{state_dir}/base_bands_v2")
     assert not os.path.isdir(f"{state_dir}/base_bands_v1")
+
+
+def test_compaction_crash_windows_are_safe(spark, tmp_path, monkeypatch):
+    """The two compaction crash windows leave a state that still
+    produces correct verdicts: (1) crash BEFORE the meta flip — new
+    base dirs are orphans, reads keep using old base + deltas, a later
+    compaction overwrites the orphans; (2) crash AFTER the flip but
+    before cleanup — folded delta dirs survive on disk but reads
+    exclude them via compacted_upto, and the next compaction sweeps
+    every stale base version."""
+    import shutil as real_shutil
+
+    from seo_crawler_spark.streaming import dedup_stream as DS
+
+    docs = load(spark, "documents", SF).select("doc_id", "text")
+    is_delta = (md5int(F.col("doc_id").cast("string")) % DELTA_MOD) == 0
+    delta = docs.filter(is_delta).orderBy("doc_id")
+    ids = [r["doc_id"] for r in delta.select("doc_id").collect()]
+    cut = ids[len(ids) // 2]
+    b0 = delta.filter(F.col("doc_id") <= cut)
+    b1 = delta.filter(F.col("doc_id") > cut)
+
+    def fresh(name: str) -> str:
+        state = str(tmp_path / name)
+        prepare_dedup_base(docs.filter(~is_delta), state)
+        DS._process_batch(spark, state, 0.5)(b0, 0)
+        return state
+
+    def verdicts_after_b1(state: str):
+        DS._process_batch(spark, state, 0.5)(b1, 1)
+        return _rows(read_verdicts(spark, state))
+
+    want = verdicts_after_b1(fresh("clean"))
+
+    # window 1: base_v1 written, meta flip never happened
+    s1 = fresh("crash_pre_flip")
+    calls = {"n": 0}
+    orig = DS._write_meta
+
+    def dying_write_meta(state_dir, meta):
+        calls["n"] += 1
+        raise OSError("simulated crash before meta flip")
+
+    monkeypatch.setattr(DS, "_write_meta", dying_write_meta)
+    try:
+        DS.compact_dedup_state(spark, s1, upto=1)
+    except OSError:
+        pass
+    monkeypatch.setattr(DS, "_write_meta", orig)
+    assert calls["n"] == 1 and os.path.isdir(f"{s1}/base_bands_v1")  # orphan
+    import json
+
+    assert json.load(open(f"{s1}/meta.json"))["base_version"] == 0
+    assert verdicts_after_b1(s1) == want  # reads ignore the orphan
+    # a later compaction overwrites the orphan and commits
+    DS.compact_dedup_state(spark, s1, upto=2)
+    assert json.load(open(f"{s1}/meta.json"))["base_version"] == 1
+    assert not os.path.isdir(f"{s1}/base_bands")  # v0 swept
+
+    # window 2: meta flipped, cleanup never ran
+    s2 = fresh("crash_post_flip")
+    monkeypatch.setattr(real_shutil, "rmtree", lambda *a, **k: None)
+    DS.compact_dedup_state(spark, s2, upto=1)
+    monkeypatch.undo()
+    assert os.path.isdir(f"{s2}/base_bands")  # stale v0 survives
+    assert os.path.isdir(f"{s2}/delta_bands/batch=0")  # folded, not deleted
+    assert verdicts_after_b1(s2) == want  # compacted_upto excludes it
+    DS.compact_dedup_state(spark, s2, upto=2)  # sweeps ALL stale versions
+    assert not os.path.isdir(f"{s2}/base_bands")
+    assert not os.path.isdir(f"{s2}/base_bands_v1")
+    assert not os.path.isdir(f"{s2}/delta_bands/batch=0")
