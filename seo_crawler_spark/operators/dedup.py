@@ -281,7 +281,28 @@ def dedup_minhash_lsh(
         "sh",
         F.transform("sh", shingle_hash).alias("hh"),
     ).localCheckpoint(eager=False)
-    bands = _minhash_bands(hashed)
+    # EXACT-COLLAPSE before banding — the boilerplate-skew guard: k
+    # docs with identical shingle arrays share every band signature, so
+    # uncollapsed they put k rows in the same band bucket and the
+    # equi-join goes k² PER BAND (a 100k-copy boilerplate page is
+    # 8×10^10 candidate pairs). Jaccard is a pure function of the
+    # shingle arrays, so banding + verify over one representative per
+    # distinct array, then expanding members back into the output, is
+    # OUTPUT-IDENTICAL: cross-group pairs inherit the rep pair's
+    # jaccard; same-group pairs are always band-collided (equal sigs)
+    # and verify at exactly 1.0. The quadratic term survives only in
+    # the OUTPUT rows the pair semantics demand, never in join state.
+    grp = (
+        hashed.groupBy("sh")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.collect_list("doc_id").alias("members"),
+            F.first("hh").alias("hh"),  # pure function of sh: any row
+        )
+        .localCheckpoint(eager=False)  # reused: banding, verify, expand
+    )
+    uniq = grp.select(F.col("rep").alias("doc_id"), "sh", "hh")
+    bands = _minhash_bands(uniq)
     pa = bands.select(F.col("doc_id").alias("a"), "band", "sig")
     pb = bands.select(F.col("doc_id").alias("b"), "band", "sig")
     cand = (
@@ -299,7 +320,7 @@ def dedup_minhash_lsh(
     # near-dup-heavy web corpus |cand| × |shingle set| is unbounded and
     # the hint becomes a driver OOM. Unhinted, the same query degrades
     # to shuffle joins keyed on doc_id exactly when it must.
-    sets_ = hashed.select("doc_id", "sh")
+    sets_ = uniq.select("doc_id", "sh")
     pairs = cand.join(
         sets_.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha")), "a"
     )
@@ -308,12 +329,51 @@ def dedup_minhash_lsh(
     )
     inter = F.size(F.array_intersect("sha", "shb"))
     na, nb = F.size("sha"), F.size("shb")
-    return (
+    rep_pairs = (
         pairs.withColumn("jaccard", F.round(inter / (na + nb - inter), 4))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "jaccard")
-        .orderBy("a", "b")
     )
+    return _expand_group_pairs(
+        rep_pairs, grp, value_col="jaccard", identical_value=F.lit(1.0)
+    ).orderBy("a", "b")
+
+
+def _expand_group_pairs(
+    rep_pairs: DataFrame,
+    grp: DataFrame,
+    value_col: str,
+    identical_value,
+) -> DataFrame:
+    """Expand representative-level verified pairs back to doc-level
+    pairs after :func:`dedup_minhash_lsh` / :func:`dedup_simhash`'s
+    exact-collapse: every member pair across two matched groups
+    inherits the rep pair's value (the metric is a pure function of
+    the collapse key); every pair WITHIN a multi-member group is
+    emitted with ``identical_value`` (equal keys ⇒ always
+    band-collided, metric at its identity)."""
+    mem = grp.select("rep", F.explode("members").alias("doc"))
+    cross = (
+        rep_pairs.join(
+            mem.select(F.col("rep").alias("a"), F.col("doc").alias("da")), "a"
+        )
+        .join(
+            mem.select(F.col("rep").alias("b"), F.col("doc").alias("db")), "b"
+        )
+        .select(
+            F.least("da", "db").alias("a"),
+            F.greatest("da", "db").alias("b"),
+            F.col(value_col),
+        )
+    )
+    intra = (
+        grp.filter(F.size("members") > 1)
+        .select(F.explode("members").alias("a"), "members")
+        .select("a", F.explode("members").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", identical_value.alias(value_col))
+    )
+    return cross.unionByName(intra)
 
 
 def dedup_minhash_lsh_sql(threshold: float = 0.5) -> str:
@@ -577,7 +637,24 @@ def dedup_simhash(
     spark: SparkSession, sf_dir: str, max_hamming: int = 3
 ) -> DataFrame:
     sig = simhash_signatures(spark, sf_dir)
-    bands = sig.select(
+    # exact-collapse on the FINGERPRINT (hamming is a pure function of
+    # it): k docs with equal simhash — identical boilerplate collapses
+    # here — would put k rows in all 4 band buckets and pair k² per
+    # band; one representative per distinct fingerprint bands instead,
+    # and equal-fingerprint pairs expand back at hamming 0 (equal keys
+    # ⇒ always band-collided, 0 ≤ max_hamming always). Output-identical
+    # to banding every doc; see dedup_minhash_lsh for the same guard
+    # keyed on shingle arrays.
+    grp = (
+        sig.groupBy("simhash")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.collect_list("doc_id").alias("members"),
+        )
+        .localCheckpoint(eager=False)  # reused: banding + expansion
+    )
+    uniq = grp.select(F.col("rep").alias("doc_id"), "simhash")
+    bands = uniq.select(
         "doc_id",
         "simhash",
         F.explode(
@@ -596,7 +673,7 @@ def dedup_simhash(
     ).select("doc_id", "simhash", "bk.band", "bk.key")
     x = bands.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"), "band", "key")
     y = bands.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"), "band", "key")
-    return (
+    rep_pairs = (
         x.join(y, ["band", "key"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", "ha", "hb")
@@ -604,8 +681,10 @@ def dedup_simhash(
         .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
-        .orderBy("a", "b")
     )
+    return _expand_group_pairs(
+        rep_pairs, grp, value_col="hamming", identical_value=F.lit(0)
+    ).orderBy("a", "b")
 
 
 def dedup_simhash_sql(max_hamming: int = 3) -> str:

@@ -71,3 +71,148 @@ def test_cap_bounds_candidate_pairs(spark, boiler_dir):
         .agg(F.max("df")).collect()[0][0]
     )
     assert kept_max <= 5
+
+
+# ---------------------------------------------------------------------------
+# exact-collapse in the banded-LSH paths (minhash / simhash)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def skew_dir(spark, tmp_path_factory):
+    """60 unique docs + 25 byte-identical boilerplate copies + an
+    8-doc near-dup family (half the tokens shared) — the shape where
+    collapsed and uncollapsed banding must agree pair-for-pair."""
+    rows = [
+        (i, " ".join(f"u{i}w{j}" for j in range(40))) for i in range(60)
+    ]
+    rows += [
+        (100 + i, " ".join(f"boiler{j}" for j in range(40))) for i in range(25)
+    ]
+    rows += [
+        (
+            200 + i,
+            " ".join(f"fam{j}" for j in range(20))
+            + " "
+            + " ".join(f"n{i}x{j}" for j in range(20)),
+        )
+        for i in range(8)
+    ]
+    d = tmp_path_factory.mktemp("skew")
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/documents.parquet")
+    return str(d)
+
+
+def test_minhash_collapse_is_output_identical(spark, skew_dir):
+    """Shipped (exact-collapsed) minhash ≡ banding every doc, on a
+    corpus where the collapse actually fires (25-copy group → 300
+    intra pairs at jaccard 1.0, plus cross near-dup pairs)."""
+    from seo_crawler_spark.functions.text import md5int
+    from seo_crawler_spark.operators.dedup import (
+        MOD,
+        _minhash_bands,
+        _token_arrays,
+        dedup_minhash_lsh,
+        shingles,
+    )
+    from seo_crawler_spark.sources.tables import load
+
+    got = sorted(
+        (r["a"], r["b"], r["jaccard"])
+        for r in dedup_minhash_lsh(spark, skew_dir).collect()
+    )
+    # pre-fix pipeline: band EVERY doc
+    arrays = (
+        _token_arrays(load(spark, "documents", skew_dir))
+        .select("doc_id", F.array_distinct(shingles(F.col("tok"))).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+    hashed = arrays.select(
+        "doc_id", "sh", F.transform("sh", lambda s: md5int(s) % MOD).alias("hh")
+    ).localCheckpoint(eager=False)
+    bands = _minhash_bands(hashed)
+    cand = (
+        bands.select(F.col("doc_id").alias("a"), "band", "sig")
+        .join(
+            bands.select(F.col("doc_id").alias("b"), "band", "sig"),
+            ["band", "sig"],
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sets_ = hashed.select("doc_id", "sh")
+    pairs = cand.join(
+        sets_.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha")), "a"
+    ).join(sets_.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb")), "b")
+    inter = F.size(F.array_intersect("sha", "shb"))
+    na, nb = F.size("sha"), F.size("shb")
+    want = sorted(
+        (r["a"], r["b"], r["jaccard"])
+        for r in pairs.withColumn(
+            "jaccard", F.round(inter / (na + nb - inter), 4)
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .select("a", "b", "jaccard")
+        .collect()
+    )
+    assert got == want
+    # the identical group really is in the output, at jaccard 1.0
+    intra = [p for p in got if 100 <= p[0] < 125 and 100 <= p[1] < 125]
+    assert len(intra) == 25 * 24 // 2 and all(p[2] == 1.0 for p in intra)
+
+
+def test_simhash_collapse_is_output_identical(spark, skew_dir):
+    from seo_crawler_spark.operators.dedup import (
+        _BAND_BITS,
+        N_BITS,
+        dedup_simhash,
+        simhash_signatures,
+    )
+
+    got = sorted(
+        (r["a"], r["b"], r["hamming"])
+        for r in dedup_simhash(spark, skew_dir).collect()
+    )
+    sig = simhash_signatures(spark, skew_dir)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftright("simhash", k * _BAND_BITS)
+                        .bitwiseAND(F.lit((1 << _BAND_BITS) - 1))
+                        .alias("key"),
+                    )
+                    for k in range(N_BITS // _BAND_BITS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", "bk.band", "bk.key")
+    x = bands.select(
+        F.col("doc_id").alias("a"), F.col("simhash").alias("ha"), "band", "key"
+    )
+    y = bands.select(
+        F.col("doc_id").alias("b"), F.col("simhash").alias("hb"), "band", "key"
+    )
+    want = sorted(
+        (r["a"], r["b"], r["hamming"])
+        for r in x.join(y, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+        )
+        .filter(F.col("hamming") <= 3)
+        .select("a", "b", "hamming")
+        .collect()
+    )
+    assert got == want
+    intra = [p for p in got if 100 <= p[0] < 125 and 100 <= p[1] < 125]
+    assert len(intra) == 25 * 24 // 2 and all(p[2] == 0 for p in intra)
