@@ -368,8 +368,12 @@ def _expand_group_pairs(
     )
     intra = (
         grp.filter(F.size("members") > 1)
-        .select(F.explode("members").alias("a"), "members")
-        .select("a", F.explode("members").alias("b"))
+        # withColumn keeps the group's other columns in scope, so
+        # identical_value may be an expression over them (the embedding
+        # variant passes the group's self-cosine, which is NaN for a
+        # zero vector and must then be filtered, not hardcoded)
+        .withColumn("a", F.explode("members"))
+        .withColumn("b", F.explode("members"))
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", identical_value.alias(value_col))
     )
@@ -778,7 +782,23 @@ def dedup_embedding_cosine(
     from .simsearch import ann_lsh_bucketed
 
     emb = load(spark, "embeddings", sf_dir)
-    buckets = ann_lsh_bucketed(spark, sf_dir)
+    # exact-collapse on the embedding vector (cosine is a pure function
+    # of it): identical vectors share the full bucket signature, so k
+    # copies would pair k² in every band — same boilerplate-skew guard
+    # as dedup_minhash_lsh, keyed on the vector itself. Intra-group
+    # pairs get the group's SELF-cosine (1.0 after round for any
+    # non-zero vector; NaN for a zero vector, which the ≥ threshold
+    # filter drops exactly as the uncollapsed pipeline drops it).
+    grp = (
+        emb.groupBy("embedding")
+        .agg(
+            F.min("vec_id").alias("rep"),
+            F.collect_list("vec_id").alias("members"),
+        )
+        .localCheckpoint(eager=False)  # reused: band filter + expand
+    )
+    reps = grp.select(F.col("rep").alias("vec_id"))
+    buckets = ann_lsh_bucketed(spark, sf_dir).join(reps, "vec_id")
     mask = (1 << _EMB_BAND_BITS) - 1
     bands = buckets.select(
         "vec_id",
@@ -809,12 +829,19 @@ def dedup_embedding_cosine(
     )
     va = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
     vb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
-    return (
+    rep_pairs = (
         cand.join(va, "a")
         .join(vb, "b")
         .withColumn("cos", F.round(_cosine(F.col("va"), F.col("vb")), 4))
         .filter(F.col("cos") >= threshold)
         .select("a", "b", "cos")
+    )
+    self_cos = F.round(_cosine(F.col("embedding"), F.col("embedding")), 4)
+    return (
+        _expand_group_pairs(
+            rep_pairs, grp, value_col="cos", identical_value=self_cos
+        )
+        .filter(F.col("cos") >= threshold)  # drops NaN zero-vector intra
         .orderBy("a", "b")
     )
 

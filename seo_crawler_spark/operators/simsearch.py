@@ -41,7 +41,12 @@ def _cosine(a, b):
     )
     na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v))
     nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v))
-    return dot / (na * nb)
+    # try_divide: a zero-norm vector's cosine is undefined — null here,
+    # dropped by every consumer's threshold/rank predicate. Plain `/`
+    # THROWS under ANSI mode, taking the whole job down on one
+    # all-zeros embedding (a real failure mode for web-scale corpora:
+    # empty docs embed to zeros). Identical results wherever norms > 0.
+    return F.try_divide(dot, na * nb)
 
 
 def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -216,3 +216,87 @@ def test_simhash_collapse_is_output_identical(spark, skew_dir):
     assert got == want
     intra = [p for p in got if 100 <= p[0] < 125 and 100 <= p[1] < 125]
     assert len(intra) == 25 * 24 // 2 and all(p[2] == 0 for p in intra)
+
+
+def test_embedding_collapse_is_output_identical(spark, tmp_path_factory):
+    """dedup_embedding_cosine's exact-collapse ≡ banding every vector,
+    on a corpus with a 12-copy identical-vector group, plus a
+    zero-vector pair whose NaN self-cosine must stay OUT of the output
+    (as the uncollapsed path drops it)."""
+    import math
+    import random
+
+    from seo_crawler_spark.operators.dedup import (
+        _EMB_BANDS,
+        _EMB_BAND_BITS,
+        _cosine,
+        dedup_embedding_cosine,
+    )
+    from seo_crawler_spark.operators.simsearch import ann_lsh_bucketed
+
+    rng = random.Random(7)
+    dim = 16
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)], 0) for i in range(40)
+    ]
+    boiler = [round(rng.uniform(-1, 1), 3) for _ in range(dim)]
+    rows += [(100 + i, list(boiler), 1) for i in range(12)]
+    rows += [(200, [0.0] * dim, 2), (201, [0.0] * dim, 2)]
+    d = tmp_path_factory.mktemp("embskew")
+    spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).selectExpr(
+        "vec_id", "cast(embedding as array<float>) as embedding", "label"
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    sf_dir = str(d)
+
+    got = sorted(
+        (r["a"], r["b"], r["cos"])
+        for r in dedup_embedding_cosine(spark, sf_dir).collect()
+    )
+    # pre-fix pipeline: band EVERY vector
+    from seo_crawler_spark.sources.tables import load
+
+    emb = load(spark, "embeddings", sf_dir)
+    buckets = ann_lsh_bucketed(spark, sf_dir)
+    mask = (1 << _EMB_BAND_BITS) - 1
+    bands = buckets.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftright(F.col("bucket"), k * _EMB_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for k in range(_EMB_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "bk.band", "bk.key")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    va = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    want = sorted(
+        (r["a"], r["b"], r["cos"])
+        for r in cand.join(va, "a")
+        .join(vb, "b")
+        .withColumn("cos", F.round(_cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos") >= 0.45)
+        .select("a", "b", "cos")
+        .collect()
+    )
+    assert got == want
+    intra = [p for p in got if 100 <= p[0] < 112 and 100 <= p[1] < 112]
+    assert len(intra) == 12 * 11 // 2 and all(p[2] == 1.0 for p in intra)
+    assert not any(p[0] == 200 or p[1] == 200 for p in got)  # zero vecs out
