@@ -472,26 +472,62 @@ def dedup_incremental(
     docs = load(spark, "documents", sf_dir)
     is_delta = (md5int(F.col("doc_id").cast("string")) % delta_mod) == 0
     hashed = _hashed_shingles(docs).localCheckpoint(eager=False)
-    bands = _minhash_bands(hashed)
-    delta_bands = bands.filter(is_delta)
-    base_bands = bands.filter(~is_delta)
-    da = delta_bands.select(F.col("doc_id").alias("a"), "band", "sig")
+    # EXACT-COLLAPSE both sides on the shingle array (the
+    # dedup_minhash_lsh boilerplate-skew guard — and with VERDICT
+    # output the win is total: one row per delta doc, nothing
+    # quadratic survives anywhere).
+    #
+    # Base side: the verdict takes min over partners and EVERY base
+    # doc is an admissible partner (no ordering predicate), so only
+    # min(doc_id) per distinct content can ever be a dup_of — the
+    # base band index shrinks to ONE row per distinct sh.
+    #
+    # Delta side: for group G (rep = min member m0) with verified
+    # partner minimum q(G) = min(base partners, batch reps rep_H <
+    # rep_G with jaccard ≥ τ):
+    #   dup_of(m0)      = q(G)                (null → novel)
+    #   dup_of(mi, i≥1) = least(q(G), m0)     (m0 always claims; any
+    #                                          rep_H between m0 and mi
+    #                                          can never beat m0)
+    # which is exactly the uncollapsed min over all earlier partners.
+    base_grp = (
+        hashed.filter(~is_delta)
+        .groupBy("sh")
+        .agg(F.min("doc_id").alias("doc_id"), F.first("hh").alias("hh"))
+        .localCheckpoint(eager=False)
+    )
+    delta_grp = (
+        hashed.filter(is_delta)
+        .groupBy("sh")
+        .agg(
+            F.min("doc_id").alias("rep"),
+            F.collect_list("doc_id").alias("members"),
+            F.first("hh").alias("hh"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    delta_reps = delta_grp.select(F.col("rep").alias("doc_id"), "sh", "hh")
+    db = _minhash_bands(delta_reps)
+    bb = _minhash_bands(base_grp)
+    da = db.select(F.col("doc_id").alias("a"), "band", "sig")
     # dup-of-base: disjoint sides, no ordering predicate needed
     cand_base = da.join(
-        base_bands.select(F.col("doc_id").alias("b"), "band", "sig"),
+        bb.select(F.col("doc_id").alias("b"), "band", "sig"),
         ["band", "sig"],
     ).select("a", "b")
-    # dup-within-delta: keep-first — only an EARLIER delta doc may
+    # dup-within-delta: keep-first — only an EARLIER group rep may
     # claim a later one (b < a), mirroring arrival order
     cand_delta = da.join(
-        delta_bands.select(F.col("doc_id").alias("b"), "band", "sig"),
+        db.select(F.col("doc_id").alias("b"), "band", "sig"),
         ["band", "sig"],
     ).filter(F.col("b") < F.col("a")).select("a", "b")
     cand = cand_base.unionByName(cand_delta).distinct()
     # no broadcast hint on the verify joins (same rationale as
     # dedup_minhash_lsh): AQE broadcasts them while candidates are
     # small; a hint would force array-carrying pairs through the driver
-    sets_ = hashed.select("doc_id", "sh")
+    sets_ = delta_reps.select("doc_id", "sh").unionByName(
+        base_grp.select("doc_id", "sh")
+    )
     pairs = cand.join(
         sets_.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha")), "a"
     )
@@ -504,14 +540,26 @@ def dedup_incremental(
         pairs.withColumn("jaccard", F.round(inter / (na + nb - inter), 4))
         .filter(F.col("jaccard") >= threshold)
         .groupBy("a")
-        .agg(F.min("b").alias("dup_of"))
+        .agg(F.min("b").alias("q"))
+    )
+    verdicts = (
+        delta_grp.join(
+            matches.withColumnRenamed("a", "rep"), "rep", "left"
+        )
+        .select("rep", "q", F.explode("members").alias("doc_id"))
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") == F.col("rep"), F.col("q"))
+            .otherwise(F.least("q", "rep"))  # least() skips nulls
+            .alias("dup_of"),
+        )
     )
     # every delta doc appears — including shingle-less ones (trivially
     # novel), which `arrays` filtered out of the banding
     return (
         docs.filter(is_delta)
         .select("doc_id")
-        .join(matches.withColumnRenamed("a", "doc_id"), "doc_id", "left")
+        .join(verdicts, "doc_id", "left")
         .select(
             "doc_id",
             "dup_of",

@@ -118,6 +118,20 @@ def _base_dir(state_dir: str, kind: str, version: int) -> str:
     return f"{state_dir}/base_{kind}" + (f"_v{version}" if version else "")
 
 
+def _collapse_content(hashed: DataFrame) -> DataFrame:
+    """One row per DISTINCT shingle array, carrying the min doc_id —
+    the only id that can ever be a ``dup_of`` partner (verdicts take
+    min over partners, and every state doc is admissible). This bounds
+    the state tables by distinct CONTENT, not crawled pages: on a
+    boilerplate-heavy web corpus the state stops growing once the
+    content distribution saturates, and the k²-per-band hot bucket of
+    k identical docs collapses to one row (the dedup.py
+    exact-collapse guard, applied to the stream's standing state)."""
+    return hashed.groupBy("sh").agg(
+        F.min("doc_id").alias("doc_id"), F.first("hh").alias("hh")
+    )
+
+
 def prepare_dedup_base(base_docs: DataFrame, state_dir: str) -> None:
     """One-time: band the standing base corpus and persist its band
     index + shingle sets as the stream's state tables. Writes are
@@ -134,13 +148,15 @@ def prepare_dedup_base(base_docs: DataFrame, state_dir: str) -> None:
             "compacted_upto": 0,
         },
     )
-    hashed = _hashed_shingles(base_docs).localCheckpoint(eager=False)
-    _with_sig_bucket(_minhash_bands(hashed)).repartition(
+    grp = _collapse_content(
+        _hashed_shingles(base_docs)
+    ).localCheckpoint(eager=False)
+    _with_sig_bucket(_minhash_bands(grp)).repartition(
         "sig_bucket"
     ).write.mode("overwrite").partitionBy("sig_bucket").parquet(
         _base_dir(state_dir, "bands", 0)
     )
-    hashed.select(
+    grp.select(
         "doc_id", "sh", _doc_bucket(F.col("doc_id")).alias("doc_bucket")
     ).repartition("doc_bucket").write.mode("overwrite").partitionBy(
         "doc_bucket"
@@ -159,13 +175,42 @@ def compact_dedup_state(spark: SparkSession, state_dir: str, upto: int) -> None:
     the verify groupBy-min is idempotent to duplicate partner rows)."""
     import shutil
 
+    from ..operators.dedup import MOD
+
     meta = _read_meta(state_dir)
     old_ver, new_ver = meta["base_version"], meta["base_version"] + 1
-    for kind, part_col in (("bands", "sig_bucket"), ("sets", "doc_bucket")):
-        folded = _read_state(spark, state_dir, kind, upto, meta)
-        folded.repartition(part_col).write.mode("overwrite").partitionBy(
-            part_col
-        ).parquet(_base_dir(state_dir, kind, new_ver))
+    # fold the SETS by content (min doc_id per distinct sh — re-seen
+    # content appended by later batches collapses back to its first
+    # arrival), then REBUILD the band index from the folded sets:
+    # bands of different content can share (band, sig), so the band
+    # table can't be folded independently without sh identity.
+    folded = (
+        _read_state(spark, state_dir, "sets", upto, meta)
+        .groupBy("sh")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select(
+            "doc_id",
+            "sh",
+            F.transform(
+                "sh", lambda s: md5int(s) % MOD
+            ).alias("hh"),  # same hash as _hashed_shingles
+        )
+        .localCheckpoint(eager=False)
+    )
+    _with_sig_bucket(
+        _minhash_bands(folded), meta["n_sig_buckets"]
+    ).repartition("sig_bucket").write.mode("overwrite").partitionBy(
+        "sig_bucket"
+    ).parquet(_base_dir(state_dir, "bands", new_ver))
+    folded.select(
+        "doc_id",
+        "sh",
+        _doc_bucket(F.col("doc_id"), meta["n_doc_buckets"]).alias(
+            "doc_bucket"
+        ),
+    ).repartition("doc_bucket").write.mode("overwrite").partitionBy(
+        "doc_bucket"
+    ).parquet(_base_dir(state_dir, "sets", new_ver))
     _write_meta(
         state_dir,
         {**meta, "base_version": new_ver, "compacted_upto": upto},
@@ -247,12 +292,24 @@ def _process_batch(
         meta = _read_meta(state_dir)
         # bucket moduli pinned at prepare time (state partition layout)
         n_sig, n_doc = meta["n_sig_buckets"], meta["n_doc_buckets"]
-        # reused by banding, both verify legs, and the state append
         hashed = _hashed_shingles(
             batch_docs.select("doc_id", "text")
         ).localCheckpoint(eager=False)
+        # collapse the batch on content: groups of identical docs band
+        # once; members re-expand into verdicts below. grp is reused by
+        # banding, the verify leg, the expansion, and the state append.
+        grp = (
+            hashed.groupBy("sh")
+            .agg(
+                F.min("doc_id").alias("rep"),
+                F.collect_list("doc_id").alias("members"),
+                F.first("hh").alias("hh"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        reps = grp.select(F.col("rep").alias("doc_id"), "sh", "hh")
         bands = _with_sig_bucket(
-            _minhash_bands(hashed), n_sig
+            _minhash_bands(reps), n_sig
         ).localCheckpoint(eager=False)
         # bounded collect (≤ N_SIG_BUCKETS rows): which bucket dirs of
         # the standing index this batch can possibly touch
@@ -313,10 +370,10 @@ def _process_batch(
                 else F.lit(False)
             )
             .drop("doc_bucket")
-            .unionByName(hashed.select("doc_id", "sh"))
+            .unionByName(reps.select("doc_id", "sh"))
         )
         pairs = cand.join(
-            hashed.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha")),
+            reps.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha")),
             "a",
         ).join(
             sets_.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb")),
@@ -328,11 +385,25 @@ def _process_batch(
             pairs.withColumn("jaccard", F.round(inter / (na + nb - inter), 4))
             .filter(F.col("jaccard") >= threshold)
             .groupBy("a")
-            .agg(F.min("b").alias("dup_of"))
+            .agg(F.min("b").alias("q"))
+        )
+        # re-expand groups: the rep inherits q (min verified partner —
+        # state, or an earlier-rep batch group); members are claimed by
+        # their rep unless q is smaller (least() skips nulls). Exactly
+        # the uncollapsed per-doc min — see dedup_incremental's proof.
+        expanded = (
+            grp.join(matches.withColumnRenamed("a", "rep"), "rep", "left")
+            .select("rep", "q", F.explode("members").alias("doc_id"))
+            .select(
+                "doc_id",
+                F.when(F.col("doc_id") == F.col("rep"), F.col("q"))
+                .otherwise(F.least("q", "rep"))
+                .alias("dup_of"),
+            )
         )
         verdicts = (
             batch_docs.select("doc_id")
-            .join(matches.withColumnRenamed("a", "doc_id"), "doc_id", "left")
+            .join(expanded, "doc_id", "left")
             .select(
                 "doc_id", "dup_of", F.col("dup_of").isNull().alias("is_kept")
             )
@@ -345,10 +416,17 @@ def _process_batch(
         # coalesce(1): batch-sized appends write ONE file per bucket
         # dir, not one per shuffle partition (32x32 tiny files was the
         # measured per-batch state-scan killer)
+        # append REPS only: a batch group's min doc_id is the only id a
+        # future batch could ever get as dup_of (its other members are
+        # all larger), so per-batch state growth is bounded by the
+        # batch's DISTINCT content. A later batch re-seeing content the
+        # state already has just adds a larger-id row for the same sh —
+        # the verify groupBy-min still resolves to the global first
+        # arrival, and compaction folds such rows back to one.
         bands.coalesce(1).write.mode("overwrite").partitionBy(
             "sig_bucket"
         ).parquet(f"{state_dir}/delta_bands/batch={batch_id}")
-        hashed.select(
+        reps.select(
             "doc_id",
             "sh",
             _doc_bucket(F.col("doc_id"), n_doc).alias("doc_bucket"),

@@ -205,3 +205,54 @@ def test_compaction_crash_windows_are_safe(spark, tmp_path, monkeypatch):
     assert not os.path.isdir(f"{s2}/base_bands")
     assert not os.path.isdir(f"{s2}/base_bands_v1")
     assert not os.path.isdir(f"{s2}/delta_bands/batch=0")
+
+
+def test_state_bounded_by_distinct_content(spark, tmp_path):
+    """A 60-doc batch with only 3 distinct texts appends 3 state rows
+    (reps), not 60 — and the verdicts still resolve every member to the
+    group's first arrival / the standing base copy."""
+    from seo_crawler_spark.streaming import dedup_stream as DS
+
+    state = str(tmp_path / "state")
+    base = spark.createDataFrame(
+        [(5, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        ["doc_id", "text"],
+    )
+    prepare_dedup_base(base, state)
+    texts = {
+        0: "alpha beta gamma delta epsilon zeta eta theta iota kappa",  # = base
+        1: "one two three four five six seven eight nine ten",
+        2: "red orange yellow green blue indigo violet pink brown black",
+    }
+    rows = [(100 + i, texts[i % 3]) for i in range(60)]
+    batch = spark.createDataFrame(rows, ["doc_id", "text"])
+    DS._process_batch(spark, state, 0.5)(batch, 0)
+    appended = spark.read.parquet(f"{state}/delta_sets/batch=0")
+    assert appended.count() == 3  # reps only, not 60
+    v = {
+        r["doc_id"]: r["dup_of"]
+        for r in spark.read.parquet(f"{state}/verdicts/batch=0").collect()
+    }
+    assert len(v) == 60
+    assert v[100] == 5  # first arrival of the base text: claimed by base
+    assert v[103] == 5  # later member of the same group: base still wins
+    assert v[101] is None and v[104] == 101  # novel group: rep keeps, member claimed
+    assert v[102] is None and v[105] == 102
+    # a SECOND batch re-seeing group-1 content is claimed by doc 101,
+    # and its append is again one rep row
+    batch2 = spark.createDataFrame(
+        [(200 + i, texts[1]) for i in range(10)], ["doc_id", "text"]
+    )
+    DS._process_batch(spark, state, 0.5)(batch2, 1)
+    v2 = {
+        r["doc_id"]: r["dup_of"]
+        for r in spark.read.parquet(f"{state}/verdicts/batch=1").collect()
+    }
+    assert all(v2[200 + i] == 101 for i in range(10))
+    assert spark.read.parquet(f"{state}/delta_sets/batch=1").count() == 1
+    # compaction folds the re-seen content back to its first arrival
+    DS.compact_dedup_state(spark, state, upto=2)
+    folded = spark.read.parquet(DS._base_dir(state, "sets", 1))
+    assert folded.count() == 3  # base text + 2 novel contents
+    ids = sorted(r["doc_id"] for r in folded.select("doc_id").collect())
+    assert ids == [5, 101, 102]
