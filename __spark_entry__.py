@@ -85,10 +85,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # for queries with multi-round green driver history (the TPC-H five,
     # the events family, status_histogram — green since round 1/2).
     return {
-        # relational core (SURVEY.md §2.2-2.6)
-        "part_cooccurrence": R.part_cooccurrence,
-        "pagerank": G.pagerank,
-        "dedup_clusters": G.dedup_clusters,
+        # new in round 4 session 4 — must sit inside the 50-row window
+        "ann_ivfpq_topk": S.ann_ivfpq_topk,
+        "lm_perplexity_buckets": TS.lm_perplexity_buckets,
+        "caption_pairs": TS.caption_pairs,
         "connected_components": G.connected_components_query,
         # crawl-engine operator semantics (SURVEY.md §2.2, §2.3, §2.5, §2.7)
         "seen_anti_join": CQ.seen_anti_join,
@@ -150,7 +150,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": CU.sequence_packing,
         "quality_filter_verdicts": CU.quality_filter_verdicts,
         # --- position 51+ (below the driver's 50-row window): long-stable
-        # queries with green driver rows since round 1/2 ---
+        # queries with green driver rows since round 1/2/3 ---
+        "part_cooccurrence": R.part_cooccurrence,
+        "pagerank": G.pagerank,
+        "dedup_clusters": G.dedup_clusters,
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
         "top_orders_per_segment": R.top_orders_per_segment,
@@ -176,6 +179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "ann_ivfpq_topk": S.ann_ivfpq_topk_sql(),
+        "lm_perplexity_buckets": TS.lm_perplexity_buckets_sql(),
+        "caption_pairs": TS.caption_pairs_sql(),
         "q1_pricing_summary": R.Q1_SQL,
         "q3_shipping_priority": R.Q3_SQL,
         "top_orders_per_segment": R.TOP_ORDERS_SQL,

@@ -237,6 +237,11 @@ HEADLINE = [
     # and quantizer training (multi-job loops with driver-side scalars)
     "connected_components",
     "kmeans_quantizer",
+    # round-4 session-4: IVFADC+R (PQ encode + broadcast-LUT scan +
+    # exact re-rank), corpus-trained LM bucketing, span alignment
+    "ann_ivfpq_topk",
+    "lm_perplexity_buckets",
+    "caption_pairs",
 ]
 
 

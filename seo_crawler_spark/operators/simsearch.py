@@ -521,6 +521,303 @@ ORDER BY a, b
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized ANN — the 100 TB memory path
+# ---------------------------------------------------------------------------
+
+PQ_M = 8   # subspaces
+PQ_KS = 16  # codes per subspace codebook
+PQ_R = 50  # ADC shortlist size re-ranked exactly (IVFADC+R)
+
+
+def pq_codebooks(
+    emb: DataFrame, dim: int, m: int = PQ_M, ks: int = PQ_KS
+) -> list[list[tuple[int, list[int]]]]:
+    """Deterministic pivot codebooks for product quantization: codebook
+    ``m``, entry ``j`` = the m-th subvector of vector vec_id=j, in
+    fixed-point int64 (floor(v * DOT_SCALE)). One codebook per
+    subspace, ks entries each — a driver constant of m × ks × (dim/m)
+    ints (== ks full vectors, same size class as pivot_centroids).
+
+    A TRAINED codebook is :func:`kmeans_train` run per subspace over
+    the sub-vector columns (same driver-constant shape); pivots keep
+    the DuckDB oracle expressible and the whole pipeline integer-exact.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by {m} subspaces")
+    sub = dim // m
+    rows = (
+        emb.filter(F.col("vec_id") < ks)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * DOT_SCALE).cast("long"),
+            ).alias("qv"),
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    return [
+        [
+            (int(r["vec_id"]), [int(x) for x in r["qv"][mm * sub : (mm + 1) * sub]])
+            for r in rows
+        ]
+        for mm in range(m)
+    ]
+
+
+def pq_encode_udf(codebooks: list[list[tuple[int, list[int]]]]):
+    """Product-quantization encoder: an Arrow-batched Pandas UDF mapping
+    an embedding column to its M per-subspace code ids (nearest
+    codebook entry by exact fixed-point squared distance, ties → the
+    smallest code id — the same dist/id tie-break as
+    :func:`_sq_assign_udf`). Codebooks ride in the closure (pickled
+    once per executor); each batch does one int64 matmul per subspace
+    with the usual < 2^53 BLAS float64 fast path. Encoding is
+    row-local — codes for 10^10 vectors cost zero shuffle, and the
+    stored index is M bytes-ish per vector instead of dim floats: the
+    reason PQ is the memory path at scale (Jégou et al., PAMI 2011)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cbs = []
+    for entries in codebooks:
+        ent = sorted(entries, key=lambda c: c[0])
+        cq = np.asarray([v for _, v in ent], dtype=np.int64)
+        cc = (cq.astype(object) ** 2).sum(axis=1).astype(np.int64)  # exact
+        cbs.append((np.asarray([j for j, _ in ent], dtype=np.int64), cq, cc))
+    sub = cbs[0][1].shape[1]
+    m = len(cbs)
+    c_max = max(float(np.abs(cq).max()) for _, cq, _ in cbs)
+    cc_max = max(float(cc.max()) for _, _, cc in cbs)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def encode(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        e = np.stack([np.asarray(v, dtype=np.float64) for v in col])
+        q = np.floor(e * DOT_SCALE)
+        exact_f64 = (
+            2.0 * abs(q).max() * c_max * sub + cc_max < 2.0**53
+        )
+        out = np.empty((len(col), m), dtype=np.int32)
+        for mm, (jids, cq, cc) in enumerate(cbs):
+            qm = q[:, mm * sub : (mm + 1) * sub]
+            if exact_f64:
+                score = cc.astype(np.float64) - 2.0 * (qm @ cq.astype(np.float64).T)
+            else:
+                score = cc - 2 * (qm.astype(np.int64) @ cq.T)
+            # argmin → FIRST minimum; jids ascend, so ties → smaller id
+            out[:, mm] = jids[np.argmin(score, axis=1)]
+        return pd.Series(list(out))
+
+    return encode
+
+
+def ann_ivfpq_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_probe: int = N_PROBE,
+    dim: int | None = None,
+    shortlist: int = PQ_R,
+) -> DataFrame:
+    """IVF-PQ ANN with exact re-rank — IVFADC+R (Jégou et al., PAMI
+    2011): coarse cells narrow the candidate set (same IVF layout as
+    :func:`ann_ivf_topk`), candidates are scored by ASYMMETRIC
+    DISTANCE COMPUTATION against their product-quantization codes,
+    and only the per-query top-``shortlist`` ADC survivors touch raw
+    embeddings for an exact cosine re-rank. At 10^10 vectors the
+    scanned index is M code-bytes per vector instead of dim floats —
+    the difference between an index that fits in cluster memory and
+    one that doesn't — while the exact stage reads ``shortlist`` rows
+    per query (measured at bench scale: ADC-only top-k recall is
+    ~0.3–0.5 under any codebook at these rates; the +R re-rank lifts
+    it to ~0.9, which is why the refinement stage is part of the
+    published design, not an optimization).
+
+    Plan shape: codes + cells are row-local Arrow-batched matmuls
+    (zero shuffle); the per-query ADC lookup table (q × M × KS int
+    dots) is a broadcast built from one tiny join; candidate scoring
+    is probe-cell equi-join → M-way code explode → broadcast LUT join
+    → one map-side-combined sum; the re-rank joins embeddings for
+    R × queries ids only. ADC arithmetic is fixed-point int64, so the
+    shortlist is bit-identical to the DuckDB oracle."""
+    emb = load(spark, "embeddings", sf_dir)
+    if dim is None:
+        dim = emb.select(F.size("embedding").alias("n")).limit(1).collect()[0]["n"]
+    sub = dim // PQ_M
+    cbs = pq_codebooks(emb, dim)
+    cents = pivot_centroids(emb, N_CELLS)
+    encode = pq_encode_udf(cbs)
+    assign1 = cell_assign_udf(cents, 1)
+    assign_p = cell_assign_udf(cents, n_probe)
+
+    index = emb.select(
+        F.col("vec_id").alias("cid"),
+        assign1(F.col("embedding")).getItem(0).alias("cell"),
+        encode(F.col("embedding")).alias("codes"),
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * DOT_SCALE).cast("long"),
+        ).alias("qv"),
+        assign_p(F.col("embedding")).alias("probes"),
+    )
+
+    # ADC lookup table: idot(query subvector m, codebook[m][j]) for all
+    # (qid, m, j) — N_QUERIES × PQ_M × PQ_KS rows, built from one join
+    # against the codebook rows (a driver-constant dimension table)
+    cb_rows = [
+        (mm, j, d, int(v))
+        for mm, entries in enumerate(cbs)
+        for j, vec in entries
+        for d, v in enumerate(vec)
+    ]
+    cbdf = spark.createDataFrame(cb_rows, "m int, j int, dd int, cv long")
+    qex = q.select("qid", F.posexplode("qv").alias("d", "v")).select(
+        "qid",
+        (F.col("d") / sub).cast("int").alias("m"),
+        (F.col("d") % sub).cast("int").alias("dd"),
+        "v",
+    )
+    lut = (
+        qex.join(F.broadcast(cbdf), ["m", "dd"])
+        .groupBy("qid", "m", "j")
+        .agg(F.sum(F.col("v") * F.col("cv")).alias("pdot"))
+    )
+
+    probes = q.select("qid", F.explode("probes").alias("cell"))
+    adc = (
+        F.broadcast(probes)
+        .join(index, "cell")
+        .filter(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", F.posexplode("codes").alias("m", "j"))
+        .join(F.broadcast(lut), ["qid", "m", "j"])
+        .groupBy("qid", "cid")
+        .agg(F.sum("pdot").alias("adot"))
+    )
+    ws = Window.partitionBy("qid").orderBy(F.desc("adot"), F.asc("cid"))
+    short = adc.withColumn("srn", F.row_number().over(ws)).filter(
+        F.col("srn") <= shortlist
+    )
+
+    # exact re-rank of the shortlist: R rows per query touch embeddings
+    qe = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    ce = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    rer = (
+        short.join(qe, "qid")
+        .join(ce, "cid")
+        .withColumn("cos", F.round(_cosine(F.col("qe"), F.col("ce")), 4))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return (
+        rer.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("qid", "cid", "cos", "rnk")
+        .orderBy("qid", "rnk")
+    )
+
+
+def ann_ivfpq_topk_sql(n_probe: int = N_PROBE, shortlist: int = PQ_R) -> str:
+    """DuckDB twin: identical pivot codebooks, identical fixed-point
+    code assignment (dist, j tie-break), identical integer ADC sum —
+    so the shortlist matches exactly; the re-rank is the same
+    double-cosine convention every ANN oracle here uses."""
+    return f"""
+WITH qv AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x::DOUBLE * {DOT_SCALE})::BIGINT) AS qv
+  FROM embeddings
+),
+ex AS MATERIALIZED (
+  SELECT vec_id,
+         ((generate_subscripts(qv, 1) - 1) // (len(qv) // {PQ_M}))::INT AS m,
+         ((generate_subscripts(qv, 1) - 1) % (len(qv) // {PQ_M}))::INT AS dd,
+         unnest(qv) AS v
+  FROM qv
+),
+cbx AS MATERIALIZED (
+  SELECT m, vec_id::INT AS j, dd, v AS cv FROM ex WHERE vec_id < {PQ_KS}
+),
+dists AS (
+  SELECT e.vec_id, e.m, c.j,
+         sum((e.v - c.cv) * (e.v - c.cv)) AS dist
+  FROM ex e JOIN cbx c ON e.m = c.m AND e.dd = c.dd
+  GROUP BY e.vec_id, e.m, c.j
+),
+codes AS (
+  SELECT vec_id, m, j AS code FROM (
+    SELECT vec_id, m, j,
+           row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT e.vec_id AS qid, c.m, c.j, sum(e.v * c.cv)::BIGINT AS pdot
+  FROM ex e JOIN cbx c ON e.m = c.m AND e.dd = c.dd
+  WHERE e.vec_id < {N_QUERIES}
+  GROUP BY e.vec_id, c.m, c.j
+),
+cents AS (SELECT vec_id AS ccid, qv AS cvec FROM qv WHERE vec_id < {N_CELLS}),
+cex AS (SELECT ccid, generate_subscripts(cvec, 1) AS d, unnest(cvec) AS cv FROM cents),
+fex AS (SELECT vec_id, generate_subscripts(qv, 1) AS d, unnest(qv) AS v FROM qv),
+idots AS (
+  SELECT fex.vec_id, cex.ccid, sum(fex.v * cex.cv) AS idot
+  FROM fex JOIN cex ON fex.d = cex.d
+  GROUP BY fex.vec_id, cex.ccid
+),
+cells AS (
+  SELECT vec_id, ccid AS cell FROM (
+    SELECT vec_id, ccid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY idot DESC, ccid ASC) AS rn
+    FROM idots
+  ) WHERE rn = 1
+),
+qprobes AS (
+  SELECT vec_id AS qid, ccid AS cell FROM (
+    SELECT vec_id, ccid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY idot DESC, ccid ASC) AS rn
+    FROM idots WHERE vec_id < {N_QUERIES}
+  ) WHERE rn <= {n_probe}
+),
+adc AS (
+  SELECT p.qid, cells.vec_id AS cid, sum(lut.pdot)::BIGINT AS adot
+  FROM qprobes p
+  JOIN cells ON cells.cell = p.cell AND cells.vec_id <> p.qid
+  JOIN codes ON codes.vec_id = cells.vec_id
+  JOIN lut ON lut.qid = p.qid AND lut.m = codes.m AND lut.j = codes.code
+  GROUP BY p.qid, cells.vec_id
+),
+short AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid ORDER BY adot DESC, cid ASC) AS srn
+    FROM adc
+  ) WHERE srn <= {shortlist}
+),
+rer AS (
+  SELECT s.qid, s.cid,
+         round(list_cosine_similarity(qe.embedding::DOUBLE[],
+                                      ce.embedding::DOUBLE[]), 4) AS cos
+  FROM short s
+  JOIN embeddings qe ON qe.vec_id = s.qid
+  JOIN embeddings ce ON ce.vec_id = s.cid
+),
+ranked AS (
+  SELECT qid, cid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rnk
+  FROM rer
+)
+SELECT qid, cid, cos, rnk FROM ranked WHERE rnk <= {TOP_K}
+ORDER BY qid, rnk
+"""
+
+
+# ---------------------------------------------------------------------------
 # distributed k-means — trains the coarse quantizer for IVF / SemDeDup
 # ---------------------------------------------------------------------------
 

@@ -615,3 +615,248 @@ SELECT term, df, tf_total,
 FROM g WHERE df >= {INDEX_MIN_DF}
 ORDER BY term
 """
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style LM quality buckets (Wenzek et al. 2020)
+# ---------------------------------------------------------------------------
+
+# per-token log-probabilities are quantized to a 1e4 grid BEFORE the
+# per-doc sum, so the sum is an integer SUM (order-independent across
+# partitionings) instead of a float accumulation — the same fixed-point
+# discipline as simsearch.DOT_SCALE. The grid is coarse enough that a
+# libm ulp difference between Java's and DuckDB's log2 cannot flip the
+# floor except within ~1e-12 of a grid point.
+LM_LOG_SCALE = 10_000
+
+
+def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-shaped LM quality bucketing (Wenzek et al. 2020): score
+    every document by its per-token negative log-likelihood under a
+    corpus-trained add-one-smoothed unigram LM, then split the corpus
+    into head / middle / tail buckets at the 25th and 75th NLL
+    percentiles — the standard "keep the head, downsample the tail"
+    curation signal.
+
+    Plan shape: ONE map-side-combined token-count aggregate trains the
+    LM; per-doc scoring is an equi-join of the token stream against
+    the (token, logp) table and a second map-side integer sum — no
+    windows, no driver loops. The two scalar corpus totals and the two
+    percentile thresholds are dimension-sized driver constants (at
+    10^10 docs the exact `percentile` becomes `percentile_approx`;
+    everything else is unchanged). NLL sums are fixed-point integers
+    (LM_LOG_SCALE grid) so bucketing is deterministic cross-engine.
+
+    Docs with zero tokens keep a row: n_tok 0, null nll, null bucket.
+    """
+    d = load(spark, "documents", sf_dir)
+    tokd = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    cnt = tokd.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    denom = float(tot["n"] + tot["v"])  # 2-scalar driver constant
+    lp = cnt.select(
+        "t",
+        F.floor(
+            F.log2((F.col("c") + 1).cast("double") / F.lit(denom))
+            * LM_LOG_SCALE
+        )
+        .cast("long")
+        .alias("ilp"),
+    )
+    doc = (
+        tokd.join(lp, "t")
+        .groupBy("doc_id")
+        .agg((-F.sum("ilp")).alias("inll"), F.count(F.lit(1)).alias("n_tok"))
+        .withColumn("irate", F.expr("inll div n_tok"))
+    )
+    th = doc.agg(
+        F.expr("percentile(irate, array(0.25, 0.75))").alias("th")
+    ).collect()[0]["th"]
+    t1, t2 = float(th[0]), float(th[1])
+    return (
+        d.select("doc_id")
+        .join(doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tok", F.lit(0).cast("long")).alias("n_tok"),
+            # nll derives from the INTEGER irate (truncated fixed-point),
+            # not a float round: round(x, 4) half-way cases differ between
+            # Spark (BigDecimal HALF_UP on the shortest decimal repr) and
+            # DuckDB (raw-double rounding) — same-int ÷ same-constant is
+            # the same double in both engines, bit-for-bit
+            (F.col("irate") / F.lit(float(LM_LOG_SCALE))).alias("nll"),
+            F.when(F.col("irate").isNull(), F.lit(None).cast("string"))
+            .when(F.col("irate") <= t1, F.lit("head"))
+            .when(F.col("irate") > t2, F.lit("tail"))
+            .otherwise(F.lit("middle"))
+            .alias("bucket"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def lm_perplexity_buckets_sql() -> str:
+    tok = TOKENS_SQL.format(c="text")
+    s = LM_LOG_SCALE
+    return f"""
+WITH tokd AS MATERIALIZED (
+  SELECT doc_id, unnest({tok}) AS t FROM documents
+),
+cnt AS (SELECT t, count(*) AS c FROM tokd GROUP BY t),
+tot AS (SELECT sum(c) AS n, count(*) AS v FROM cnt),
+lp AS (
+  SELECT t, floor(log2((c + 1)::DOUBLE / (n + v)) * {s})::BIGINT AS ilp
+  FROM cnt, tot
+),
+doc AS (
+  SELECT doc_id, (-sum(ilp))::BIGINT AS inll, count(*) AS n_tok
+  FROM tokd JOIN lp USING (t) GROUP BY doc_id
+),
+rates AS (SELECT doc_id, inll, n_tok, (inll // n_tok)::BIGINT AS irate FROM doc),
+th AS (
+  SELECT quantile_cont(irate, 0.25) AS t1, quantile_cont(irate, 0.75) AS t2
+  FROM rates
+)
+SELECT d.doc_id,
+       coalesce(r.n_tok, 0) AS n_tok,
+       r.irate / {s}.0 AS nll,
+       CASE WHEN r.irate IS NULL THEN NULL
+            WHEN r.irate <= th.t1 THEN 'head'
+            WHEN r.irate > th.t2 THEN 'tail'
+            ELSE 'middle' END AS bucket
+FROM documents d LEFT JOIN rates r USING (doc_id), th
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# media→caption alignment over the interleaved span sequence
+# ---------------------------------------------------------------------------
+
+
+def caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-caption pair extraction for interleaved multimodal
+    pretraining: for every media span, the nearest text span by token
+    offset (ties → the earlier text span) becomes its caption — the
+    alignment step that turns an interleaved document into (media,
+    caption) training pairs.
+
+    Entirely ROW-LOCAL: the span sequence is built per document (the
+    same construction :func:`interleaved_spans` pins cross-engine) and
+    the nearest-text search is a higher-order transform over the
+    in-row array — zero shuffle for 10^10 documents; the only exchange
+    is the final presentation sort."""
+    from .dedup import _token_arrays
+
+    d = _token_arrays(load(spark, "documents", sf_dir))
+    k = F.ceil(F.size("tok") / SPAN_CHUNK).cast("int")
+    tok = F.col("tok")
+
+    # (offset, head) text chunks and (offset, media_ref) media spans —
+    # the same grid as interleaved_spans, kept as in-row arrays
+    texts = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.struct(
+            (i * SPAN_CHUNK).alias("offset"),
+            F.element_at(tok, i * SPAN_CHUNK + 1).alias("head"),
+        ),
+    )
+    medias = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.struct(
+                ((i + 1) * SPAN_CHUNK).alias("offset"),
+                F.when(
+                    (i + 1) % SPAN_MEDIA_EVERY == 0,
+                    F.concat(
+                        F.lit("m/"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("/"),
+                        ((i + 1) / SPAN_MEDIA_EVERY).cast("int").cast("string"),
+                    ),
+                ).alias("media_ref"),
+            ),
+        ),
+        lambda s: s["media_ref"].isNotNull(),
+    )
+    paired = F.transform(
+        medias,
+        lambda ms: F.struct(
+            ms["media_ref"].alias("media_ref"),
+            ms["offset"].alias("media_offset"),
+            F.element_at(
+                F.array_sort(
+                    F.transform(
+                        texts,
+                        lambda t: F.struct(
+                            F.abs(t["offset"] - ms["offset"]).alias("dist"),
+                            t["offset"].alias("cap_offset"),
+                            t["head"].alias("cap_head"),
+                        ),
+                    )
+                ),
+                1,
+            ).alias("best"),
+        ),
+    )
+    return (
+        d.filter(F.size("tok") > 0)
+        .select("doc_id", F.explode(paired).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.media_ref").alias("media_ref"),
+            F.col("p.media_offset").alias("media_offset"),
+            F.col("p.best.dist").alias("dist"),
+            F.col("p.best.cap_offset").alias("cap_offset"),
+            F.col("p.best.cap_head").alias("cap_head"),
+        )
+        .orderBy("doc_id", "media_offset")
+    )
+
+
+def caption_pairs_sql() -> str:
+    tok = TOKENS_SQL.format(c="text")
+    c, m = SPAN_CHUNK, SPAN_MEDIA_EVERY
+    return f"""
+WITH tokd AS (
+  SELECT doc_id, {tok} AS tok FROM documents
+),
+built AS (
+  SELECT doc_id,
+         list_transform(range(0, cast(ceil(len(tok) / {c}.0) AS INT)),
+           i -> struct_pack("offset" := i * {c}, head := tok[i * {c} + 1])
+         ) AS texts,
+         list_filter(
+           list_transform(range(0, cast(ceil(len(tok) / {c}.0) AS INT)),
+             i -> struct_pack(
+                    "offset" := (i + 1) * {c},
+                    media_ref := CASE WHEN (i + 1) % {m} = 0
+                      THEN 'm/' || doc_id || '/' || ((i + 1) // {m})
+                      ELSE NULL END)),
+           s -> s.media_ref IS NOT NULL
+         ) AS medias
+  FROM tokd WHERE len(tok) > 0
+),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(medias, ms -> struct_pack(
+           media_ref := ms.media_ref,
+           media_offset := ms."offset",
+           best := list_sort(list_transform(texts,
+             t -> struct_pack(dist := abs(t."offset" - ms."offset"),
+                              cap_offset := t."offset",
+                              cap_head := t.head)))[1]
+         ))) AS p
+  FROM built
+)
+SELECT doc_id,
+       p.media_ref AS media_ref,
+       p.media_offset AS media_offset,
+       p.best.dist AS dist,
+       p.best.cap_offset AS cap_offset,
+       p.best.cap_head AS cap_head
+FROM pairs
+ORDER BY doc_id, media_offset
+"""
