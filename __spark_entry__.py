@@ -11,6 +11,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from seo_crawler_spark.operators import bpe as BP
 from seo_crawler_spark.operators import corpus_stats as CS
 from seo_crawler_spark.operators import curation as CU
 from seo_crawler_spark.operators import dedup as D
@@ -89,9 +90,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivfpq_topk": S.ann_ivfpq_topk,
         "lm_perplexity_buckets": TS.lm_perplexity_buckets,
         "caption_pairs": TS.caption_pairs,
+        "bpe_merges": BP.bpe_merges_query,
         "connected_components": G.connected_components_query,
         # crawl-engine operator semantics (SURVEY.md §2.2, §2.3, §2.5, §2.7)
-        "seen_anti_join": CQ.seen_anti_join,
         "politeness_rank": CQ.politeness_rank,
         # training-data pipeline: dedup family
         "dedup_exact": D.dedup_exact,
@@ -151,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter_verdicts": CU.quality_filter_verdicts,
         # --- position 51+ (below the driver's 50-row window): long-stable
         # queries with green driver rows since round 1/2/3 ---
+        "seen_anti_join": CQ.seen_anti_join,
         "part_cooccurrence": R.part_cooccurrence,
         "pagerank": G.pagerank,
         "dedup_clusters": G.dedup_clusters,
@@ -180,6 +182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "ann_ivfpq_topk": S.ann_ivfpq_topk_sql(),
+        "bpe_merges": BP.bpe_merges_sql(),
         "lm_perplexity_buckets": TS.lm_perplexity_buckets_sql(),
         "caption_pairs": TS.caption_pairs_sql(),
         "q1_pricing_summary": R.Q1_SQL,

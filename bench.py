@@ -242,6 +242,7 @@ HEADLINE = [
     "ann_ivfpq_topk",
     "lm_perplexity_buckets",
     "caption_pairs",
+    "bpe_merges",
 ]
 
 

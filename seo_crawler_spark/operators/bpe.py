@@ -1,0 +1,168 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016).
+
+The tokenizer-training step of a pretraining pipeline: iteratively
+find the most frequent adjacent token pair across the corpus and merge
+it, emitting the ordered merge table a tokenizer ships with.
+
+Spark shape per iteration (k iterations total):
+
+* pair counting — one row-local bigram explode + ONE map-side-combined
+  (left, right) count aggregate; the winning pair is a 1-row driver
+  collect (the same per-iteration driver constant every distributed
+  tokenizer trainer ends an iteration with);
+* merge application — a row-local string ``replace`` on a two-space
+  separated token string (see below); zero shuffle;
+* lineage — the evolving corpus column re-checkpoints through
+  ``ckpt.local_ckpt`` each iteration, the same stats-safe barrier the
+  PageRank/HITS/connected-components loops use.
+
+At 10^10 documents, tokenizer training runs on a corpus SAMPLE by
+standard practice (a hash-mod filter slots in front of this operator —
+sampling.stratified_sample is the shipped mechanism); the per-iteration
+cost is one map-side agg over the sample either way.
+
+Greedy-merge encoding trick (what makes the merge step one `replace`):
+tokens are joined with TWO spaces and the string is wrapped in single
+spaces, so the pattern ``' l  r '`` of an adjacent pair consumes the
+last space of the left gap and the first space of the right gap — and
+therefore two ADJACENT matches never share a character. Plain
+substring replace in both Spark and DuckDB scans left-to-right
+non-overlapping, which under this framing IS exactly BPE's greedy
+leftmost-first merge order: ``a a a a`` merges to ``aa aa``, never
+``a aa a``. Tokens are ``\\w+`` so a space separator can't collide.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ckpt import local_ckpt
+from ..functions.text import TOKENS_SQL, tokens
+from ..sources.tables import load
+
+BPE_MERGES = 8
+
+
+def _pair_counts(corpus: DataFrame) -> DataFrame:
+    """(l, r, cnt) over adjacent token pairs of the two-space string.
+
+    Pairs come from ``zip_with(slice(t,1,n-1), slice(t,2,n-1))``, NOT
+    ``transform(sequence, i -> element_at(t, i))``: CollapseProject
+    inlines the split/filter into every ``element_at`` reference, so
+    the sequence form re-splits the string ~2n× per row (measured
+    6.7 s/iteration at sf0.1 vs 0.35 s for this form — the same trap
+    dedup._token_arrays documents)."""
+    t = F.filter(F.split(F.col("s"), " "), lambda x: x != "")
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    return (
+        corpus.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def bpe_train_merges(
+    corpus: DataFrame, merges: int = BPE_MERGES, ckpt_every: int = 16
+) -> list[tuple[int, str, str, int]]:
+    """Run ``merges`` BPE iterations over a (doc_id, s) corpus where
+    ``s`` is the two-space-joined wrapped token string. Returns
+    [(step, left, right, pair_count), ...] in merge order. Ties on
+    count break to the lexicographically smallest (left, right) —
+    binary collation in both engines for ``\\w+`` tokens.
+
+    Pending merges stay as a NESTED replace expression (pure row-local
+    codegen — no joins, so plan stats can't blow up) and the corpus
+    only re-materializes through ``ckpt.local_ckpt`` every
+    ``ckpt_every`` steps: re-applying ≤ckpt_every cheap replaces per
+    count pass beats an eager materialization per step (measured
+    5.4 s vs 6.5 s for 8 merges at sf0.1), while the periodic barrier
+    keeps recompute depth bounded for a real 30k-merge vocabulary."""
+    out: list[tuple[int, str, str, int]] = []
+    cur = corpus
+    for step in range(1, merges + 1):
+        top = (
+            _pair_counts(cur)
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        out.append((step, l, r, cnt))
+        cur = cur.select(
+            "doc_id",
+            F.replace(
+                F.col("s"), F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
+            ).alias("s"),
+        )
+        if step % ckpt_every == 0:
+            cur = cur.transform(local_ckpt)
+    return out
+
+
+def bpe_merges_query(
+    spark: SparkSession, sf_dir: str, merges: int = BPE_MERGES
+) -> DataFrame:
+    """Registered query: the ordered merge table learned from the
+    documents corpus — (step, left, right, pair_count, new_token)."""
+    d = load(spark, "documents", sf_dir)
+    corpus = d.select(
+        "doc_id",
+        F.concat(
+            F.lit(" "), F.array_join(tokens(F.col("text")), "  "), F.lit(" ")
+        ).alias("s"),
+    ).transform(local_ckpt)
+    rows = bpe_train_merges(corpus, merges)
+    return spark.createDataFrame(
+        [(s, l, r, c, l + r) for s, l, r, c in rows],
+        "step int, left string, right string, pair_count long, new_token string",
+    ).orderBy("step")
+
+
+def bpe_merges_sql(merges: int = BPE_MERGES) -> str:
+    """DuckDB twin: identical wrapped-string encoding, unrolled one CTE
+    pair per iteration (count → 1-row top pair → replace), identical
+    (cnt DESC, l, r) tie-break."""
+    tok = TOKENS_SQL.format(c="text")
+    steps = []
+    prev = "c0"
+    for i in range(1, merges + 1):
+        steps.append(
+            f"""p{i} AS (
+  SELECT pr.l, pr.r, count(*) AS cnt FROM (
+    SELECT unnest(list_transform(range(1, len(t)),
+                  j -> struct_pack(l := t[j], r := t[j + 1]))) AS pr
+    FROM (SELECT list_filter(string_split(s, ' '), x -> x <> '') AS t
+          FROM {prev})
+    WHERE len(t) >= 2
+  ) GROUP BY pr.l, pr.r),
+m{i} AS MATERIALIZED (
+  SELECT {i} AS step, l, r, cnt FROM p{i}
+  ORDER BY cnt DESC, l, r LIMIT 1),
+c{i} AS MATERIALIZED (
+  SELECT doc_id,
+         replace(s, ' ' || m.l || '  ' || m.r || ' ',
+                    ' ' || m.l || m.r || ' ') AS s
+  FROM {prev}, m{i} m)"""
+        )
+        prev = f"c{i}"
+    merged = " UNION ALL ".join(f"SELECT * FROM m{i}" for i in range(1, merges + 1))
+    return f"""
+WITH c0 AS MATERIALIZED (
+  SELECT doc_id, ' ' || array_to_string({tok}, '  ') || ' ' AS s
+  FROM documents
+),
+{', '.join(steps)}
+SELECT step, l AS left, r AS right, cnt::BIGINT AS pair_count,
+       l || r AS new_token
+FROM ({merged}) ORDER BY step
+"""

@@ -260,3 +260,81 @@ def test_caption_pairs_hand_model(spark):
     # the boundary media span always has a dist-0 caption when a text
     # chunk starts exactly at its offset — sanity that ties resolve
     assert any(d == 0 for (_, _, _, d, _, _) in expect)
+
+
+# ------------------------------------------------------------ BPE training
+
+
+def _py_bpe(docs: list[list[str]], merges: int):
+    """Reference BPE: count adjacent pairs, merge the (count desc,
+    lexicographic) winner greedily left-to-right, repeat."""
+    from collections import Counter
+
+    seqs = [list(d) for d in docs]
+    out = []
+    for step in range(1, merges + 1):
+        cnt = Counter()
+        for s in seqs:
+            for a, b in zip(s, s[1:]):
+                cnt[(a, b)] += 1
+        if not cnt:
+            break
+        (l, r), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((step, l, r, c))
+        for i, s in enumerate(seqs):
+            new, j = [], 0
+            while j < len(s):
+                if j + 1 < len(s) and s[j] == l and s[j + 1] == r:
+                    new.append(l + r)
+                    j += 2
+                else:
+                    new.append(s[j])
+                    j += 1
+            seqs[i] = new
+    return out, seqs
+
+
+def _wrap(toks: list[str]) -> str:
+    return " " + "  ".join(toks) + " "
+
+
+def test_bpe_matches_python_reference_on_corpus(spark):
+    """The registered query's merge table equals the reference BPE run
+    on the same tokenization of the real documents table."""
+    import re
+
+    from seo_crawler_spark.operators.bpe import BPE_MERGES, bpe_merges_query
+
+    docs = [
+        re.findall(r"\w+", r["text"].lower())
+        for r in load(spark, "documents", SF0001).select("text").collect()
+    ]
+    expect, _ = _py_bpe(docs, BPE_MERGES)
+    got = [
+        (r["step"], r["left"], r["right"], r["pair_count"])
+        for r in bpe_merges_query(spark, SF0001).collect()
+    ]
+    assert got == expect
+    assert len(got) == BPE_MERGES
+
+
+def test_bpe_greedy_overlap_semantics(spark):
+    """`a a a a` must merge to `aa aa` (leftmost-first non-overlapping),
+    and merged tokens must participate in later merges — the two
+    places a string-replace BPE implementation can silently diverge."""
+    from seo_crawler_spark.operators.bpe import bpe_train_merges
+
+    corpus = spark.createDataFrame(
+        [(0, _wrap("a a a a".split())), (1, _wrap("a a b".split()))],
+        "doc_id long, s string",
+    )
+    got = bpe_train_merges(corpus, 3)
+    docs = [["a", "a", "a", "a"], ["a", "a", "b"]]
+    expect, seqs = _py_bpe(docs, 3)
+    assert got == expect
+    # step 1 merges (a, a): doc0 → [aa, aa] (NOT [a, aa, a]); then the
+    # merged `aa` pairs must feed step 2
+    assert expect[0][1:3] == ("a", "a")
+    assert seqs[0] == ["aaaa"] or ("aa", "aa") in [
+        (e[1], e[2]) for e in expect
+    ]
