@@ -91,9 +91,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_buckets": TS.lm_perplexity_buckets,
         "caption_pairs": TS.caption_pairs,
         "bpe_merges": BP.bpe_merges_query,
+        "bpe_encode": BP.bpe_encode,
         "connected_components": G.connected_components_query,
-        # crawl-engine operator semantics (SURVEY.md §2.2, §2.3, §2.5, §2.7)
-        "politeness_rank": CQ.politeness_rank,
         # training-data pipeline: dedup family
         "dedup_exact": D.dedup_exact,
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
@@ -152,6 +151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter_verdicts": CU.quality_filter_verdicts,
         # --- position 51+ (below the driver's 50-row window): long-stable
         # queries with green driver rows since round 1/2/3 ---
+        # crawl-engine operator semantics (SURVEY.md §2.2, §2.3, §2.5, §2.7)
+        "politeness_rank": CQ.politeness_rank,
         "seen_anti_join": CQ.seen_anti_join,
         "part_cooccurrence": R.part_cooccurrence,
         "pagerank": G.pagerank,
@@ -183,6 +184,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "ann_ivfpq_topk": S.ann_ivfpq_topk_sql(),
         "bpe_merges": BP.bpe_merges_sql(),
+        "bpe_encode": BP.bpe_encode_sql(),
         "lm_perplexity_buckets": TS.lm_perplexity_buckets_sql(),
         "caption_pairs": TS.caption_pairs_sql(),
         "q1_pricing_summary": R.Q1_SQL,

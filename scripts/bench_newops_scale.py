@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""10× input-scale evidence for the round-4 session-4 operators.
+
+Runs each new query at sf0.01 (500 docs / 500 vectors) and sf0.1
+(5,000 of each — 10× rows) on local[32], steady-state (median of 3
+after a warm-up run), and prints the time ratio. A ~linear operator
+should land well under 10×; sublinear constants (driver-side
+codebooks, merge tables, percentile collects) usually put it under ~3×
+at this scale.
+
+Usage: python scripts/bench_newops_scale.py [--reps 3]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+QUERIES = [
+    "ann_ivfpq_topk",
+    "lm_perplexity_buckets",
+    "caption_pairs",
+    "bpe_merges",
+    "bpe_encode",
+]
+
+
+def main() -> int:
+    reps = 3
+    if "--reps" in sys.argv:
+        reps = int(sys.argv[sys.argv.index("--reps") + 1])
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    qs = m.queries()
+
+    from seo_crawler_spark.session import get_spark
+
+    spark = get_spark(
+        "newops-scale", master="local[32]", shuffle_partitions=32
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str, sf_dir: str) -> float:
+        times = []
+        for i in range(reps + 1):
+            t0 = time.monotonic()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            if i:  # skip warm-up
+                times.append(time.monotonic() - t0)
+        times.sort()
+        return times[len(times) // 2]
+
+    print(f"{'query':26s} {'sf0.01 s':>9s} {'sf0.1 s':>9s} {'ratio':>6s}")
+    for name in QUERIES:
+        a = run(name, "/root/testdata/sf0.01")
+        b = run(name, "/root/testdata/sf0.1")
+        print(f"{name:26s} {a:9.2f} {b:9.2f} {b / a:5.1f}x")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -12,9 +12,10 @@ Spark shape per iteration (k iterations total):
   tokenizer trainer ends an iteration with);
 * merge application — a row-local string ``replace`` on a two-space
   separated token string (see below); zero shuffle;
-* lineage — the evolving corpus column re-checkpoints through
-  ``ckpt.local_ckpt`` each iteration, the same stats-safe barrier the
-  PageRank/HITS/connected-components loops use.
+* lineage — pending merges accumulate as nested row-local replace
+  expressions; the corpus re-checkpoints through ``ckpt.local_ckpt``
+  (the stats-safe barrier the PageRank/HITS/connected-components loops
+  use) every ``ckpt_every`` merges to bound recompute depth.
 
 At 10^10 documents, tokenizer training runs on a corpus SAMPLE by
 standard practice (a hash-mod filter slots in front of this operator —
@@ -165,4 +166,69 @@ WITH c0 AS MATERIALIZED (
 SELECT step, l AS left, r AS right, cnt::BIGINT AS pair_count,
        l || r AS new_token
 FROM ({merged}) ORDER BY step
+"""
+
+
+def bpe_encode(
+    spark: SparkSession, sf_dir: str, merges: int = BPE_MERGES
+) -> DataFrame:
+    """Apply the learned merge table to the corpus — the ENCODE side of
+    the tokenizer: every document's token stream re-segmented under
+    the merges, reported as (doc_id, n_raw, n_bpe, top BPE token).
+    Application is ROW-LOCAL: the k merges become k nested string
+    replaces (the training loop's own encoding trick), so encoding
+    10^10 documents is a zero-shuffle map — exactly how a trained
+    tokenizer deploys. The merge table itself is a k-row driver
+    constant (collected once from training)."""
+    d = load(spark, "documents", sf_dir)
+    corpus = d.select(
+        "doc_id",
+        F.concat(
+            F.lit(" "), F.array_join(tokens(F.col("text")), "  "), F.lit(" ")
+        ).alias("s"),
+    ).transform(local_ckpt)
+    table = bpe_train_merges(corpus, merges)
+    s = F.col("s")
+    for _, l, r, _ in table:
+        s = F.replace(s, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
+    t_raw = F.filter(F.split(F.col("s"), " "), lambda x: x != "")
+    enc = corpus.select(
+        "doc_id", F.size(t_raw).alias("n_raw"), s.alias("es")
+    )
+    t_bpe = F.filter(F.split(F.col("es"), " "), lambda x: x != "")
+    return (
+        enc.select(
+            "doc_id",
+            "n_raw",
+            F.size(t_bpe).alias("n_bpe"),
+            F.array_max(t_bpe).alias("top_token"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def bpe_encode_sql(merges: int = BPE_MERGES) -> str:
+    """DuckDB twin: re-runs the unrolled training CTEs to the final
+    corpus state c{k} (whose string IS the base string with every merge
+    applied, in order) and reports the same per-doc segmentation."""
+    base = bpe_merges_sql(merges).strip()
+    # reuse the training CTE chain; c{merges} is the fully-merged corpus
+    inner = base[base.index("WITH") + 4 : base.rindex("SELECT step")].strip()
+    return f"""
+WITH {inner},
+raw AS (
+  SELECT doc_id,
+         len(list_filter(string_split(s, ' '), x -> x <> '')) AS n_raw
+  FROM c0
+),
+enc AS (
+  SELECT doc_id,
+         list_filter(string_split(s, ' '), x -> x <> '') AS t
+  FROM c{merges}
+)
+SELECT raw.doc_id, raw.n_raw,
+       len(enc.t) AS n_bpe,
+       list_max(enc.t) AS top_token
+FROM raw JOIN enc USING (doc_id)
+ORDER BY raw.doc_id
 """

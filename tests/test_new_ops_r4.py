@@ -338,3 +338,23 @@ def test_bpe_greedy_overlap_semantics(spark):
     assert seqs[0] == ["aaaa"] or ("aa", "aa") in [
         (e[1], e[2]) for e in expect
     ]
+
+
+def test_bpe_encode_matches_python_segmentation(spark):
+    """n_raw/n_bpe per doc equal the reference BPE's final segmentation
+    lengths, and encoding strictly compresses wherever a merge fired."""
+    import re
+
+    from seo_crawler_spark.operators.bpe import BPE_MERGES, bpe_encode
+
+    rows = load(spark, "documents", SF0001).select("doc_id", "text").collect()
+    ids = [r["doc_id"] for r in rows]
+    docs = [re.findall(r"\w+", r["text"].lower()) for r in rows]
+    _, seqs = _py_bpe(docs, BPE_MERGES)
+    expect = {i: (len(d), len(s)) for i, d, s in zip(ids, docs, seqs)}
+    got = {
+        r["doc_id"]: (r["n_raw"], r["n_bpe"])
+        for r in bpe_encode(spark, SF0001).collect()
+    }
+    assert got == expect
+    assert any(b < r for r, b in got.values())  # merges actually fired
