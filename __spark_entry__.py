@@ -92,9 +92,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_pairs": TS.caption_pairs,
         "bpe_merges": BP.bpe_merges_query,
         "bpe_encode": BP.bpe_encode,
+        "training_shuffle": SA.training_shuffle,
         "connected_components": G.connected_components_query,
         # training-data pipeline: dedup family
-        "dedup_exact": D.dedup_exact,
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
         "dedup_incremental": D.dedup_incremental,
@@ -154,6 +154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # crawl-engine operator semantics (SURVEY.md §2.2, §2.3, §2.5, §2.7)
         "politeness_rank": CQ.politeness_rank,
         "seen_anti_join": CQ.seen_anti_join,
+        "dedup_exact": D.dedup_exact,
         "part_cooccurrence": R.part_cooccurrence,
         "pagerank": G.pagerank,
         "dedup_clusters": G.dedup_clusters,
@@ -185,6 +186,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_topk": S.ann_ivfpq_topk_sql(),
         "bpe_merges": BP.bpe_merges_sql(),
         "bpe_encode": BP.bpe_encode_sql(),
+        "training_shuffle": SA.training_shuffle_sql(),
         "lm_perplexity_buckets": TS.lm_perplexity_buckets_sql(),
         "caption_pairs": TS.caption_pairs_sql(),
         "q1_pricing_summary": R.Q1_SQL,

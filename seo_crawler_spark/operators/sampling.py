@@ -82,3 +82,59 @@ def sample_bottomk_sql(k: int = BOTTOM_K) -> str:
 SELECT doc_id, {h} AS h FROM documents
 ORDER BY h, doc_id LIMIT {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# deterministic training-order shuffle + sharding
+# ---------------------------------------------------------------------------
+
+SHUFFLE_SHARDS = 8
+SHUFFLE_SEED = "ep0"
+
+
+def training_shuffle(
+    spark: SparkSession, sf_dir: str, n_shards: int = SHUFFLE_SHARDS,
+    seed: str = SHUFFLE_SEED,
+) -> DataFrame:
+    """The global-shuffle step of a training run: assign every document
+    a shard and a position so that reading shards in order yields a
+    pseudo-random permutation of the corpus — deterministic in the
+    seed (re-runs and engines agree exactly), with NO global sort:
+    shard = hash mod n_shards (row-local) and position is a
+    row_number window PER SHARD, so the only exchange partitions by
+    shard — at 10^10 docs each shard sorts independently (and in a
+    real run is written straight out via
+    ``df.repartition("shard").sortWithinPartitions(...)``, the same
+    plan shape). A new epoch is a new seed string, not a new plan."""
+    docs = load(spark, "documents", sf_dir)
+    h = md5int(
+        F.concat(F.lit(f"shuf:{seed}:"), F.col("doc_id").cast("string"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("h"))
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )
+
+
+def training_shuffle_sql(
+    n_shards: int = SHUFFLE_SHARDS, seed: str = SHUFFLE_SEED
+) -> str:
+    h = MD5INT_SQL.format(c=f"('shuf:{seed}:' || doc_id)")
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, {h} AS h FROM documents
+),
+sharded AS (
+  SELECT doc_id, h, (h % {n_shards})::INT AS shard FROM hashed
+)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+FROM sharded
+ORDER BY shard, pos
+"""

@@ -1,5 +1,6 @@
 """Round-4 session-4 operators: IVF-PQ ANN, CCNet-style LM quality
-buckets, media→caption alignment.
+buckets, media→caption alignment, BPE tokenizer train/encode,
+training-order shuffle.
 
 The DuckDB oracle gate (scripts/driver_sim.py) pins cross-engine
 equality; these tests pin the SEMANTICS the oracle can't see —
@@ -358,3 +359,35 @@ def test_bpe_encode_matches_python_segmentation(spark):
     }
     assert got == expect
     assert any(b < r for r, b in got.values())  # merges actually fired
+
+
+# ------------------------------------------------------ training shuffle
+
+
+def test_training_shuffle_is_a_balanced_permutation(spark):
+    """Every doc appears exactly once; positions are contiguous per
+    shard; shards are hash-balanced; a different epoch seed yields a
+    different order over the same membership universe."""
+    from seo_crawler_spark.operators.sampling import (
+        SHUFFLE_SHARDS,
+        training_shuffle,
+    )
+
+    rows = training_shuffle(spark, SF0001).collect()
+    n = load(spark, "documents", SF0001).count()
+    assert len(rows) == n
+    assert len({r["doc_id"] for r in rows}) == n  # a permutation
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(SHUFFLE_SHARDS))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) <= 2 * (n // SHUFFLE_SHARDS)  # hash balance
+    ep1 = [
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in training_shuffle(spark, SF0001, seed="ep1").collect()
+    ]
+    assert {d for d, _, _ in ep1} == {r["doc_id"] for r in rows}
+    assert ep1 != [(r["doc_id"], r["shard"], r["pos"]) for r in rows]
