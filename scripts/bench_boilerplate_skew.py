@@ -95,7 +95,7 @@ def uncollapsed_minhash(spark, sf_dir: str, threshold: float = 0.5):
         "doc_id",
         "sh",
         F.transform("sh", lambda s: md5int(s) % MOD).alias("hh"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     bands = _minhash_bands(hashed)
     pa = bands.select(F.col("doc_id").alias("a"), "band", "sig")
     pb = bands.select(F.col("doc_id").alias("b"), "band", "sig")

@@ -23,6 +23,25 @@ matter how many waves compound. The conservative default means Catalyst
 won't AUTO-broadcast these frames; the engine broadcasts its dimension
 tables explicitly (`F.broadcast`), which `tests/test_plan_quality.py`
 pins, so nothing regresses.
+
+EAGER ONLY — why this repo never uses ``localCheckpoint(eager=False)``:
+a LAZY local checkpoint materializes on whichever thread first computes
+the RDD. When that thread is a ``broadcast-exchange-*`` worker (AQE
+collects broadcast sides on a thread pool, concurrently with sibling
+stages of the same query), its post-job ``RDD.doCheckpoint →
+markCheckpointed`` takes the GLOBAL ``RDDCheckpointData$`` class lock
+and then wants the RDD's own monitor — while the
+``dag-scheduler-event-loop``, planning a concurrent job over the same
+pending RDD, holds that RDD monitor inside ``getCacheLocs`` and wants
+the class lock via ``RDD.partitions → checkpointRDD``. That is a
+Java-level ABBA deadlock: observed in this repo as a permanently hung
+suite (jstack: "Found one Java-level deadlock", broadcast-exchange-1053
+vs dag-scheduler-event-loop, Spark 4.1.2; full stacks in PLANS.md).
+Eager-at-creation closes the window completely — the frame never
+escapes to a consumer plan before its checkpoint is finished, so no
+broadcast thread can ever be the first materializer. The cost (one
+dedicated pass instead of piggybacking on the first consumer) is noise
+at bench scale and a sound trade at any scale against a hung driver.
 """
 
 from __future__ import annotations

@@ -72,7 +72,7 @@ def substring_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ_counts = (
         occ.groupBy("doc_id", "h")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     df_ = occ_counts.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
@@ -170,7 +170,7 @@ def exact_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.col("p") + 1).alias("s"),
         (md5int(F.col("g")) % MOD).alias("h"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     hd = occ.groupBy("h", "doc_id").agg(
         F.min("s").alias("ms"), F.count(F.lit(1)).alias("c")
     )

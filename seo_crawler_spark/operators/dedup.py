@@ -83,8 +83,11 @@ def _token_arrays(docs: DataFrame) -> DataFrame:
     (a regexp_extract_all) into every ``element_at`` reference inside
     the shingle lambda — 3 per shingle — so the regexp runs ~150× per
     document instead of once (measured 8.7s vs 0.5s for the shingle
-    explode at sf0.1). localCheckpoint(eager=False) materializes the
-    token arrays once at first use and stops the inlining.
+    explode at sf0.1). localCheckpoint(eager=True) materializes the
+    token arrays once, up front, and stops the inlining (eager: see
+    ckpt.py — a lazily-pending localCheckpoint whose first
+    materialization lands on a broadcast-exchange thread can deadlock
+    the DAG scheduler).
 
     The repartition ahead of the regexp is equally load-bearing at
     small scale: a single small parquet file scans as ONE partition, so
@@ -95,7 +98,7 @@ def _token_arrays(docs: DataFrame) -> DataFrame:
     return (
         docs.repartition(sc.defaultParallelism)
         .select("doc_id", tokens(F.col("text")).alias("tok"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
 
 
@@ -280,7 +283,7 @@ def dedup_minhash_lsh(
         "doc_id",
         "sh",
         F.transform("sh", shingle_hash).alias("hh"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     # EXACT-COLLAPSE before banding — the boilerplate-skew guard: k
     # docs with identical shingle arrays share every band signature, so
     # uncollapsed they put k rows in the same band bucket and the
@@ -299,7 +302,7 @@ def dedup_minhash_lsh(
             F.collect_list("doc_id").alias("members"),
             F.first("hh").alias("hh"),  # pure function of sh: any row
         )
-        .localCheckpoint(eager=False)  # reused: banding, verify, expand
+        .localCheckpoint(eager=True)  # reused: banding, verify, expand
     )
     uniq = grp.select(F.col("rep").alias("doc_id"), "sh", "hh")
     bands = _minhash_bands(uniq)
@@ -471,7 +474,7 @@ def dedup_incremental(
     novelty verdict."""
     docs = load(spark, "documents", sf_dir)
     is_delta = (md5int(F.col("doc_id").cast("string")) % delta_mod) == 0
-    hashed = _hashed_shingles(docs).localCheckpoint(eager=False)
+    hashed = _hashed_shingles(docs).localCheckpoint(eager=True)
     # EXACT-COLLAPSE both sides on the shingle array (the
     # dedup_minhash_lsh boilerplate-skew guard — and with VERDICT
     # output the win is total: one row per delta doc, nothing
@@ -494,7 +497,7 @@ def dedup_incremental(
         hashed.filter(~is_delta)
         .groupBy("sh")
         .agg(F.min("doc_id").alias("doc_id"), F.first("hh").alias("hh"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     delta_grp = (
         hashed.filter(is_delta)
@@ -504,7 +507,7 @@ def dedup_incremental(
             F.collect_list("doc_id").alias("members"),
             F.first("hh").alias("hh"),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     delta_reps = delta_grp.select(F.col("rep").alias("doc_id"), "sh", "hh")
     db = _minhash_bands(delta_reps)
@@ -635,7 +638,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         _token_arrays(load(spark, "documents", sf_dir))
         .filter(F.size("tok") > 0)
         .select("doc_id", F.transform("tok", lambda t: md5int(t)).alias("hh"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     zeros = F.array_repeat(F.lit(0).cast("long"), N_BITS)
     # literal shift counts (pyspark's shiftright wrapper rejects columns)
@@ -654,7 +657,7 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 48× — un-checkpointed, CollapseProject would re-run the whole fold
     # per reference
     cnt = hashed.select("doc_id", counters.alias("cnt")).localCheckpoint(
-        eager=False
+        eager=True
     )
     sim = None
     for i in range(N_BITS):
@@ -703,7 +706,7 @@ def dedup_simhash(
             F.min("doc_id").alias("rep"),
             F.collect_list("doc_id").alias("members"),
         )
-        .localCheckpoint(eager=False)  # reused: banding + expansion
+        .localCheckpoint(eager=True)  # reused: banding + expansion
     )
     uniq = grp.select(F.col("rep").alias("doc_id"), "simhash")
     bands = uniq.select(
@@ -843,7 +846,7 @@ def dedup_embedding_cosine(
             F.min("vec_id").alias("rep"),
             F.collect_list("vec_id").alias("members"),
         )
-        .localCheckpoint(eager=False)  # reused: band filter + expand
+        .localCheckpoint(eager=True)  # reused: band filter + expand
     )
     reps = grp.select(F.col("rep").alias("vec_id"))
     buckets = ann_lsh_bucketed(spark, sf_dir).join(reps, "vec_id")

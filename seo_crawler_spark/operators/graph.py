@@ -70,7 +70,7 @@ def pagerank(spark: SparkSession, sf_dir: str, iters: int = ITERS) -> DataFrame:
     n = docs.count()
     e = _edges(docs, n)
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    e2 = e.join(outdeg, "src").localCheckpoint(eager=False)
+    e2 = e.join(outdeg, "src").localCheckpoint(eager=True)
 
     score = docs.select("doc_id", F.lit(SCALE).cast("long").alias("score"))
     for _ in range(iters):
@@ -93,7 +93,7 @@ def pagerank(spark: SparkSession, sf_dir: str, iters: int = ITERS) -> DataFrame:
                     "score"
                 ),
             )
-            .localCheckpoint(eager=False)  # truncate per-iteration lineage
+            .localCheckpoint(eager=True)  # truncate per-iteration lineage
         )
     from pyspark.sql import Window
 
@@ -164,7 +164,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, iters: int = CC_ITERS) -> D
     # undirected: propagate both ways
     edges = pairs.unionByName(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
@@ -184,7 +184,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str, iters: int = CC_ITERS) -> D
                     F.col("label"), F.coalesce("nlabel", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
     return labels.select(
         F.col("node").alias("doc_id"),
@@ -337,7 +337,7 @@ def hits_scores(spark: SparkSession, sf_dir: str, iters: int = HITS_ITERS) -> Da
     iteration like the pagerank loop."""
     docs = load(spark, "documents", sf_dir).select("doc_id")
     n = docs.count()
-    e = _edges(docs, n).localCheckpoint(eager=False)
+    e = _edges(docs, n).localCheckpoint(eager=True)
 
     def _normalized(raw: DataFrame, col: str) -> DataFrame:
         total = raw.agg(F.sum(col).alias("__t"))
@@ -347,7 +347,7 @@ def hits_scores(spark: SparkSession, sf_dir: str, iters: int = HITS_ITERS) -> Da
                 "doc_id",
                 F.expr(f"({col} * {SCALE}) div __t").alias(col),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
 
     hub = docs.select("doc_id", F.lit(SCALE).cast("long").alias("hub"))

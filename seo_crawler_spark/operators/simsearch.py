@@ -899,7 +899,7 @@ def kmeans_train(
             "embedding",
             lambda x: F.floor(x.cast("double") * DOT_SCALE).cast("long"),
         ).alias("qv"),
-    ).localCheckpoint(eager=False)  # reused iters+1 times
+    ).localCheckpoint(eager=True)  # reused iters+1 times
     cents = [
         (r["vec_id"], [int(x) for x in r["qv"]])
         for r in base.filter(F.col("vec_id") < k).orderBy("vec_id").collect()

@@ -246,7 +246,7 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load(spark, "documents", sf_dir)
     tok = tokens(F.col("text"))
-    d = docs.select("doc_id", tok.alias("tok")).localCheckpoint(eager=False)
+    d = docs.select("doc_id", tok.alias("tok")).localCheckpoint(eager=True)
 
     ex = d.select("doc_id", F.explode("tok").alias("t"))
     top_word = (

@@ -698,7 +698,7 @@ def redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(((d % 10).isin(1, 2)) | ((d % 100).isin(77, 78)))
         .select(d.alias("src"), dst.alias("dst"))
         .filter(F.col("src") != F.col("dst"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     state = docs.select(
         "doc_id",
@@ -715,7 +715,7 @@ def redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "hops"
                 ),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
     # resolved = the landing id no longer redirects
     return (

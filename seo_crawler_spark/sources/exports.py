@@ -261,7 +261,7 @@ def visualization_projection(pages: DataFrame, links: DataFrame, node_cap: int =
             F.col("seq").alias("node_id"),
             "status_code", "title", "depth",
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     n1 = nodes.select(F.col("url").alias("__src"), F.col("node_id").alias("source_id"))
     n2 = nodes.select(F.col("url").alias("__dst"), F.col("node_id").alias("target_id"))

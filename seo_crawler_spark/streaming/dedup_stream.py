@@ -150,7 +150,7 @@ def prepare_dedup_base(base_docs: DataFrame, state_dir: str) -> None:
     )
     grp = _collapse_content(
         _hashed_shingles(base_docs)
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     _with_sig_bucket(_minhash_bands(grp)).repartition(
         "sig_bucket"
     ).write.mode("overwrite").partitionBy("sig_bucket").parquet(
@@ -195,7 +195,7 @@ def compact_dedup_state(spark: SparkSession, state_dir: str, upto: int) -> None:
                 "sh", lambda s: md5int(s) % MOD
             ).alias("hh"),  # same hash as _hashed_shingles
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     _with_sig_bucket(
         _minhash_bands(folded), meta["n_sig_buckets"]
@@ -294,7 +294,7 @@ def _process_batch(
         n_sig, n_doc = meta["n_sig_buckets"], meta["n_doc_buckets"]
         hashed = _hashed_shingles(
             batch_docs.select("doc_id", "text")
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
         # collapse the batch on content: groups of identical docs band
         # once; members re-expand into verdicts below. grp is reused by
         # banding, the verify leg, the expansion, and the state append.
@@ -305,12 +305,12 @@ def _process_batch(
                 F.collect_list("doc_id").alias("members"),
                 F.first("hh").alias("hh"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
         reps = grp.select(F.col("rep").alias("doc_id"), "sh", "hh")
         bands = _with_sig_bucket(
             _minhash_bands(reps), n_sig
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=True)
         # bounded collect (≤ N_SIG_BUCKETS rows): which bucket dirs of
         # the standing index this batch can possibly touch
         touched = [
@@ -352,7 +352,7 @@ def _process_batch(
         cand = (
             cand_state.unionByName(cand_batch)
             .distinct()
-            .localCheckpoint(eager=False)  # reused: bucket probe + verify
+            .localCheckpoint(eager=True)  # reused: bucket probe + verify
         )
         # bounded collect (≤ N_DOC_BUCKETS rows): which partner-doc
         # bucket dirs of the sets state the verify join can touch
