@@ -93,9 +93,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": BP.bpe_merges_query,
         "bpe_encode": BP.bpe_encode,
         "training_shuffle": SA.training_shuffle,
+        "leakage_safe_split": CU.leakage_safe_split,
         "connected_components": G.connected_components_query,
         # training-data pipeline: dedup family
-        "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
         "dedup_incremental": D.dedup_incremental,
         # Structured Streaming twin of dedup_incremental (foreachBatch +
@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_rank": CQ.politeness_rank,
         "seen_anti_join": CQ.seen_anti_join,
         "dedup_exact": D.dedup_exact,
+        "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
         "part_cooccurrence": R.part_cooccurrence,
         "pagerank": G.pagerank,
         "dedup_clusters": G.dedup_clusters,
@@ -187,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": BP.bpe_merges_sql(),
         "bpe_encode": BP.bpe_encode_sql(),
         "training_shuffle": SA.training_shuffle_sql(),
+        "leakage_safe_split": CU.leakage_safe_split_sql(),
         "lm_perplexity_buckets": TS.lm_perplexity_buckets_sql(),
         "caption_pairs": TS.caption_pairs_sql(),
         "q1_pricing_summary": R.Q1_SQL,

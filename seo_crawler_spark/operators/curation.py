@@ -322,3 +322,69 @@ v AS (
 SELECT doc_id, reasons, (len(reasons) = 0) AS keep
 FROM v ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe train/validation split
+# ---------------------------------------------------------------------------
+
+VAL_PCT = 10  # percent of CLUSTERS (not docs) held out
+
+
+def leakage_safe_split(
+    spark: SparkSession, sf_dir: str, val_pct: int = VAL_PCT
+) -> DataFrame:
+    """Train/validation assignment that cannot leak near-duplicates
+    across the split: the unit of assignment is the NEAR-DUP CLUSTER
+    (transitive closure of the n-gram-Jaccard pairs — dedup_clusters),
+    not the document. Splitting docs independently lets a held-out doc
+    have a 0.9-Jaccard twin in train — the contamination Lee et al.
+    2022 measure benchmarks inflating on; hashing the cluster id means
+    twins travel together by construction.
+
+    Plan shape: the cluster resolution is dedup_clusters' bounded
+    label-propagation; the split itself is one left join (docs in no
+    pair are their own singleton cluster) and a row-local hash-mod —
+    deterministic, so re-runs and engines agree on every assignment."""
+    from .graph import dedup_clusters
+
+    docs = load(spark, "documents", sf_dir).select("doc_id")
+    cl = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    assigned = docs.join(cl, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster"),
+    )
+    bucket = md5int(
+        F.concat(F.lit("split:"), F.col("cluster").cast("string"))
+    ) % 100
+    return (
+        assigned.select(
+            "doc_id",
+            "cluster",
+            F.when(bucket < val_pct, F.lit("val"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def leakage_safe_split_sql(val_pct: int = VAL_PCT) -> str:
+    from .graph import dedup_clusters_sql
+
+    base = dedup_clusters_sql().strip()
+    inner = base[base.index("WITH") + 4 : base.rindex("SELECT node")].strip()
+    prev = base[base.rindex("FROM l") : base.rindex("ORDER BY")].split()[1]
+    h = MD5INT_SQL.format(c="('split:' || cluster)")
+    return f"""
+WITH {inner},
+cl AS (SELECT node AS doc_id, label AS cluster_id FROM {prev}),
+assigned AS (
+  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN cl USING (doc_id)
+)
+SELECT doc_id, cluster,
+       CASE WHEN {h} % 100 < {val_pct} THEN 'val' ELSE 'train' END AS split
+FROM assigned
+ORDER BY doc_id
+"""

@@ -391,3 +391,30 @@ def test_training_shuffle_is_a_balanced_permutation(spark):
     ]
     assert {d for d, _, _ in ep1} == {r["doc_id"] for r in rows}
     assert ep1 != [(r["doc_id"], r["shard"], r["pos"]) for r in rows]
+
+
+# ---------------------------------------------------- leakage-safe split
+
+
+def test_leakage_safe_split_no_neardup_straddles(spark):
+    """The defining property: no near-dup pair crosses the split, every
+    doc is assigned exactly once, both splits are non-trivial, and
+    cluster members share one split."""
+    from seo_crawler_spark.operators.curation import leakage_safe_split
+    from seo_crawler_spark.operators.dedup import dedup_ngram_jaccard
+
+    rows = leakage_safe_split(spark, SF0001).collect()
+    n = load(spark, "documents", SF0001).count()
+    assert len(rows) == n
+    split = {r["doc_id"]: r["split"] for r in rows}
+    by_cluster: dict[int, set[str]] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    pairs = dedup_ngram_jaccard(spark, SF0001).select("a", "b").collect()
+    assert pairs, "need near-dup pairs for the property to bite"
+    for p in pairs:
+        assert split[p["a"]] == split[p["b"]], (p["a"], p["b"])
+    vals = sum(1 for s in split.values() if s == "val")
+    assert 0 < vals < n
+    assert 0.03 * n <= vals <= 0.25 * n  # ~10% of clusters by hash
