@@ -94,9 +94,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": BP.bpe_encode,
         "training_shuffle": SA.training_shuffle,
         "leakage_safe_split": CU.leakage_safe_split,
+        "curation_funnel": CU.curation_funnel,
         "connected_components": G.connected_components_query,
         # training-data pipeline: dedup family
-        "dedup_minhash_lsh": D.dedup_minhash_lsh,
         "dedup_incremental": D.dedup_incremental,
         # Structured Streaming twin of dedup_incremental (foreachBatch +
         # stream-static band-index joins); same oracle SQL as the batch
@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seen_anti_join": CQ.seen_anti_join,
         "dedup_exact": D.dedup_exact,
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
+        "dedup_minhash_lsh": D.dedup_minhash_lsh,
         "part_cooccurrence": R.part_cooccurrence,
         "pagerank": G.pagerank,
         "dedup_clusters": G.dedup_clusters,
@@ -189,6 +190,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_encode": BP.bpe_encode_sql(),
         "training_shuffle": SA.training_shuffle_sql(),
         "leakage_safe_split": CU.leakage_safe_split_sql(),
+        "curation_funnel": CU.curation_funnel_sql(),
         "lm_perplexity_buckets": TS.lm_perplexity_buckets_sql(),
         "caption_pairs": TS.caption_pairs_sql(),
         "q1_pricing_summary": R.Q1_SQL,

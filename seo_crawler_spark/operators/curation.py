@@ -388,3 +388,115 @@ SELECT doc_id, cluster,
 FROM assigned
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation funnel
+# ---------------------------------------------------------------------------
+
+
+def _strip_order_by(sql: str) -> str:
+    """Drop a query's trailing presentation ORDER BY so it can nest as
+    a subquery stage."""
+    s = sql.strip()
+    cut = s.rfind("ORDER BY")
+    return s[:cut] if cut > 0 else s
+
+
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The funnel a data lead actually reviews before a training run:
+    how many documents (and training tokens) survive each curation
+    stage, end to end —
+
+      total → quality keep (Gopher gates) → canonical copy per
+      near-dup cluster (keep-best) → not in the LM tail bucket →
+      landed in the train split (cluster-hashed holdout)
+
+    One row of exact integers, composed from the SAME registered
+    operators a user would chain (each stage is a doc_id left join +
+    filter on top of the previous — no re-implementation), so the
+    funnel's numbers are consistent with every per-stage query by
+    construction. Stage order mirrors practice: dedup before LM
+    bucketing (tail scoring on deduped text), split last."""
+    from .corpus_stats import dedup_keep_best
+    from .textstats import lm_perplexity_buckets
+
+    docs = load(spark, "documents", sf_dir).select("doc_id")
+    q = quality_filter_verdicts(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("q_keep")
+    )
+    kb = dedup_keep_best(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("kb_keep")
+    )
+    lm = lm_perplexity_buckets(spark, sf_dir).select("doc_id", "bucket", "n_tok")
+    sp = leakage_safe_split(spark, sf_dir).select("doc_id", "split")
+
+    staged = (
+        docs.join(q, "doc_id", "left")
+        .join(kb, "doc_id", "left")
+        .join(lm, "doc_id", "left")
+        .join(sp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.col("q_keep").alias("s1"),
+            # docs in no near-dup cluster are implicitly canonical
+            (F.col("q_keep") & F.coalesce("kb_keep", F.lit(True))).alias("s2"),
+            (
+                F.col("q_keep")
+                & F.coalesce("kb_keep", F.lit(True))
+                & (F.coalesce("bucket", F.lit("")) != F.lit("tail"))
+            ).alias("s3"),
+            (
+                F.col("q_keep")
+                & F.coalesce("kb_keep", F.lit(True))
+                & (F.coalesce("bucket", F.lit("")) != F.lit("tail"))
+                & (F.col("split") == "train")
+            ).alias("s4"),
+        )
+    )
+    cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long")
+    return staged.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        cnt("s1").alias("n_quality"),
+        cnt("s2").alias("n_canonical"),
+        cnt("s3").alias("n_not_tail"),
+        cnt("s4").alias("n_train"),
+        F.sum(F.when(F.col("s4"), F.col("n_tok")).otherwise(0))
+        .cast("long")
+        .alias("train_tokens"),
+    )
+
+
+def curation_funnel_sql() -> str:
+    from .corpus_stats import dedup_keep_best_sql
+    from .textstats import lm_perplexity_buckets_sql
+
+    q = _strip_order_by(quality_filter_verdicts_sql())
+    kb = _strip_order_by(dedup_keep_best_sql())
+    lm = _strip_order_by(lm_perplexity_buckets_sql())
+    sp = _strip_order_by(leakage_safe_split_sql())
+    return f"""
+WITH staged AS (
+  SELECT d.doc_id, lm.n_tok,
+         q.keep AS s1,
+         (q.keep AND coalesce(kb.keep, TRUE)) AS s2,
+         (q.keep AND coalesce(kb.keep, TRUE)
+          AND coalesce(lm.bucket, '') <> 'tail') AS s3,
+         (q.keep AND coalesce(kb.keep, TRUE)
+          AND coalesce(lm.bucket, '') <> 'tail'
+          AND sp.split = 'train') AS s4
+  FROM documents d
+  LEFT JOIN ({q}) q ON d.doc_id = q.doc_id
+  LEFT JOIN ({kb}) kb ON d.doc_id = kb.doc_id
+  LEFT JOIN ({lm}) lm ON d.doc_id = lm.doc_id
+  LEFT JOIN ({sp}) sp ON d.doc_id = sp.doc_id
+)
+SELECT count(*) AS n_total,
+       sum(CASE WHEN s1 THEN 1 ELSE 0 END)::BIGINT AS n_quality,
+       sum(CASE WHEN s2 THEN 1 ELSE 0 END)::BIGINT AS n_canonical,
+       sum(CASE WHEN s3 THEN 1 ELSE 0 END)::BIGINT AS n_not_tail,
+       sum(CASE WHEN s4 THEN 1 ELSE 0 END)::BIGINT AS n_train,
+       sum(CASE WHEN s4 THEN n_tok ELSE 0 END)::BIGINT AS train_tokens
+FROM staged
+"""

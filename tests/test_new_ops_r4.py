@@ -418,3 +418,25 @@ def test_leakage_safe_split_no_neardup_straddles(spark):
     vals = sum(1 for s in split.values() if s == "val")
     assert 0 < vals < n
     assert 0.03 * n <= vals <= 0.25 * n  # ~10% of clusters by hash
+
+
+# --------------------------------------------------------- curation funnel
+
+
+def test_curation_funnel_is_monotone_and_consistent(spark):
+    """The funnel must be monotone non-increasing, agree with the
+    per-stage operators it composes, and end with a non-trivial train
+    set carrying tokens."""
+    from seo_crawler_spark.operators.curation import (
+        curation_funnel,
+        quality_filter_verdicts,
+    )
+
+    r = curation_funnel(spark, SF0001).collect()[0]
+    seq = [r["n_total"], r["n_quality"], r["n_canonical"], r["n_not_tail"], r["n_train"]]
+    assert seq == sorted(seq, reverse=True)
+    assert r["n_total"] == load(spark, "documents", SF0001).count()
+    q = quality_filter_verdicts(spark, SF0001).filter(F.col("keep")).count()
+    assert r["n_quality"] == q
+    assert 0 < r["n_train"] < r["n_total"]
+    assert r["train_tokens"] > 0
