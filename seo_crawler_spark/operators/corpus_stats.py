@@ -387,7 +387,9 @@ FROM documents GROUP BY lang ORDER BY lang
 # ---------------------------------------------------------------------------
 
 
-def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_keep_best(
+    spark: SparkSession, sf_dir: str, clusters: DataFrame | None = None
+) -> DataFrame:
     """End-to-end curation step: near-dup clusters (transitive closure
     of the n-gram-Jaccard pairs) resolved to ONE survivor each by
     quality — argmax quality_score, ties by doc_id asc. This is the
@@ -403,7 +405,12 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .graph import dedup_clusters
     from .textstats import quality_scores
 
-    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    # ``clusters`` lets a composite (curation_funnel) resolve the
+    # near-dup closure ONCE and share the checkpointed result between
+    # keep-best and the leakage-safe split
+    if clusters is None:
+        clusters = dedup_clusters(spark, sf_dir)
+    clusters = clusters.select("doc_id", "cluster_id")
     quality = quality_scores(spark, sf_dir).select("doc_id", "quality_score")
     j = clusters.join(quality, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(

@@ -332,7 +332,10 @@ VAL_PCT = 10  # percent of CLUSTERS (not docs) held out
 
 
 def leakage_safe_split(
-    spark: SparkSession, sf_dir: str, val_pct: int = VAL_PCT
+    spark: SparkSession,
+    sf_dir: str,
+    val_pct: int = VAL_PCT,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Train/validation assignment that cannot leak near-duplicates
     across the split: the unit of assignment is the NEAR-DUP CLUSTER
@@ -349,7 +352,9 @@ def leakage_safe_split(
     from .graph import dedup_clusters
 
     docs = load(spark, "documents", sf_dir).select("doc_id")
-    cl = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    if clusters is None:
+        clusters = dedup_clusters(spark, sf_dir)
+    cl = clusters.select("doc_id", "cluster_id")
     assigned = docs.join(cl, "doc_id", "left").select(
         "doc_id",
         F.coalesce("cluster_id", F.col("doc_id")).alias("cluster"),
@@ -419,17 +424,25 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction. Stage order mirrors practice: dedup before LM
     bucketing (tail scoring on deduped text), split last."""
     from .corpus_stats import dedup_keep_best
+    from .graph import dedup_clusters
     from .textstats import lm_perplexity_buckets
 
     docs = load(spark, "documents", sf_dir).select("doc_id")
     q = quality_filter_verdicts(spark, sf_dir).select(
         "doc_id", F.col("keep").alias("q_keep")
     )
-    kb = dedup_keep_best(spark, sf_dir).select(
+    # the near-dup closure (the funnel's heaviest stage — a banded
+    # pair join + label propagation) is resolved ONCE; its label-prop
+    # output is already eagerly checkpointed, so both consumers reuse
+    # the same materialized RDD instead of recomputing the closure
+    clusters = dedup_clusters(spark, sf_dir)
+    kb = dedup_keep_best(spark, sf_dir, clusters=clusters).select(
         "doc_id", F.col("keep").alias("kb_keep")
     )
     lm = lm_perplexity_buckets(spark, sf_dir).select("doc_id", "bucket", "n_tok")
-    sp = leakage_safe_split(spark, sf_dir).select("doc_id", "split")
+    sp = leakage_safe_split(spark, sf_dir, clusters=clusters).select(
+        "doc_id", "split"
+    )
 
     staged = (
         docs.join(q, "doc_id", "left")
