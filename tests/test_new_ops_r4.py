@@ -440,3 +440,33 @@ def test_curation_funnel_is_monotone_and_consistent(spark):
     assert r["n_quality"] == q
     assert 0 < r["n_train"] < r["n_total"]
     assert r["train_tokens"] > 0
+
+
+def test_bpe_random_corpus_stress_matches_reference(spark):
+    """Seeded random stress over a tiny alphabet: short docs dense in
+    repeated-token runs (`a a a ...`), empty docs, and single-token
+    docs — the shapes where a string-replace BPE can silently diverge
+    from reference greedy merging. Exact merge-table AND final
+    segmentation equality against the pure-python model."""
+    import random
+
+    from seo_crawler_spark.operators.bpe import bpe_train_merges
+
+    rng = random.Random(1234)
+    docs = [
+        [rng.choice("ab c".split() + ["a"]) for _ in range(rng.randint(0, 12))]
+        for _ in range(40)
+    ]
+    merges = 6
+    expect, seqs = _py_bpe([list(d) for d in docs], merges)
+    corpus = spark.createDataFrame(
+        [(i, _wrap(d) if d else "  ") for i, d in enumerate(docs)],
+        "doc_id long, s string",
+    )
+    got = bpe_train_merges(corpus, merges)
+    assert got == expect
+    # repeated-run density check: the generator must actually produce
+    # adjacent repeats for the test to exercise the overlap rule
+    assert any(
+        x == y for d in docs for x, y in zip(d, d[1:])
+    ), "seed produced no adjacent repeats"
