@@ -10,6 +10,10 @@ Flags (for CI smoke / targeted debugging; default = full run):
                        engines) as one JSON object — the committed
                        full-coverage artifact for queries the grading
                        driver's 50-row cap never ratifies
+  --sf DIR             oracle-compare at this sf dir instead of sf0.01
+                       (parity at MULTIPLE scales rules out
+                       data-dependent flukes — rounding half-way
+                       cases, threshold-adjacent similarity pairs)
 """
 
 from __future__ import annotations
@@ -51,6 +55,9 @@ def main() -> int:
             only = set(sys.argv[i + 1].split(","))
         if a == "--json":
             json_path = sys.argv[i + 1]
+        if a == "--sf":
+            global SF_ORACLE
+            SF_ORACLE = sys.argv[i + 1]
     spec = importlib.util.spec_from_file_location(
         "__spark_entry__", "/root/repo/__spark_entry__.py"
     )
