@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from seo_crawler_spark.operators import bpe as BP
+from seo_crawler_spark.operators import classifier as CL
 from seo_crawler_spark.operators import corpus_stats as CS
 from seo_crawler_spark.operators import curation as CU
 from seo_crawler_spark.operators import dedup as D
@@ -86,6 +87,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # for queries with multi-round green driver history (the TPC-H five,
     # the events family, status_histogram — green since round 1/2).
     return {
+        # new in round 4 session 6 — must sit inside the 50-row window
+        "quality_classifier_train": CL.quality_classifier_train,
+        "quality_classifier_filter": CL.quality_classifier_filter,
         # new in round 4 session 4 — must sit inside the 50-row window
         "ann_ivfpq_topk": S.ann_ivfpq_topk,
         "lm_perplexity_buckets": TS.lm_perplexity_buckets,
@@ -113,10 +117,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh": S.embedding_neardup_lsh,
         # media-modality exact dedup (hash map-side, blobs never shuffle)
         "media_dedup": MM.media_dedup,
-        # text analysis
-        "lang_id": TS.lang_id,
+        # text analysis (lang_id/token_counts demoted to the tail to make
+        # window room for the classifier pair — green driver rows r1-r3)
         "quality_scores": TS.quality_scores,
-        "token_counts": TS.token_counts,
         "fingerprints": TS.fingerprints,
         "tfidf_top_terms": TS.tfidf_top_terms,
         "repetition_signals": TS.repetition_signals,
@@ -180,11 +183,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linked_from_counts": CQ.linked_from_counts,
         "admission_filter": CQ.admission_filter,
         "canonicalize_urls": CQ.canonicalize_urls,
+        "lang_id": TS.lang_id,
+        "token_counts": TS.token_counts,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "quality_classifier_train": CL.quality_classifier_train_sql(),
+        "quality_classifier_filter": CL.quality_classifier_filter_sql(),
         "ann_ivfpq_topk": S.ann_ivfpq_topk_sql(),
         "bpe_merges": BP.bpe_merges_sql(),
         "bpe_encode": BP.bpe_encode_sql(),

@@ -243,6 +243,9 @@ HEADLINE = [
     "lm_perplexity_buckets",
     "caption_pairs",
     "bpe_merges",
+    # round-4 session-6: trained quality classifier (6 GD rounds, each
+    # a broadcast-scored per-doc sum + per-feature gradient agg)
+    "quality_classifier_train",
 ]
 
 

@@ -1,0 +1,303 @@
+"""Distributed quality-classifier training + inference filtering.
+
+The discriminative half of model-based corpus curation: CCNet (Wenzek
+et al. 2020) and the LLaMA/DCLM data pipelines train a fastText-style
+LINEAR classifier ("does this page look like the target distribution?")
+and keep/downsample documents by its score. The shipped generative half
+is textstats.lm_perplexity_buckets; this module adds the trained
+classifier — full-batch logistic regression over hashing-trick
+bag-of-words features, run AS A SPARK JOB, then deployed as a
+zero-shuffle scoring filter.
+
+Label: ``y = (lang = 'en')`` — the "target language/domain vs rest"
+framing CCNet uses (their positive class is Wikipedia text). On the
+synthetic corpus the signal is weak (per-lang token rates differ only
+mildly), which is fine: the operator's gates are exact cross-engine
+parity of the training trajectory and exact equality with a pure-python
+reference; learning-on-separable-data is pinned by a dedicated test
+corpus where accuracy must reach 1.0.
+
+Spark shape per GD iteration (ITERS total, on a once-checkpointed
+feature table):
+
+* score: feats ⋈ broadcast(weights) on feature id — weights are a
+  D-row DataFrame, NOT expression-tree literals, so the same plan
+  serves D = 2^20 production hashing dims (the r3 lesson from the
+  semdedup centroid literals) — then ONE map-side-combined per-doc sum;
+* residual: row-local sigmoid, quantized to the ERR_SCALE integer grid;
+* gradient: one equi-join back to feats + ONE map-side-combined
+  per-feature integer sum → a D-row driver collect (the per-iteration
+  driver constant every distributed GD trainer ends an iteration with —
+  same pattern as kmeans_quantizer's centroid collect);
+* update: driver-side integer arithmetic on the D weights.
+
+At 10^10 documents full-batch GD becomes mini-batch by standard
+practice: a hash-mod filter (sampling.stratified_sample is the shipped
+mechanism) slots in front of the per-iteration scoring pass; nothing
+else changes. The gradient sum is int64: |Σ ierr·c| ≤ 1e6 · corpus
+tokens, so the int64 path holds to ~9e12 tokens per batch — beyond
+that the mini-batch sampler is doing its job anyway.
+
+Cross-engine determinism (the house fixed-point discipline, cf.
+simsearch.DOT_SCALE / textstats.LM_LOG_SCALE): weights live on a 1e-6
+integer grid (iw = w·W_SCALE), per-doc logits are INTEGER dot products
+iz = Σ c·iw (order-independent across partitionings), the logit double
+iz/(W_SCALE·n_tok) is the same single division in both engines
+(bit-identical), and residuals are floored onto the ERR_SCALE grid
+before the gradient sum. The only transcendental is exp() inside the
+sigmoid; Java Math.exp and DuckDB's libm exp agree to ~1 ulp, so a
+residual can flip its 1e-6 grid cell only within ~1e-10 of a boundary
+— the same accepted risk class as lm_perplexity_buckets' log2. The
+iteration-1 residuals are EXACT (w0 = 0 ⇒ σ = 0.5 exactly).
+
+Reference: the reference crawler has no trained filter — its quality
+gates are rule-based (issue_detector.py) — so this operator is part of
+the beyond-reference LLM-pipeline suite, not a parity port.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import MD5INT_SQL, TOKENS_SQL, md5int, tokens
+from ..sources.tables import load
+
+HASH_DIM = 64  # hashing-trick feature dim (2^20 in production; see above)
+GD_ITERS = 6
+ERR_SCALE = 1_000_000  # residual fixed-point grid
+W_SCALE = 1_000_000  # weight fixed-point grid
+# plain 1/N learning rate: update = floor(G_j / N) with G_j on the
+# ERR_SCALE grid and weights on the W_SCALE grid (the scales cancel)
+POSITIVE_LANG = "en"
+
+
+def _features(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(feats, meta): hashed token-count features + per-doc label/length.
+
+    feats: (doc_id, j, c) — j = md5int(token) % HASH_DIM (md5-derived so
+    both engines hash identically), c = token occurrences. meta:
+    (doc_id, n_tok, y). Docs with zero tokens appear in neither (they
+    carry no gradient and score null downstream)."""
+    tokd = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(tokens(F.col("text"))).alias("t"),
+    )
+    feats = tokd.groupBy(
+        "doc_id", (md5int(F.col("t")) % HASH_DIM).alias("j")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    meta = tokd.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.max(
+            F.when(F.col("lang") == POSITIVE_LANG, F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("y"),
+    )
+    return feats, meta
+
+
+def _train(
+    spark: SparkSession, docs: DataFrame, iters: int = GD_ITERS
+) -> list[int]:
+    """Run `iters` full-batch GD steps; return the D final int weights."""
+    feats, meta = _features(docs)
+    feats = feats.localCheckpoint(eager=True)
+    meta = meta.localCheckpoint(eager=True)
+    n_docs = meta.count()  # 1 driver scalar
+    iw = [0] * HASH_DIM
+    for _ in range(iters):
+        wdf = spark.createDataFrame(
+            [(j, iw[j]) for j in range(HASH_DIM)], "j long, iw long"
+        )
+        iz = (
+            feats.join(F.broadcast(wdf), "j")
+            .groupBy("doc_id")
+            .agg(F.sum(F.col("c") * F.col("iw")).alias("iz"))
+        )
+        # residual on the ERR_SCALE grid; z's division is the identical
+        # double op in the SQL twin (same numerator int, same denominator)
+        errs = meta.join(iz, "doc_id", "left").select(
+            "doc_id",
+            F.floor(
+                (
+                    F.lit(1.0)
+                    / (
+                        F.lit(1.0)
+                        + F.exp(
+                            -(
+                                F.coalesce(F.col("iz"), F.lit(0))
+                                / (
+                                    F.lit(float(W_SCALE))
+                                    * F.col("n_tok")
+                                )
+                            )
+                        )
+                    )
+                    - F.col("y")
+                )
+                * ERR_SCALE
+            )
+            .cast("long")
+            .alias("ierr"),
+        )
+        grads = (
+            feats.join(errs, "doc_id")
+            .groupBy("j")
+            .agg(F.sum(F.col("ierr") * F.col("c")).alias("g"))
+            .collect()  # D rows — the per-iteration driver constant
+        )
+        gmap = {r["j"]: r["g"] for r in grads}
+        # python float division == the oracle's g::DOUBLE / nn — both
+        # IEEE doubles from the same exact int64 inputs, then floor
+        iw = [
+            iw[j] - math.floor(gmap.get(j, 0) / n_docs)
+            for j in range(HASH_DIM)
+        ]
+    return iw
+
+
+def quality_classifier_train(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train the quality classifier; return the final weight table
+    (j, iw, weight) — D rows, deterministic across partitionings (every
+    sum an integer sum; pinned by test_classifier.py's repartition and
+    pure-python-reference-equality tests)."""
+    iw = _train(spark, load(spark, "documents", sf_dir))
+    return (
+        spark.createDataFrame(
+            [(j, iw[j]) for j in range(HASH_DIM)], "j long, iw long"
+        )
+        .select(
+            "j",
+            "iw",
+            (F.col("iw") / F.lit(float(W_SCALE))).alias("weight"),
+        )
+        .orderBy("j")
+    )
+
+
+def quality_classifier_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deploy the trained classifier as a corpus filter: per-doc integer
+    logit iz = Σ c·iw, normalized logit iz/(W_SCALE·n_tok), and the keep
+    verdict pred = (iz ≥ 0) — the decision threshold σ(z) ≥ 0.5 stated
+    on the INTEGER side so the verdict is exact in both engines.
+
+    Scoring is the training loop's forward pass: one broadcast join of
+    the (driver-constant) weight table + one map-side per-doc sum —
+    zero extra shuffle at 10^10 docs beyond the per-doc collapse.
+    Zero-token docs keep a row (null logit/pred), like
+    lm_perplexity_buckets."""
+    docs = load(spark, "documents", sf_dir)
+    iw = _train(spark, docs)
+    wdf = spark.createDataFrame(
+        [(j, iw[j]) for j in range(HASH_DIM)], "j long, iw long"
+    )
+    feats, meta = _features(docs)
+    iz = (
+        feats.join(F.broadcast(wdf), "j")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("iw")).alias("iz"))
+    )
+    scored = meta.join(iz, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        "y",
+        F.coalesce(F.col("iz"), F.lit(0)).alias("iz"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tok", F.lit(0).cast("long")).alias("n_tok"),
+            "y",
+            "iz",
+            (F.col("iz") / (F.lit(float(W_SCALE)) * F.col("n_tok"))).alias(
+                "logit"
+            ),
+            F.when(F.col("iz").isNull(), F.lit(None).cast("long"))
+            .otherwise((F.col("iz") >= 0).cast("long"))
+            .alias("pred"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _train_ctes(iters: int) -> str:
+    """The shared CTE chain: features + `iters` unrolled GD steps,
+    ending in weight table w{iters} — one CTE triple per iteration
+    (score → residual → gradient/update), the bpe_merges oracle
+    pattern."""
+    tok = TOKENS_SQL.format(c="text")
+    h = MD5INT_SQL.format(c="t")
+    steps = []
+    prev = "w0"
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""z{i} AS (
+  SELECT f.doc_id, sum(f.c * w.iw)::BIGINT AS iz
+  FROM feats f JOIN {prev} w USING (j) GROUP BY 1),
+e{i} AS (
+  SELECT m.doc_id,
+         floor((1.0 / (1.0 + exp(-(coalesce(z.iz, 0)
+                / ({W_SCALE}.0 * m.n_tok)))) - m.y) * {ERR_SCALE})::BIGINT
+           AS ierr
+  FROM meta m LEFT JOIN z{i} z USING (doc_id)),
+g{i} AS (
+  SELECT f.j, sum(e.ierr * f.c)::BIGINT AS g
+  FROM feats f JOIN e{i} e USING (doc_id) GROUP BY 1),
+w{i} AS MATERIALIZED (
+  SELECT w.j, (w.iw - floor(coalesce(g.g, 0)::DOUBLE / n.nn))::BIGINT AS iw
+  FROM {prev} w LEFT JOIN g{i} g USING (j), n)"""
+        )
+        prev = f"w{i}"
+    return f"""tokd AS MATERIALIZED (
+  SELECT doc_id, lang, unnest({tok}) AS t FROM documents),
+feats AS MATERIALIZED (
+  SELECT doc_id, ({h} % {HASH_DIM}) AS j, count(*) AS c
+  FROM tokd GROUP BY 1, 2),
+meta AS MATERIALIZED (
+  SELECT doc_id, count(*) AS n_tok,
+         max(CASE WHEN lang = '{POSITIVE_LANG}' THEN 1 ELSE 0 END)::BIGINT
+           AS y
+  FROM tokd GROUP BY doc_id),
+n AS (SELECT count(*) AS nn FROM meta),
+w0 AS (SELECT j::BIGINT AS j, 0::BIGINT AS iw FROM range(0, {HASH_DIM}) r(j)),
+{', '.join(steps)}"""
+
+
+def quality_classifier_train_sql(iters: int = GD_ITERS) -> str:
+    return f"""
+WITH {_train_ctes(iters)}
+SELECT j, iw, iw / {W_SCALE}.0 AS weight FROM w{iters} ORDER BY j
+"""
+
+
+def quality_classifier_filter_sql(iters: int = GD_ITERS) -> str:
+    return f"""
+WITH {_train_ctes(iters)},
+zf AS (
+  SELECT f.doc_id, sum(f.c * w.iw)::BIGINT AS iz
+  FROM feats f JOIN w{iters} w USING (j) GROUP BY 1),
+scored AS (
+  SELECT m.doc_id, m.n_tok, m.y, coalesce(z.iz, 0) AS iz
+  FROM meta m LEFT JOIN zf z USING (doc_id))
+SELECT d.doc_id,
+       coalesce(s.n_tok, 0) AS n_tok,
+       s.y,
+       s.iz,
+       s.iz / ({W_SCALE}.0 * s.n_tok) AS logit,
+       CASE WHEN s.iz IS NULL THEN NULL
+            ELSE (s.iz >= 0)::BIGINT END AS pred
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY d.doc_id
+"""
