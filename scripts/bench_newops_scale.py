@@ -24,6 +24,8 @@ QUERIES = [
     "caption_pairs",
     "bpe_merges",
     "bpe_encode",
+    "quality_classifier_train",
+    "quality_classifier_filter",
 ]
 
 
