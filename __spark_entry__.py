@@ -114,12 +114,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_buckets": S.ann_lsh_bucketed,
         "ann_ivf_topk": S.ann_ivf_topk,
         "kmeans_quantizer": S.kmeans_quantizer,
+        "cluster_balanced_sample": S.cluster_balanced_sample,
         "embedding_neardup_lsh": S.embedding_neardup_lsh,
         # media-modality exact dedup (hash map-side, blobs never shuffle)
         "media_dedup": MM.media_dedup,
-        # text analysis (lang_id/token_counts demoted to the tail to make
-        # window room for the classifier pair — green driver rows r1-r3)
-        "quality_scores": TS.quality_scores,
+        # text analysis (lang_id/token_counts/quality_scores demoted to
+        # the tail to make window room for the classifier pair and the
+        # cluster-balanced sampler — green driver rows r1-r3)
         "fingerprints": TS.fingerprints,
         "tfidf_top_terms": TS.tfidf_top_terms,
         "repetition_signals": TS.repetition_signals,
@@ -185,6 +186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonicalize_urls": CQ.canonicalize_urls,
         "lang_id": TS.lang_id,
         "token_counts": TS.token_counts,
+        "quality_scores": TS.quality_scores,
     }
 
 
@@ -192,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "quality_classifier_train": CL.quality_classifier_train_sql(),
         "quality_classifier_filter": CL.quality_classifier_filter_sql(),
+        "cluster_balanced_sample": S.cluster_balanced_sample_sql(),
         "ann_ivfpq_topk": S.ann_ivfpq_topk_sql(),
         "bpe_merges": BP.bpe_merges_sql(),
         "bpe_encode": BP.bpe_encode_sql(),

@@ -984,10 +984,13 @@ def kmeans_quantizer(
     )
 
 
-def kmeans_quantizer_sql(k: int = KM_K, iters: int = KM_ITERS) -> str:
-    """Unrolled Lloyd iterations as DuckDB CTEs — exact integer twin of
+def _lloyd_ctes(k: int, iters: int) -> str:
+    """Shared unrolled-Lloyd CTE prefix: quantize → k iterations →
+    final assignment ``fw`` (vec_id, cid, rn; rn = 1 is the winning
+    cell) and final centroids ``c{iters}`` — exact integer twin of
     kmeans_train (same fixed-point quantization, same dist/cid
-    tie-break, same floor-mean, same empty-cell keep-old)."""
+    tie-break, same floor-mean, same empty-cell keep-old). Reused by
+    kmeans_quantizer_sql and cluster_balanced_sample_sql."""
     steps = []
     prev = "c0"
     for i in range(1, iters + 1):
@@ -1013,8 +1016,7 @@ c{i} AS MATERIALIZED (
     FROM m{i} GROUP BY cell) nm ON pv.cid = nm.cid)"""
         )
         prev = f"c{i}"
-    return f"""
-WITH q AS MATERIALIZED (
+    return f"""q AS MATERIALIZED (
   SELECT vec_id,
          list_transform(embedding, x -> floor(x::DOUBLE * {DOT_SCALE})::BIGINT) AS qv
   FROM embeddings
@@ -1028,12 +1030,86 @@ fa AS (
   FROM q, {prev} c),
 fw AS (SELECT vec_id, cid,
        row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
-       FROM fa),
+       FROM fa)"""
+
+
+def kmeans_quantizer_sql(k: int = KM_K, iters: int = KM_ITERS) -> str:
+    return f"""
+WITH {_lloyd_ctes(k, iters)},
 cnt AS (SELECT cid AS cell, count(*) AS n_vecs FROM fw WHERE rn = 1 GROUP BY cid),
 fx AS (SELECT cid, generate_subscripts(cv, 1) AS d, unnest(cv) AS cval
-       FROM {prev})
+       FROM c{iters})
 SELECT fx.cid AS cell, fx.d::INT AS d, fx.cval,
        coalesce(cnt.n_vecs, 0) AS n_vecs
 FROM fx LEFT JOIN cnt ON fx.cid = cnt.cell
 ORDER BY cell, d
+"""
+
+
+# cluster-balanced sampling: per-cell keep quota over the trained cells
+CBS_QUOTA = 16
+CBS_SALT = "cbs|"
+
+
+def cluster_balanced_sample(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+    quota: int = CBS_QUOTA,
+) -> DataFrame:
+    """Cluster-balanced (diversity) sampling — the topic-rebalance step
+    of an embedding-curated corpus (the cluster-quota selection used by
+    DataComp-style pipelines and SemDeDup §4's cluster framing): train
+    the k-means quantizer, assign every vector to its cell ROW-LOCALLY
+    (Arrow-batched integer matmul, zero shuffle), then keep a fixed
+    per-cell quota chosen in salted-md5 order — a deterministic
+    "uniform at random within cell" that both engines reproduce. Output
+    is every vector with its cell, its within-cell rank, and the kept
+    verdict, so downstream joins can filter `kept = 1`.
+
+    Scale shape: the only shuffle is the per-cell window, and cells are
+    ~balanced by the k-means objective (k ∝ √N keeps cell size ~√N; a
+    skewed cell caps at quota via the same bottom-k-sketch swap
+    sampling.sample_bottomk ships — rank only the quota-smallest hashes
+    per cell instead of sorting whole cells)."""
+    emb = load(spark, "embeddings", sf_dir)
+    cents = kmeans_train(emb, k, iters)
+    assign = _sq_assign_udf(cents)
+    qv = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * DOT_SCALE).cast("long"),
+    )
+    cells = emb.select(
+        "vec_id",
+        assign(qv).alias("cell"),
+        md5int(
+            F.concat(F.lit(CBS_SALT), F.col("vec_id").cast("string"))
+        ).alias("h"),
+    )
+    w = Window.partitionBy("cell").orderBy("h", "vec_id")
+    return (
+        cells.withColumn("pos", F.row_number().over(w))
+        .select(
+            "vec_id",
+            "cell",
+            F.col("pos").cast("long").alias("pos"),
+            (F.col("pos") <= quota).cast("long").alias("kept"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def cluster_balanced_sample_sql(
+    k: int = KM_K, iters: int = KM_ITERS, quota: int = CBS_QUOTA
+) -> str:
+    h = MD5INT_SQL.format(c=f"'{CBS_SALT}' || vec_id::VARCHAR")
+    return f"""
+WITH {_lloyd_ctes(k, iters)},
+hh AS (SELECT vec_id, cid AS cell, {h} AS h FROM fw WHERE rn = 1),
+sel AS (SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY cell ORDER BY h, vec_id) AS pos
+        FROM hh)
+SELECT vec_id, cell, pos::BIGINT AS pos, (pos <= {quota})::BIGINT AS kept
+FROM sel ORDER BY vec_id
 """

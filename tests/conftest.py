@@ -38,7 +38,7 @@ _SHARD_COST: dict[str, float] = {
     "test_driver_sim_smoke.py": 13.2,
     "test_filesize_gate.py": 13.0,
     "test_sitemap.py": 11.7,
-    "test_kmeans.py": 8.8,
+    "test_kmeans.py": 30.0,
     "test_golden_fixtures.py": 8.0,
     "test_rebuild.py": 7.3,
     "test_ckpt.py": 4.1,

@@ -119,3 +119,43 @@ def test_semdedup_accepts_trained_centroids(spark):
     # keepers + dropped partition the corpus; at least one of each
     kept = [r for r in out if r["is_kept"]]
     assert 0 < len(kept) <= len(out)
+
+
+def test_cluster_balanced_sample_quota_and_coverage(spark):
+    from seo_crawler_spark.operators.simsearch import (
+        CBS_QUOTA,
+        cluster_balanced_sample,
+        kmeans_quantizer,
+    )
+
+    out = cluster_balanced_sample(spark, SF).collect()
+    n = load(spark, "embeddings", SF).count()
+    # every vector appears exactly once, with a verdict
+    assert sorted(r["vec_id"] for r in out) == list(range(n))
+    pops = {r["cell"]: r["n_vecs"] for r in kmeans_quantizer(spark, SF).collect()}
+    kept_by_cell: dict[int, int] = {}
+    size_by_cell: dict[int, int] = {}
+    for r in out:
+        size_by_cell[r["cell"]] = size_by_cell.get(r["cell"], 0) + 1
+        if r["kept"]:
+            kept_by_cell[r["cell"]] = kept_by_cell.get(r["cell"], 0) + 1
+        # pos is a 1..|cell| ranking and kept is exactly pos <= quota
+        assert r["kept"] == (1 if r["pos"] <= CBS_QUOTA else 0)
+    # cell populations agree with the quantizer query (same assignment)
+    assert size_by_cell == pops
+    # per-cell keeps = min(quota, |cell|): balanced selection
+    for cell, size in size_by_cell.items():
+        assert kept_by_cell.get(cell, 0) == min(CBS_QUOTA, size)
+
+
+def test_cluster_balanced_sample_partition_invariant(spark):
+    from seo_crawler_spark.operators.simsearch import cluster_balanced_sample
+
+    a = cluster_balanced_sample(spark, SF).collect()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        b = cluster_balanced_sample(spark, SF).collect()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
