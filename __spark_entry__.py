@@ -120,8 +120,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dedup": MM.media_dedup,
         # text analysis (lang_id/token_counts/quality_scores demoted to
         # the tail to make window room for the classifier pair and the
-        # cluster-balanced sampler — green driver rows r1-r3)
-        "fingerprints": TS.fingerprints,
+        # cluster-balanced sampler / triplet miner — green driver rows
+        # r1-r3)
         "tfidf_top_terms": TS.tfidf_top_terms,
         "repetition_signals": TS.repetition_signals,
         "pii_scrub": TS.pii_scrub,
@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": CS.dedup_keep_best,
         "mixture_allocation": CS.mixture_allocation,
         # curation: semantic dedup, batch packing, rule bundle
+        "contrastive_triplets": CU.contrastive_triplets,
         "semdedup": CU.semdedup,
         "sequence_packing": CU.sequence_packing,
         "quality_filter_verdicts": CU.quality_filter_verdicts,
@@ -187,6 +188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": TS.lang_id,
         "token_counts": TS.token_counts,
         "quality_scores": TS.quality_scores,
+        "fingerprints": TS.fingerprints,
     }
 
 
@@ -195,6 +197,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier_train": CL.quality_classifier_train_sql(),
         "quality_classifier_filter": CL.quality_classifier_filter_sql(),
         "cluster_balanced_sample": S.cluster_balanced_sample_sql(),
+        "contrastive_triplets": CU.contrastive_triplets_sql(),
         "ann_ivfpq_topk": S.ann_ivfpq_topk_sql(),
         "bpe_merges": BP.bpe_merges_sql(),
         "bpe_encode": BP.bpe_encode_sql(),

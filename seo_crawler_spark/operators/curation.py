@@ -513,3 +513,102 @@ SELECT count(*) AS n_total,
        sum(CASE WHEN s4 THEN n_tok ELSE 0 END)::BIGINT AS train_tokens
 FROM staged
 """
+
+
+# ---------------------------------------------------------------------------
+# contrastive triplet mining for embedding-model training data
+# ---------------------------------------------------------------------------
+
+TRI_NEG_SALT = "trineg|"
+TRI_NEG_PROBES = 3  # only 2 ids (anchor/positive) can ever be excluded
+
+
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor, positive, negative) triplet mining — the training-data
+    step of a contrastive embedding-model pipeline (E5-style weakly
+    supervised pairs, Wang et al. 2022; SimCSE-style random negatives):
+    positives are the corpus's verified near-dup pairs, negatives are
+    deterministic pseudo-random draws from the rest of the corpus.
+
+    Composition + plan shape:
+
+    * positives REUSE :func:`~.dedup.dedup_minhash_lsh` (the registered
+      operator — banded LSH candidate join + exact-Jaccard verify), so
+      triplets are consistent with the dedup family by construction;
+      the band equi-join stays the only corpus-scale shuffle;
+    * negatives: rank the corpus once with ordering.ordered_seq_counted
+      (range-shuffle two-phase rank — NO single-partition window; the
+      corpus row count falls out for free), then per pair probe ranks
+      (md5int(salt‖a‖b) + k) % N for k < TRI_NEG_PROBES and keep the
+      first probe that is neither the anchor nor the positive — one
+      3-way explode, one equi-join on rank, one min_by(k) aggregate.
+      Probing by RANK (not by raw id) keeps the draw correct when
+      doc_ids are sparse; with only two excludable ids, 3 probes always
+      yield a negative. A "hard negative" upgrade mines same-LSH-band
+      non-verified candidates instead of uniform draws — same joins,
+      different candidate source.
+    """
+    from .dedup import dedup_minhash_lsh
+    from .ordering import ordered_seq_counted
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)  # (a, b, jaccard), a < b
+    docs = load(spark, "documents", sf_dir).select("doc_id")
+    ranked, n = ordered_seq_counted(docs, ["doc_id"], seq_col="r")
+    h = md5int(
+        F.concat(
+            F.lit(TRI_NEG_SALT),
+            F.col("a").cast("string"),
+            F.lit("|"),
+            F.col("b").cast("string"),
+        )
+    )
+    probes = (
+        pairs.withColumn("h", h)
+        .withColumn(
+            "k", F.explode(F.array(*[F.lit(i) for i in range(TRI_NEG_PROBES)]))
+        )
+        .withColumn("r", (F.col("h") + F.col("k")) % F.lit(n))
+        .join(ranked.select("r", F.col("doc_id").alias("cand")), "r")
+        .filter((F.col("cand") != F.col("a")) & (F.col("cand") != F.col("b")))
+    )
+    return (
+        probes.groupBy("a", "b")
+        .agg(
+            F.max("jaccard").alias("jaccard"),
+            F.min_by("cand", "k").alias("negative"),
+        )
+        .select(
+            F.col("a").alias("anchor"),
+            F.col("b").alias("positive"),
+            "negative",
+            "jaccard",
+        )
+        .orderBy("anchor", "positive")
+    )
+
+
+def contrastive_triplets_sql() -> str:
+    from .dedup import dedup_minhash_lsh_sql
+
+    pairs = _strip_order_by(dedup_minhash_lsh_sql())
+    h = MD5INT_SQL.format(c="'" + TRI_NEG_SALT + "' || a::VARCHAR || '|' || b::VARCHAR")
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT * FROM ({pairs})
+),
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS r
+  FROM documents),
+n AS (SELECT count(*) AS nn FROM documents),
+probes AS (
+  SELECT p.a, p.b, p.jaccard, k.k, rk.doc_id AS cand
+  FROM pairs p
+  JOIN (SELECT unnest(range(0, {TRI_NEG_PROBES})) AS k) k ON true
+  JOIN n ON true
+  JOIN ranked rk ON rk.r = (({h}) + k.k) % n.nn
+  WHERE rk.doc_id <> p.a AND rk.doc_id <> p.b)
+SELECT a AS anchor, b AS positive,
+       min_by(cand, k) AS negative, max(jaccard) AS jaccard
+FROM probes GROUP BY a, b
+ORDER BY anchor, positive
+"""
