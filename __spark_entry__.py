@@ -122,7 +122,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the tail to make window room for the classifier pair and the
         # cluster-balanced sampler / triplet miner — green driver rows
         # r1-r3)
-        "tfidf_top_terms": TS.tfidf_top_terms,
         "repetition_signals": TS.repetition_signals,
         "pii_scrub": TS.pii_scrub,
         "interleaved_spans": TS.interleaved_spans,
@@ -151,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_allocation": CS.mixture_allocation,
         # curation: semantic dedup, batch packing, rule bundle
         "contrastive_triplets": CU.contrastive_triplets,
+        "contrastive_triplets_hard": CU.contrastive_triplets_hard,
         "semdedup": CU.semdedup,
         "sequence_packing": CU.sequence_packing,
         "quality_filter_verdicts": CU.quality_filter_verdicts,
@@ -189,6 +189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": TS.token_counts,
         "quality_scores": TS.quality_scores,
         "fingerprints": TS.fingerprints,
+        "tfidf_top_terms": TS.tfidf_top_terms,
     }
 
 
@@ -198,6 +199,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier_filter": CL.quality_classifier_filter_sql(),
         "cluster_balanced_sample": S.cluster_balanced_sample_sql(),
         "contrastive_triplets": CU.contrastive_triplets_sql(),
+        "contrastive_triplets_hard": CU.contrastive_triplets_hard_sql(),
         "ann_ivfpq_topk": S.ann_ivfpq_topk_sql(),
         "bpe_merges": BP.bpe_merges_sql(),
         "bpe_encode": BP.bpe_encode_sql(),

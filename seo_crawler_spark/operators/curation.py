@@ -549,9 +549,116 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
       different candidate source.
     """
     from .dedup import dedup_minhash_lsh
-    from .ordering import ordered_seq_counted
 
     pairs = dedup_minhash_lsh(spark, sf_dir)  # (a, b, jaccard), a < b
+    return _uniform_triplets(spark, sf_dir, pairs).orderBy("anchor", "positive")
+
+
+def contrastive_triplets_sql() -> str:
+    from .dedup import dedup_minhash_lsh_sql
+
+    pairs = _strip_order_by(dedup_minhash_lsh_sql())
+    h = MD5INT_SQL.format(c="'" + TRI_NEG_SALT + "' || a::VARCHAR || '|' || b::VARCHAR")
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT * FROM ({pairs})
+),
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS r
+  FROM documents),
+n AS (SELECT count(*) AS nn FROM documents),
+probes AS (
+  SELECT p.a, p.b, p.jaccard, k.k, rk.doc_id AS cand
+  FROM pairs p
+  JOIN (SELECT unnest(range(0, {TRI_NEG_PROBES})) AS k) k ON true
+  JOIN n ON true
+  JOIN ranked rk ON rk.r = (({h}) + k.k) % n.nn
+  WHERE rk.doc_id <> p.a AND rk.doc_id <> p.b)
+SELECT a AS anchor, b AS positive,
+       min_by(cand, k) AS negative, max(jaccard) AS jaccard
+FROM probes GROUP BY a, b
+ORDER BY anchor, positive
+"""
+
+
+TRI_POS_T = 0.5  # dedup_minhash_lsh's default verify threshold
+TRI_HARD_SALT = "trihard|"
+
+
+def contrastive_triplets_hard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hard-negative triplet mining — the upgrade the uniform-draw
+    docstring names, built: a hard negative is a document that LOOKS
+    like the anchor (band-collided in the same LSH index) but verified
+    below the near-dup threshold — lexically close non-duplicates, the
+    negatives that actually move a contrastive loss (cf. the hard-
+    negative mining in E5 / DPR training pipelines).
+
+    One extra pass over the SAME index: run the minhash verify at
+    threshold 0 (identical plan — the banded join already produced
+    every candidate; the threshold is a post-verify filter), split
+    pairs into positives (jaccard ≥ TRI_POS_T) and hard candidates
+    (below), then per anchor keep the salted-md5-smallest hard
+    candidate via a bounded per-anchor window (candidates per anchor ≤
+    band collisions, corpus-scale bounded by the same df-cap arguments
+    as the dedup family). Anchors with no hard candidate fall back to
+    the uniform rank-probe draw, labeled ``neg_kind = 'random'`` so a
+    training run can weight the two pools differently.
+
+    A hard candidate can never equal the triplet's positive (the same
+    unordered pair cannot verify both ≥ and < the threshold)."""
+    from .dedup import dedup_minhash_lsh
+
+    allc = dedup_minhash_lsh(spark, sf_dir, threshold=0.0).localCheckpoint(
+        eager=True
+    )
+    pos = allc.filter(F.col("jaccard") >= TRI_POS_T)
+    hard = allc.filter(F.col("jaccard") < TRI_POS_T)
+    cands = hard.select(
+        F.col("a").alias("anchor"), F.col("b").alias("cand")
+    ).unionByName(
+        hard.select(F.col("b").alias("anchor"), F.col("a").alias("cand"))
+    )
+    hh = md5int(
+        F.concat(
+            F.lit(TRI_HARD_SALT),
+            F.col("anchor").cast("string"),
+            F.lit("|"),
+            F.col("cand").cast("string"),
+        )
+    )
+    w = Window.partitionBy("anchor").orderBy("hh", "cand")
+    pick = (
+        cands.withColumn("hh", hh)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("anchor", F.col("cand").alias("hard_neg"))
+    )
+    base = _uniform_triplets(spark, sf_dir, pos)
+    return (
+        base.join(pick, "anchor", "left")
+        .select(
+            "anchor",
+            "positive",
+            F.coalesce("hard_neg", "negative").alias("negative"),
+            F.when(F.col("hard_neg").isNotNull(), F.lit("hard"))
+            .otherwise(F.lit("random"))
+            .alias("neg_kind"),
+            "jaccard",
+        )
+        .orderBy("anchor", "positive")
+    )
+
+
+def _uniform_triplets(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame
+) -> DataFrame:
+    """The uniform rank-probe negative draw over a given positive-pair
+    frame — shared by :func:`contrastive_triplets` (its whole negative
+    stage) and :func:`contrastive_triplets_hard` (the fallback pool)."""
+    from .ordering import ordered_seq_counted
+
     docs = load(spark, "documents", sf_dir).select("doc_id")
     ranked, n = ordered_seq_counted(docs, ["doc_id"], seq_col="r")
     h = md5int(
@@ -583,32 +690,51 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "negative",
             "jaccard",
         )
-        .orderBy("anchor", "positive")
     )
 
 
-def contrastive_triplets_sql() -> str:
+def contrastive_triplets_hard_sql() -> str:
     from .dedup import dedup_minhash_lsh_sql
 
-    pairs = _strip_order_by(dedup_minhash_lsh_sql())
-    h = MD5INT_SQL.format(c="'" + TRI_NEG_SALT + "' || a::VARCHAR || '|' || b::VARCHAR")
+    allc = _strip_order_by(dedup_minhash_lsh_sql(0.0))
+    hh = MD5INT_SQL.format(
+        c="'" + TRI_HARD_SALT + "' || anchor::VARCHAR || '|' || cand::VARCHAR"
+    )
+    hu = MD5INT_SQL.format(c="'" + TRI_NEG_SALT + "' || a::VARCHAR || '|' || b::VARCHAR")
     return f"""
-WITH pairs AS MATERIALIZED (
-  SELECT * FROM ({pairs})
+WITH allc AS MATERIALIZED (
+  SELECT * FROM ({allc})
 ),
+pos AS (SELECT * FROM allc WHERE jaccard >= {TRI_POS_T}),
+hard AS (SELECT * FROM allc WHERE jaccard < {TRI_POS_T}),
+cands AS (
+  SELECT a AS anchor, b AS cand FROM hard
+  UNION ALL
+  SELECT b AS anchor, a AS cand FROM hard),
+pick AS (
+  SELECT anchor, cand AS hard_neg FROM (
+    SELECT anchor, cand,
+           row_number() OVER (PARTITION BY anchor ORDER BY {hh}, cand) AS rn
+    FROM cands) WHERE rn = 1),
 ranked AS (
   SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS r
   FROM documents),
 n AS (SELECT count(*) AS nn FROM documents),
 probes AS (
   SELECT p.a, p.b, p.jaccard, k.k, rk.doc_id AS cand
-  FROM pairs p
+  FROM pos p
   JOIN (SELECT unnest(range(0, {TRI_NEG_PROBES})) AS k) k ON true
   JOIN n ON true
-  JOIN ranked rk ON rk.r = (({h}) + k.k) % n.nn
-  WHERE rk.doc_id <> p.a AND rk.doc_id <> p.b)
-SELECT a AS anchor, b AS positive,
-       min_by(cand, k) AS negative, max(jaccard) AS jaccard
-FROM probes GROUP BY a, b
+  JOIN ranked rk ON rk.r = (({hu}) + k.k) % n.nn
+  WHERE rk.doc_id <> p.a AND rk.doc_id <> p.b),
+base AS (
+  SELECT a AS anchor, b AS positive,
+         min_by(cand, k) AS negative, max(jaccard) AS jaccard
+  FROM probes GROUP BY a, b)
+SELECT b.anchor, b.positive,
+       coalesce(p.hard_neg, b.negative) AS negative,
+       CASE WHEN p.hard_neg IS NULL THEN 'random' ELSE 'hard' END AS neg_kind,
+       b.jaccard
+FROM base b LEFT JOIN pick p USING (anchor)
 ORDER BY anchor, positive
 """

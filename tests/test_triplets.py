@@ -34,3 +34,35 @@ def test_triplets_partition_invariant(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b
+
+
+def test_hard_negatives_fire_at_sf01_and_are_band_collided(spark):
+    from seo_crawler_spark.operators.curation import (
+        TRI_POS_T,
+        contrastive_triplets_hard,
+    )
+
+    sf = "/root/testdata/sf0.1"  # sf0.01 has no hard-candidate overlap
+    trips = contrastive_triplets_hard(spark, sf).collect()
+    allc = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in dedup_minhash_lsh(spark, sf, threshold=0.0).collect()
+    }
+    hard_rows = [t for t in trips if t["neg_kind"] == "hard"]
+    assert hard_rows, "sf0.1 must exercise the hard-negative path"
+    for t in hard_rows:
+        key = (
+            min(t["anchor"], t["negative"]),
+            max(t["anchor"], t["negative"]),
+        )
+        # the hard negative band-collided with the anchor and verified
+        # below the near-dup threshold
+        assert key in allc and allc[key] < TRI_POS_T
+    # fallback rows match the uniform draw exactly
+    uniform = {
+        (t["anchor"], t["positive"]): t["negative"]
+        for t in contrastive_triplets(spark, sf).collect()
+    }
+    for t in trips:
+        if t["neg_kind"] == "random":
+            assert t["negative"] == uniform[(t["anchor"], t["positive"])]
