@@ -18,6 +18,7 @@ from seo_crawler_spark.operators import curation as CU
 from seo_crawler_spark.operators import dedup as D
 from seo_crawler_spark.operators import graph as G
 from seo_crawler_spark.operators import multimodal as MM
+from seo_crawler_spark.operators import retrieval as RT
 from seo_crawler_spark.operators import sampling as SA
 from seo_crawler_spark.operators import simsearch as S
 from seo_crawler_spark.operators import temporal as TP
@@ -126,7 +127,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": TS.pii_scrub,
         "interleaved_spans": TS.interleaved_spans,
         "inverted_index": TS.inverted_index,
-        "stratified_sample": SA.stratified_sample,
+        # new in round 4 session 7 — must sit inside the 50-row window
+        # (displaces stratified_sample, a green driver row since r3, to
+        # the tail)
+        "bm25_topk": RT.bm25_topk,
         "sample_bottomk": SA.sample_bottomk,
         # multimodal: meta/dims are md5int-derived (SQL-reproducible);
         # the payload BYTES stay pinned rows-only in tests/test_multimodal.py
@@ -190,6 +194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": TS.quality_scores,
         "fingerprints": TS.fingerprints,
         "tfidf_top_terms": TS.tfidf_top_terms,
+        "stratified_sample": SA.stratified_sample,
     }
 
 
@@ -251,6 +256,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": TS.pii_scrub_sql(),
         "interleaved_spans": TS.interleaved_spans_sql(),
         "inverted_index": TS.inverted_index_sql(),
+        "bm25_topk": RT.bm25_topk_sql(),
         "stratified_sample": SA.stratified_sample_sql(),
         "sample_bottomk": SA.sample_bottomk_sql(),
         "multimodal_pipeline": MM.multimodal_pipeline_sql(),

@@ -1,0 +1,179 @@
+"""Sparse retrieval over the crawled corpus — BM25 ranking.
+
+The search-serving counterpart of :func:`~.textstats.inverted_index`,
+and the tool a training-data pipeline reaches for when it needs
+retrieval-based decontamination or retrieval-mined hard negatives:
+score documents against a query with Okapi BM25 (Robertson &
+Spärck Jones; the Lucene `(N - df + 0.5)/(df + 0.5) + 1` idf variant
+so idf is never negative) and keep the top-k per query.
+
+Plan shape (one corpus-scale shuffle, two bounded windows):
+
+* tokenize + explode → per-(doc, term) tf aggregate — the SAME
+  map-side-combined collapse the index build uses; doc lengths and
+  per-term df both derive from it (no second pass over text);
+* the query set is a literal broadcast dimension (queries × terms
+  rows), so scoring is a broadcast equi-join on term — candidates per
+  query are exactly the union of its terms' postings, never the
+  corpus;
+* top-k is TWO-PHASE: rank within (query, salt=doc_id % BM25_SALTS)
+  buckets first (parallel, each bucket sees ~1/SALTS of the
+  candidates), keep ≤ k per bucket, then a final rank over the
+  ≤ queries × SALTS × k survivors — no single-reducer sort over a
+  query's full posting union at 10^10 docs.
+
+Cross-engine determinism: each (query, doc, term) BM25 contribution is
+floored onto a BM25_SCALE fixed-point grid BEFORE the per-doc sum, so
+ranking compares integer sums (order-independent across partitionings,
+identical in DuckDB). `ln` is the one transcendental — same
+`lm_perplexity_buckets` log2 risk class: a libm ulp difference can only
+flip a floor within ~1e-12 of a grid point, and idf inputs are small
+integer ratios. Ties break on doc_id in both phases and both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import TOKENS_SQL, tokens
+from ..sources.tables import load
+
+# Okapi BM25 constants (the values every major engine defaults to)
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+BM25_SALTS = 32          # phase-1 parallelism of the top-k
+BM25_SCALE = 1_000_000   # fixed-point grid for per-term contributions
+
+# literal query workload (terms drawn from the synthetic corpus
+# vocabulary; a production run would read these from a queries table —
+# the plan is identical, the dimension just stops being a literal)
+BM25_QUERIES: dict[int, list[str]] = {
+    0: ["hash", "join"],
+    1: ["window", "sort"],
+    2: ["fast", "scan", "filter"],
+    3: ["customer", "order"],
+    4: ["stream", "batch", "spark"],
+}
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k documents per query under BM25 (see module docstring for
+    the plan-shape and determinism arguments)."""
+    docs = load(spark, "documents", sf_dir)
+    ex = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    per_doc = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = per_doc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_t = per_doc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    # two scalar corpus constants (documented driver-constant pattern —
+    # same class as lm_perplexity's total/vocab)
+    tot = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    n_docs = int(tot["n"])
+    avgdl = float(tot["sum_dl"]) / float(n_docs)
+
+    q = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25_QUERIES.items() for t in ts],
+        "query_id int, term string",
+    )
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfn = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(BM25_K1)
+        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))
+    )
+    contrib = (
+        per_doc.join(F.broadcast(q), "term")
+        .join(df_t, "term")
+        .join(dl, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(idf * tfn * BM25_SCALE).cast("long").alias("ic"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("ic").alias("iscore")
+    )
+
+    # two-phase top-k: salted local rank, then global rank over survivors
+    w1 = Window.partitionBy("query_id", "salt").orderBy(
+        F.col("iscore").desc(), F.col("doc_id")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("iscore").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(BM25_SALTS)))
+        .withColumn("lr", F.row_number().over(w1))
+        .filter(F.col("lr") <= BM25_TOPK)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            "iscore",
+            # same-int ÷ same-constant is the same double in both engines
+            (F.col("iscore") / F.lit(float(BM25_SCALE))).alias("score"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def bm25_topk_sql() -> str:
+    tok = TOKENS_SQL.format(c="text")
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in BM25_QUERIES.items() for t in ts
+    )
+    return f"""
+WITH ex AS MATERIALIZED (
+  SELECT doc_id, unnest({tok}) AS term FROM documents
+),
+per_doc AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM per_doc GROUP BY doc_id),
+df_t AS (SELECT term, count(*) AS df FROM per_doc GROUP BY term),
+tot AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+q(query_id, term) AS (VALUES {qvals}),
+contrib AS (
+  SELECT q.query_id, p.doc_id,
+         floor(
+           ln((tot.n::DOUBLE - df_t.df + 0.5) / (df_t.df + 0.5) + 1.0)
+           * ((p.tf * {BM25_K1 + 1.0})
+              / (p.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl.dl / tot.avgdl)))
+           * {BM25_SCALE}
+         )::BIGINT AS ic
+  FROM per_doc p
+  JOIN q USING (term)
+  JOIN df_t USING (term)
+  JOIN dl ON dl.doc_id = p.doc_id
+  CROSS JOIN tot
+),
+scored AS (
+  SELECT query_id, doc_id, sum(ic)::BIGINT AS iscore
+  FROM contrib GROUP BY query_id, doc_id
+),
+phase1 AS (
+  SELECT query_id, doc_id, iscore,
+         row_number() OVER (
+           PARTITION BY query_id, doc_id % {BM25_SALTS}
+           ORDER BY iscore DESC, doc_id) AS lr
+  FROM scored
+),
+phase2 AS (
+  SELECT query_id, doc_id, iscore,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY iscore DESC, doc_id) AS rank
+  FROM phase1 WHERE lr <= {BM25_TOPK}
+)
+SELECT query_id, rank, doc_id, iscore, iscore / {BM25_SCALE}.0 AS score
+FROM phase2 WHERE rank <= {BM25_TOPK}
+ORDER BY query_id, rank
+"""
