@@ -131,7 +131,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (displaces stratified_sample, a green driver row since r3, to
         # the tail)
         "bm25_topk": RT.bm25_topk,
-        "sample_bottomk": SA.sample_bottomk,
+        # new in round 4 session 7 — must sit inside the 50-row window
+        # (displaces sample_bottomk, a green driver row since r3, to the
+        # tail)
+        "dsir_select": SA.dsir_select,
         # multimodal: meta/dims are md5int-derived (SQL-reproducible);
         # the payload BYTES stay pinned rows-only in tests/test_multimodal.py
         "multimodal_pipeline": MM.multimodal_pipeline,
@@ -195,6 +198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": TS.fingerprints,
         "tfidf_top_terms": TS.tfidf_top_terms,
         "stratified_sample": SA.stratified_sample,
+        "sample_bottomk": SA.sample_bottomk,
     }
 
 
@@ -257,6 +261,7 @@ def oracle_sql() -> dict[str, str]:
         "interleaved_spans": TS.interleaved_spans_sql(),
         "inverted_index": TS.inverted_index_sql(),
         "bm25_topk": RT.bm25_topk_sql(),
+        "dsir_select": SA.dsir_select_sql(),
         "stratified_sample": SA.stratified_sample_sql(),
         "sample_bottomk": SA.sample_bottomk_sql(),
         "multimodal_pipeline": MM.multimodal_pipeline_sql(),

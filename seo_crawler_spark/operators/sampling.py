@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import MD5INT_SQL, md5int
+from ..functions.text import MD5INT_SQL, md5int, shingles, tokens
 from ..sources.tables import load
 
 # per-language keep rates, in thousandths (training-mixture weights)
@@ -137,4 +137,169 @@ SELECT doc_id, shard,
        row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
 FROM sharded
 ORDER BY shard, pos
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR — data selection via importance resampling (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096        # hashed n-gram feature space (paper: 10^4)
+DSIR_SCALE = 10_000        # fixed-point grid for per-bucket log-probs
+DSIR_KEEP = 100            # resampled subset size
+DSIR_TARGET_LANG = "en"    # the "target distribution" split
+DSIR_SALTS = 32            # phase-1 parallelism of the top-k
+
+
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): fit two bag-of-hashed-
+    n-gram unigram LMs — one on the target split (here lang = 'en', the
+    Wikipedia-style target of the paper), one on the raw pool — weight
+    every raw document by its log-likelihood ratio, and Gumbel-top-k
+    resample DSIR_KEEP docs (sampling WITHOUT replacement with
+    probability ∝ importance weight, per the Gumbel-max trick the paper
+    uses; the Gumbel noise here is salted-md5-derived, so the draw is
+    deterministic and engine-independent).
+
+    Plan shape — three map-side-combined aggregates and one bounded
+    equi-join: tokenize + explode (unigrams ∪ bigram shingles) → hashed
+    bucket; ONE (bucket)-grouped count yields both LMs (the target flag
+    is an aggregate CASE, not a second pass); the per-bucket log-ratio
+    table is DSIR_BUCKETS rows (a broadcast dimension at any corpus
+    size); per-doc weights are an equi-join on bucket + integer sum;
+    the final draw reuses the two-phase salted top-k (no single-reducer
+    sort). The two LM denominators are the documented 2-scalar
+    driver-constant pattern.
+
+    Determinism: per-bucket log-probs are floored onto the DSIR_SCALE
+    grid BEFORE the subtraction, so the ratio table and every doc
+    weight are integers; the only doubles are the final key
+    lw + gumbel(md5) — one expression over identical integer inputs in
+    both engines (`ln` ulp risk class as lm_perplexity, documented
+    there). Zero-token docs have no features and drop from the pool, as
+    in the reference method."""
+    docs = load(spark, "documents", sf_dir).select("doc_id", "lang", "text")
+    tok = tokens(F.col("text"))
+    g = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.concat(tok, shingles(tok, 2))).alias("gram"),
+    )
+    b = g.select(
+        "doc_id",
+        "lang",
+        F.pmod(
+            md5int(F.concat(F.lit("dsir|"), F.col("gram"))),
+            F.lit(DSIR_BUCKETS),
+        ).alias("b"),
+    )
+    cnt = b.groupBy("b").agg(
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("ct"),
+        F.sum(
+            F.when(F.col("lang") != DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("cr"),
+    )
+    tot = cnt.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr")).collect()[0]
+    dt = float(int(tot["nt"]) + DSIR_BUCKETS)
+    dr = float(int(tot["nr"]) + DSIR_BUCKETS)
+    ilp = lambda c, d: F.floor(
+        F.log2((F.col(c) + 1).cast("double") / F.lit(d)) * DSIR_SCALE
+    ).cast("long")
+    ilr = cnt.select("b", (ilp("ct", dt) - ilp("cr", dr)).alias("ilr"))
+
+    iw = (
+        b.filter(F.col("lang") != DSIR_TARGET_LANG)
+        .join(ilr, "b")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("ilr").alias("iw"))
+    )
+    u = (
+        md5int(F.concat(F.lit("dsirg|"), F.col("doc_id").cast("string")))
+        + F.lit(0.5)
+    ) / F.lit(float(2**60))
+    key = (F.col("iw") / F.lit(float(DSIR_SCALE))) + -F.log(-F.log(u))
+
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy("salt").orderBy(F.col("key").desc(), "doc_id")
+    w2 = Window.partitionBy().orderBy(F.col("key").desc(), "doc_id")
+    return (
+        iw.withColumn("key", key)
+        .withColumn("salt", F.pmod(F.col("doc_id"), F.lit(DSIR_SALTS)))
+        .withColumn("lr", F.row_number().over(w1))
+        .filter(F.col("lr") <= DSIR_KEEP)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= DSIR_KEEP)
+        .select(
+            "rank",
+            "doc_id",
+            "lang",
+            "iw",
+            (F.col("iw") / F.lit(float(DSIR_SCALE))).alias("lw"),
+        )
+        .orderBy("rank")
+    )
+
+
+def dsir_select_sql() -> str:
+    from ..functions.text import TOKENS_SQL, shingles_sql
+
+    tok = TOKENS_SQL.format(c="text")
+    h = MD5INT_SQL.format(c="('dsir|' || gram)")
+    hg = MD5INT_SQL.format(c="('dsirg|' || doc_id)")
+    return f"""
+WITH tokd AS (
+  SELECT doc_id, lang, {tok} AS tok FROM documents
+),
+grams AS (
+  SELECT doc_id, lang, unnest(tok || {shingles_sql('tok', 2)}) AS gram
+  FROM tokd
+),
+b AS (
+  SELECT doc_id, lang, ({h} % {DSIR_BUCKETS}) AS b FROM grams
+),
+cnt AS (
+  SELECT b,
+         sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)::BIGINT AS ct,
+         sum(CASE WHEN lang <> '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)::BIGINT AS cr
+  FROM b GROUP BY b
+),
+tot AS (SELECT sum(ct)::BIGINT + {DSIR_BUCKETS} AS dt,
+               sum(cr)::BIGINT + {DSIR_BUCKETS} AS dr FROM cnt),
+ilr AS (
+  SELECT b,
+         (floor(log2((ct + 1)::DOUBLE / dt) * {DSIR_SCALE})::BIGINT
+          - floor(log2((cr + 1)::DOUBLE / dr) * {DSIR_SCALE})::BIGINT) AS ilr
+  FROM cnt, tot
+),
+iw AS (
+  SELECT doc_id, lang, sum(ilr)::BIGINT AS iw
+  FROM b JOIN ilr USING (b)
+  WHERE lang <> '{DSIR_TARGET_LANG}'
+  GROUP BY doc_id, lang
+),
+keyed AS (
+  SELECT doc_id, lang, iw,
+         (iw / {DSIR_SCALE}.0)
+           + -ln(-ln(({hg} + 0.5) / {float(2**60)!r})) AS key
+  FROM iw
+),
+phase1 AS (
+  SELECT doc_id, lang, iw, key,
+         row_number() OVER (
+           PARTITION BY doc_id % {DSIR_SALTS}
+           ORDER BY key DESC, doc_id) AS lr
+  FROM keyed
+),
+phase2 AS (
+  SELECT doc_id, lang, iw,
+         row_number() OVER (ORDER BY key DESC, doc_id) AS rank
+  FROM phase1 WHERE lr <= {DSIR_KEEP}
+)
+SELECT rank, doc_id, lang, iw, iw / {DSIR_SCALE}.0 AS lw
+FROM phase2 WHERE rank <= {DSIR_KEEP}
+ORDER BY rank
 """
