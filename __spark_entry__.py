@@ -91,6 +91,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 session 6 — must sit inside the 50-row window
         "quality_classifier_train": CL.quality_classifier_train,
         "quality_classifier_filter": CL.quality_classifier_filter,
+        # new in round 4 session 7 — must sit inside the 50-row window
+        # (displaces multimodal_pipeline, a green driver row since r3,
+        # to the tail)
+        "classifier_pr_auc": CL.classifier_pr_auc,
         # new in round 4 session 4 — must sit inside the 50-row window
         "ann_ivfpq_topk": S.ann_ivfpq_topk,
         "lm_perplexity_buckets": TS.lm_perplexity_buckets,
@@ -135,9 +139,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (displaces sample_bottomk, a green driver row since r3, to the
         # tail)
         "dsir_select": SA.dsir_select,
-        # multimodal: meta/dims are md5int-derived (SQL-reproducible);
-        # the payload BYTES stay pinned rows-only in tests/test_multimodal.py
-        "multimodal_pipeline": MM.multimodal_pipeline,
         # temporal joins (new in r4 — must sit inside the 50-row window)
         "events_asof_join": TP.events_asof_join,
         "events_range_join": TP.events_range_join,
@@ -199,6 +200,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": TS.tfidf_top_terms,
         "stratified_sample": SA.stratified_sample,
         "sample_bottomk": SA.sample_bottomk,
+        # multimodal: meta/dims are md5int-derived (SQL-reproducible);
+        # the payload BYTES stay pinned rows-only in tests/test_multimodal.py
+        "multimodal_pipeline": MM.multimodal_pipeline,
     }
 
 
@@ -206,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "quality_classifier_train": CL.quality_classifier_train_sql(),
         "quality_classifier_filter": CL.quality_classifier_filter_sql(),
+        "classifier_pr_auc": CL.classifier_pr_auc_sql(),
         "cluster_balanced_sample": S.cluster_balanced_sample_sql(),
         "contrastive_triplets": CU.contrastive_triplets_sql(),
         "contrastive_triplets_hard": CU.contrastive_triplets_hard_sql(),

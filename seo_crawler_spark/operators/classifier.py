@@ -301,3 +301,156 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN scored s USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# classifier evaluation: keep-fraction PR sweep + ties-aware AUC
+# ---------------------------------------------------------------------------
+
+PR_KEEP_PCTS = [10, 20, 30, 40, 50, 60, 70, 80, 90]
+
+
+def classifier_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluate the trained quality classifier the way a curation run
+    is actually tuned: a keep-fraction sweep (precision / recall / F1
+    of keeping the top p% of docs by score, p = 10..90) plus the
+    ranking AUC — the two numbers a pipeline owner reads before picking
+    the keep threshold (DCLM and FineWeb-Edu both publish exactly this
+    pair for their quality filters).
+
+    Plan shape: the forward scoring pass of quality_classifier_filter
+    (broadcast weight join + per-doc integer sum), then ONE two-phase
+    global rank (ordering.ordered_seq_counted — range shuffle +
+    per-partition windows, NO single-reducer sort) serves both halves:
+
+    * AUC by the ties-aware Mann-Whitney identity, kept in integers:
+      per distinct logit value, 2·midrank = 2·min_rank + cnt − 1, so
+      S2 = Σ_pos (2·midrank) is an integer aggregate and
+      AUC = (S2 − P(P+1)) / (2·P·Q) is ONE double division from exact
+      int64 inputs — no float accumulation anywhere;
+    * the PR sweep replays the rank against the 9 literal cutoffs
+      (explode + filter + one map-side agg; descending rank is
+      n + 1 − rn, ties broken doc_id-desc — same rule both engines).
+
+    Eval is a diagnostic over a labeled holdout (here: the corpus with
+    its weak lang labels), so corpus-scale is the scored table, and the
+    only global structure is the two-phase rank. Zero-token docs have
+    no score and are excluded, as in quality_classifier_filter's null
+    rows. All ratio columns are single divisions of identical integers
+    (the house cross-engine rule); F1 guards tp = 0 explicitly because
+    0/0 diverges between engines (Spark null vs DuckDB NaN)."""
+    from .ordering import ordered_seq_counted
+
+    docs = load(spark, "documents", sf_dir)
+    iw = _train(spark, docs)
+    wdf = spark.createDataFrame(
+        [(j, iw[j]) for j in range(HASH_DIM)], "j long, iw long"
+    )
+    feats, meta = _features(docs)
+    iz = (
+        feats.join(F.broadcast(wdf), "j")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("iw")).alias("iz"))
+    )
+    scored = meta.join(iz, "doc_id", "left").select(
+        "doc_id",
+        "y",
+        (
+            F.coalesce(F.col("iz"), F.lit(0))
+            / (F.lit(float(W_SCALE)) * F.col("n_tok"))
+        ).alias("logit"),
+    )
+    ranked, n = ordered_seq_counted(scored, ["logit", "doc_id"], seq_col="rn0")
+
+    grp = ranked.groupBy("logit").agg(
+        F.min("rn0").alias("m0"),
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("y").alias("p"),
+    )
+    row = grp.agg(
+        F.sum(
+            F.col("p") * (2 * (F.col("m0") + 1) + F.col("cnt") - 1)
+        ).alias("s2"),
+        F.sum("p").alias("pp"),
+    ).collect()[0]
+    pos = int(row["pp"])
+    neg = n - pos
+    s2 = int(row["s2"])
+    auc = (s2 - pos * (pos + 1)) / (2.0 * pos * neg)
+
+    prec = F.col("tp") / F.col("n_kept")
+    rec = F.col("tp") / F.lit(pos)
+    return (
+        ranked.select("y", (F.lit(n) - F.col("rn0")).alias("rnd"))
+        .withColumn(
+            "keep_pct",
+            F.explode(F.array(*[F.lit(p) for p in PR_KEEP_PCTS])),
+        )
+        .withColumn("n_kept", F.expr(f"(cast({n} as bigint) * keep_pct) div 100"))
+        .filter(F.col("rnd") <= F.col("n_kept"))
+        .groupBy("keep_pct", "n_kept")
+        .agg(F.sum("y").alias("tp"))
+        .select(
+            "keep_pct",
+            "n_kept",
+            "tp",
+            prec.alias("precision"),
+            rec.alias("recall"),
+            F.when(
+                F.col("tp") > 0,
+                F.lit(2.0) * prec * rec / (prec + rec),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("f1"),
+            F.lit(auc).alias("auc"),
+        )
+        .orderBy("keep_pct")
+    )
+
+
+def classifier_pr_auc_sql(iters: int = GD_ITERS) -> str:
+    pcts = ", ".join(f"({p})" for p in PR_KEEP_PCTS)
+    return f"""
+WITH {_train_ctes(iters)},
+zf AS (
+  SELECT f.doc_id, sum(f.c * w.iw)::BIGINT AS iz
+  FROM feats f JOIN w{iters} w USING (j) GROUP BY 1),
+scored AS (
+  SELECT m.doc_id, m.y,
+         coalesce(z.iz, 0) / ({W_SCALE}.0 * m.n_tok) AS logit
+  FROM meta m LEFT JOIN zf z USING (doc_id)),
+ranked AS MATERIALIZED (
+  SELECT doc_id, y, logit,
+         row_number() OVER (ORDER BY logit, doc_id) AS rn
+  FROM scored),
+grp AS (
+  SELECT logit, min(rn) AS m, count(*) AS cnt, sum(y)::BIGINT AS p
+  FROM ranked GROUP BY logit),
+tot AS (
+  SELECT sum(p * (2 * m + cnt - 1))::BIGINT AS s2,
+         sum(p)::BIGINT AS pos,
+         (SELECT count(*) FROM ranked) - sum(p)::BIGINT AS neg,
+         (SELECT count(*) FROM ranked) AS n
+  FROM grp),
+sweep AS (
+  SELECT r.y,
+         tot.n + 1 - r.rn AS rnd,
+         k.keep_pct,
+         (tot.n * k.keep_pct) // 100 AS n_kept
+  FROM ranked r
+  CROSS JOIN tot
+  CROSS JOIN (SELECT unnest([{", ".join(str(p) for p in PR_KEEP_PCTS)}]) AS keep_pct) k),
+pr AS (
+  SELECT keep_pct, n_kept, sum(y)::BIGINT AS tp
+  FROM sweep WHERE rnd <= n_kept GROUP BY keep_pct, n_kept)
+SELECT pr.keep_pct, pr.n_kept, pr.tp,
+       pr.tp / pr.n_kept AS precision,
+       pr.tp / tot.pos AS recall,
+       CASE WHEN pr.tp > 0
+            THEN 2.0 * (pr.tp / pr.n_kept) * (pr.tp / tot.pos)
+                 / ((pr.tp / pr.n_kept) + (pr.tp / tot.pos))
+            ELSE 0.0 END AS f1,
+       (tot.s2 - tot.pos * (tot.pos + 1)) / (2.0 * tot.pos * tot.neg) AS auc
+FROM pr, tot
+ORDER BY keep_pct
+"""

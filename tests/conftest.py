@@ -36,6 +36,7 @@ _SHARD_COST: dict[str, float] = {
     "test_triplets.py": 33.0,
     "test_retrieval.py": 34.0,
     "test_dsir.py": 25.0,
+    "test_classifier_eval.py": 41.0,
     "test_dedup_cap.py": 15.7,
     "test_canonicalize_native.py": 14.7,
     "test_driver_sim_smoke.py": 13.2,
