@@ -113,7 +113,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_stream": DS.dedup_incremental_stream,
         "dedup_simhash": D.dedup_simhash,
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
-        "decontaminate": D.decontaminate,
         # similarity search
         "ann_brute_topk": S.ann_brute_topk,
         "ann_lsh_buckets": S.ann_lsh_bucketed,
@@ -144,6 +143,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": TP.events_range_join,
         "analytics_detection": CQ.analytics_detection,
         "recrawl_schedule": CQ.recrawl_schedule,
+        # new in round 4 session 7 — must sit inside the 50-row window
+        # (displaces decontaminate, a green driver row since r3, to the
+        # tail)
+        "crawl_budget_allocation": CQ.crawl_budget_allocation,
         "crawl_trap_detection": CQ.crawl_trap_detection,
         "crawl_snapshot_diff": CQ.crawl_snapshot_diff,
         "redirect_chains": CQ.redirect_chains,
@@ -200,6 +203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": TS.tfidf_top_terms,
         "stratified_sample": SA.stratified_sample,
         "sample_bottomk": SA.sample_bottomk,
+        "decontaminate": D.decontaminate,
         # multimodal: meta/dims are md5int-derived (SQL-reproducible);
         # the payload BYTES stay pinned rows-only in tests/test_multimodal.py
         "multimodal_pipeline": MM.multimodal_pipeline,
@@ -280,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
         "text_search_filter": CQ.TEXT_SEARCH_SQL,
         "analytics_detection": CQ.ANALYTICS_DETECTION_SQL,
         "recrawl_schedule": CQ.RECRAWL_SCHEDULE_SQL,
+        "crawl_budget_allocation": CQ.crawl_budget_allocation_sql(),
         "crawl_trap_detection": CQ.CRAWL_TRAP_SQL,
         "crawl_snapshot_diff": CQ.CRAWL_SNAPSHOT_DIFF_SQL,
         "redirect_chains": CQ.redirect_chains_sql(),

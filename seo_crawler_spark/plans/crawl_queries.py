@@ -762,3 +762,129 @@ FROM {prev} s LEFT JOIN redirect r ON s.cur = r.src
 WHERE s.hops > 0
 ORDER BY s.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# value × freshness crawl-budget allocation across hosts
+# ---------------------------------------------------------------------------
+
+CRAWL_BUDGET_TOTAL = 100_000  # pages per scheduling epoch
+URGENCY_SCALE = 10_000        # fixed-point grid for per-URL change rates
+
+
+def crawl_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allocate a global per-epoch crawl budget across hosts by
+    value × freshness — the scheduling policy layer above
+    recrawl_schedule: a host earns budget in proportion to how much
+    PageRank mass it holds (value) times how often its pages change
+    (urgency), the standard quality-biased incremental-crawl framing
+    (Cho & Garcia-Molina 2003 freshness + PageRank-weighted importance,
+    cf. OPIC-style cash distribution).
+
+    Composition + plan shape: per-doc value REUSES the registered
+    pagerank operator (its per-iteration lineage checkpoints and
+    integer fixed-point scores come along for free); urgency is one
+    map-side aggregate over the fetch log (events, keyed like
+    recrawl_schedule) with per-URL change rates on the URGENCY_SCALE
+    integer grid; two host-level map-side sums and one host-table join
+    later (hosts ≪ pages — the host frame is broadcast-sized at any
+    corpus scale), budget = floor(share × total). The priority mass
+    denominator is the documented 1-scalar driver-constant pattern.
+
+    Integer discipline: ivalue (Σ pagerank fixed-point), iurgency
+    (Σ integer change rates, exploration floor ≥ 1 so a never-fetched
+    host still gets value-proportional budget), ipriority = their
+    int64 product. The only doubles are share = ipriority/total and
+    the budget floor — single divisions of identical int64s in both
+    engines."""
+    from ..operators.graph import pagerank
+
+    pr = pagerank(spark, sf_dir).select("doc_id", "score")
+    docs = load(spark, "documents", sf_dir).select("doc_id", "source")
+    val = docs.join(pr, "doc_id").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("score").alias("ivalue"),
+    )
+    ev = load(spark, "events", sf_dir)
+    per_url = ev.groupBy(F.col("user_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_fetches"),
+        F.sum(
+            F.when(F.col("value") > RECRAWL_CHANGE_VALUE, 1).otherwise(0)
+        ).alias("n_changes"),
+    )
+    urate = per_url.select(
+        "doc_id",
+        F.expr(f"(n_changes * {URGENCY_SCALE}) div n_fetches").alias("irate"),
+    )
+    urg = docs.join(urate, "doc_id").groupBy("source").agg(
+        F.sum("irate").alias("iurg")
+    )
+    host = (
+        val.join(urg, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "ivalue",
+            F.greatest(F.coalesce("iurg", F.lit(0)), F.lit(1)).alias(
+                "iurgency"
+            ),
+        )
+        .withColumn("ipriority", F.col("ivalue") * F.col("iurgency"))
+    )
+    tot = int(host.agg(F.sum("ipriority")).collect()[0][0])
+    return host.select(
+        F.col("source").alias("host"),
+        "n_docs",
+        "ivalue",
+        "iurgency",
+        "ipriority",
+        F.floor(
+            F.col("ipriority") / F.lit(float(tot)) * CRAWL_BUDGET_TOTAL
+        )
+        .cast("long")
+        .alias("budget_pages"),
+        (F.col("ipriority") / F.lit(float(tot))).alias("share"),
+    ).orderBy("host")
+
+
+def crawl_budget_allocation_sql() -> str:
+    from ..operators.curation import _strip_order_by
+    from ..operators.graph import pagerank_sql
+
+    pr = _strip_order_by(pagerank_sql())
+    return f"""
+WITH pr AS MATERIALIZED (
+  SELECT doc_id, score FROM ({pr})
+),
+val AS (
+  SELECT d.source, count(*) AS n_docs, sum(pr.score)::BIGINT AS ivalue
+  FROM documents d JOIN pr USING (doc_id) GROUP BY d.source
+),
+per_url AS (
+  SELECT user_id AS doc_id, count(*) AS n_fetches,
+         sum(CASE WHEN value > {RECRAWL_CHANGE_VALUE} THEN 1 ELSE 0 END)
+           ::BIGINT AS n_changes
+  FROM events GROUP BY user_id
+),
+urate AS (
+  SELECT doc_id, (n_changes * {URGENCY_SCALE}) // n_fetches AS irate
+  FROM per_url
+),
+urg AS (
+  SELECT d.source, sum(u.irate)::BIGINT AS iurg
+  FROM documents d JOIN urate u USING (doc_id) GROUP BY d.source
+),
+host AS (
+  SELECT v.source, v.n_docs, v.ivalue,
+         greatest(coalesce(u.iurg, 0), 1) AS iurgency,
+         v.ivalue * greatest(coalesce(u.iurg, 0), 1) AS ipriority
+  FROM val v LEFT JOIN urg u USING (source)
+),
+tot AS (SELECT sum(ipriority)::BIGINT AS t FROM host)
+SELECT h.source AS host, h.n_docs, h.ivalue, h.iurgency, h.ipriority,
+       floor(h.ipriority / tot.t * {CRAWL_BUDGET_TOTAL})::BIGINT
+         AS budget_pages,
+       h.ipriority / tot.t AS share
+FROM host h, tot
+ORDER BY host
+"""
