@@ -26,6 +26,12 @@ QUERIES = [
     "bpe_encode",
     "quality_classifier_train",
     "quality_classifier_filter",
+    # session 7
+    "bm25_topk",
+    "dsir_select",
+    "classifier_pr_auc",
+    "crawl_budget_allocation",
+    "contrastive_triplets_hard",
 ]
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..ckpt import local_ckpt
 from ..functions.text import MD5INT_SQL, md5int, shingles, tokens
 from ..sources.tables import load
 
@@ -194,13 +195,17 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(DSIR_BUCKETS),
         ).alias("b"),
     )
-    cnt = b.groupBy("b").agg(
-        F.sum(
-            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
-        ).alias("ct"),
-        F.sum(
-            F.when(F.col("lang") != DSIR_TARGET_LANG, 1).otherwise(0)
-        ).alias("cr"),
+    # ≤ DSIR_BUCKETS rows — checkpoint so the corpus-scale explode runs
+    # once for the LM fit, not once per downstream consumer
+    cnt = local_ckpt(
+        b.groupBy("b").agg(
+            F.sum(
+                F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+            ).alias("ct"),
+            F.sum(
+                F.when(F.col("lang") != DSIR_TARGET_LANG, 1).otherwise(0)
+            ).alias("cr"),
+        )
     )
     tot = cnt.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr")).collect()[0]
     dt = float(int(tot["nt"]) + DSIR_BUCKETS)
@@ -210,9 +215,11 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     ilr = cnt.select("b", (ilp("ct", dt) - ilp("cr", dr)).alias("ilr"))
 
+    # broadcast the DSIR_BUCKETS-row ratio dim: the gram stream never
+    # shuffles — the only corpus-scale exchange is the per-doc sum
     iw = (
         b.filter(F.col("lang") != DSIR_TARGET_LANG)
-        .join(ilr, "b")
+        .join(F.broadcast(ilr), "b")
         .groupBy("doc_id", "lang")
         .agg(F.sum("ilr").alias("iw"))
     )
