@@ -101,6 +101,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_pairs": TS.caption_pairs,
         "bpe_merges": BP.bpe_merges_query,
         "bpe_encode": BP.bpe_encode,
+        # new in round 4 session 7 — must sit inside the 50-row window
+        # (displaces ann_lsh_buckets, a green driver row since r3, to
+        # the tail)
+        "tokenizer_stats": BP.tokenizer_stats,
         "training_shuffle": SA.training_shuffle,
         "leakage_safe_split": CU.leakage_safe_split,
         "curation_funnel": CU.curation_funnel,
@@ -115,7 +119,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
         # similarity search
         "ann_brute_topk": S.ann_brute_topk,
-        "ann_lsh_buckets": S.ann_lsh_bucketed,
         "ann_ivf_topk": S.ann_ivf_topk,
         "kmeans_quantizer": S.kmeans_quantizer,
         "cluster_balanced_sample": S.cluster_balanced_sample,
@@ -204,6 +207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": SA.stratified_sample,
         "sample_bottomk": SA.sample_bottomk,
         "decontaminate": D.decontaminate,
+        "ann_lsh_buckets": S.ann_lsh_bucketed,
         # multimodal: meta/dims are md5int-derived (SQL-reproducible);
         # the payload BYTES stay pinned rows-only in tests/test_multimodal.py
         "multimodal_pipeline": MM.multimodal_pipeline,
@@ -221,6 +225,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivfpq_topk": S.ann_ivfpq_topk_sql(),
         "bpe_merges": BP.bpe_merges_sql(),
         "bpe_encode": BP.bpe_encode_sql(),
+        "tokenizer_stats": BP.tokenizer_stats_sql(),
         "training_shuffle": SA.training_shuffle_sql(),
         "leakage_safe_split": CU.leakage_safe_split_sql(),
         "curation_funnel": CU.curation_funnel_sql(),

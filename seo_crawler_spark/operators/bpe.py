@@ -232,3 +232,68 @@ SELECT raw.doc_id, raw.n_raw,
 FROM raw JOIN enc USING (doc_id)
 ORDER BY raw.doc_id
 """
+
+
+def tokenizer_stats(
+    spark: SparkSession, sf_dir: str, merges: int = BPE_MERGES
+) -> DataFrame:
+    """Per-language tokenizer diagnostics over the trained BPE — the
+    table a multilingual-tokenizer owner reads before fixing a vocab:
+    fertility (BPE tokens per raw word; >1 means words split) and
+    compression (chars per BPE token) per language, the standard
+    readout for spotting languages a shared vocabulary tokenizes badly
+    (the usual motivation for revisiting merges or per-lang vocab).
+
+    Composition + plan shape: REUSES the registered bpe_encode operator
+    verbatim (row-local merge application; the merge table is the
+    trained k-row driver constant), one corpus-scale equi-join on
+    doc_id to recover (lang, n_chars) — co-partitioned by the storage
+    key, the join a bucketed documents table executes without a
+    shuffle — then ONE map-side-combined per-language aggregate.
+    Ratios are single divisions of exact integer sums (the house
+    cross-engine rule), reported corpus-weighted (sum/sum, not
+    mean-of-ratios — short docs don't dominate)."""
+    enc = bpe_encode(spark, sf_dir, merges)
+    d = load(spark, "documents", sf_dir).select("doc_id", "lang", "n_chars")
+    return (
+        enc.join(d, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_raw").alias("raw_tokens"),
+            F.sum("n_bpe").alias("bpe_tokens"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "raw_tokens",
+            "bpe_tokens",
+            "chars",
+            (F.col("bpe_tokens") / F.col("raw_tokens")).alias("fertility"),
+            (F.col("chars") / F.col("bpe_tokens")).alias("chars_per_tok"),
+        )
+        .orderBy("lang")
+    )
+
+
+def tokenizer_stats_sql(merges: int = BPE_MERGES) -> str:
+    base = bpe_encode_sql(merges).strip()
+    inner = base[base.index("WITH") + 4 : base.rindex("SELECT raw.doc_id")].strip()
+    return f"""
+WITH {inner},
+perdoc AS (
+  SELECT raw.doc_id, raw.n_raw, len(enc.t) AS n_bpe
+  FROM raw JOIN enc USING (doc_id)
+)
+SELECT d.lang,
+       count(*) AS n_docs,
+       sum(p.n_raw)::BIGINT AS raw_tokens,
+       sum(p.n_bpe)::BIGINT AS bpe_tokens,
+       sum(d.n_chars)::BIGINT AS chars,
+       sum(p.n_bpe)::BIGINT / sum(p.n_raw)::BIGINT AS fertility,
+       sum(d.n_chars)::BIGINT / sum(p.n_bpe)::BIGINT AS chars_per_tok
+FROM perdoc p JOIN documents d USING (doc_id)
+GROUP BY d.lang
+ORDER BY d.lang
+"""
