@@ -119,7 +119,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
         # similarity search
         "ann_brute_topk": S.ann_brute_topk,
-        "ann_ivf_topk": S.ann_ivf_topk,
         "kmeans_quantizer": S.kmeans_quantizer,
         "cluster_balanced_sample": S.cluster_balanced_sample,
         "embedding_neardup_lsh": S.embedding_neardup_lsh,
@@ -137,6 +136,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (displaces stratified_sample, a green driver row since r3, to
         # the tail)
         "bm25_topk": RT.bm25_topk,
+        # new in round 4 session 7 — must sit inside the 50-row window
+        # (displaces ann_ivf_topk, a green driver row since r3, to the
+        # tail)
+        "decontaminate_bm25": RT.decontaminate_bm25,
         # new in round 4 session 7 — must sit inside the 50-row window
         # (displaces sample_bottomk, a green driver row since r3, to the
         # tail)
@@ -208,6 +211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_bottomk": SA.sample_bottomk,
         "decontaminate": D.decontaminate,
         "ann_lsh_buckets": S.ann_lsh_bucketed,
+        "ann_ivf_topk": S.ann_ivf_topk,
         # multimodal: meta/dims are md5int-derived (SQL-reproducible);
         # the payload BYTES stay pinned rows-only in tests/test_multimodal.py
         "multimodal_pipeline": MM.multimodal_pipeline,
@@ -275,6 +279,7 @@ def oracle_sql() -> dict[str, str]:
         "interleaved_spans": TS.interleaved_spans_sql(),
         "inverted_index": TS.inverted_index_sql(),
         "bm25_topk": RT.bm25_topk_sql(),
+        "decontaminate_bm25": RT.decontaminate_bm25_sql(),
         "dsir_select": SA.dsir_select_sql(),
         "stratified_sample": SA.stratified_sample_sql(),
         "sample_bottomk": SA.sample_bottomk_sql(),

@@ -177,3 +177,163 @@ SELECT query_id, rank, doc_id, iscore, iscore / {BM25_SCALE}.0 AS score
 FROM phase2 WHERE rank <= {BM25_TOPK}
 ORDER BY query_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# retrieval-based (fuzzy) decontamination
+# ---------------------------------------------------------------------------
+
+DECON_BM25_TERMS = 8       # top-idf query terms per benchmark doc
+DECON_BM25_MIN_I = 5 * BM25_SCALE  # flag threshold on the integer score
+
+
+def decontaminate_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-based decontamination — the fuzzy complement of
+    dedup.decontaminate's exact 8-gram guard: score every training
+    document against every benchmark document with BM25 and flag high
+    scorers. Catches paraphrased/reformatted benchmark leakage that
+    verbatim n-gram overlap misses (the two-detector combination is
+    the standard published practice: verbatim n-grams + a
+    similarity/retrieval pass).
+
+    Benchmark = the first DECON_BENCH_DOCS documents (the same
+    deterministic stand-in decontaminate uses); each benchmark doc
+    becomes a query of its DECON_BM25_TERMS most distinctive terms
+    (lowest training-side df — query generation from the eval sample;
+    terms absent from the training corpus can never match and are
+    dropped before the cap, identically in both engines).
+
+    Plan shape: the bm25_topk tf/df/dl statistics computed over the
+    TRAINING side only; the capped query set is benchmark-sized and
+    broadcast (a real eval suite is a few MB — driver-small at any
+    corpus scale), so candidate pairs stream through one broadcast
+    equi-join on term; per-(doc, bench) scores are integer sums on the
+    BM25_SCALE grid; the best-benchmark pick is a per-doc window over
+    ≤ DECON_BENCH_DOCS rows. Every training doc keeps a row
+    (iscore 0, bench_id null when no query term matches)."""
+    docs = load(spark, "documents", sf_dir)
+    from .dedup import DECON_BENCH_DOCS
+
+    ex = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    per_doc = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    train = per_doc.filter(F.col("doc_id") >= DECON_BENCH_DOCS)
+    dl = train.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_t = train.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tot = dl.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sum_dl")
+    ).collect()[0]
+    n_docs = int(tot["n"])
+    avgdl = float(tot["sum_dl"]) / float(n_docs)
+
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("bench_id").orderBy("df", "term")
+    q = (
+        per_doc.filter(F.col("doc_id") < DECON_BENCH_DOCS)
+        .select(F.col("doc_id").alias("bench_id"), "term")
+        .join(df_t, "term")
+        .withColumn("qr", F.row_number().over(wq))
+        .filter(F.col("qr") <= DECON_BM25_TERMS)
+        .select("bench_id", "term")
+    )
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfn = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(BM25_K1)
+        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.lit(avgdl))
+    )
+    pair = (
+        train.join(F.broadcast(q), "term")
+        .join(df_t, "term")
+        .join(dl, "doc_id")
+        .select(
+            "doc_id",
+            "bench_id",
+            F.floor(idf * tfn * BM25_SCALE).cast("long").alias("ic"),
+        )
+        .groupBy("doc_id", "bench_id")
+        .agg(F.sum("ic").alias("iscore"))
+    )
+    wb = Window.partitionBy("doc_id").orderBy(
+        F.col("iscore").desc(), F.col("bench_id")
+    )
+    best = (
+        pair.withColumn("br", F.row_number().over(wb))
+        .filter(F.col("br") == 1)
+        .select("doc_id", "bench_id", "iscore")
+    )
+    return (
+        docs.select("doc_id")
+        .filter(F.col("doc_id") >= DECON_BENCH_DOCS)
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "bench_id",
+            F.coalesce("iscore", F.lit(0)).alias("iscore"),
+            (
+                F.coalesce("iscore", F.lit(0)) / F.lit(float(BM25_SCALE))
+            ).alias("score"),
+            (F.coalesce("iscore", F.lit(0)) >= DECON_BM25_MIN_I).alias(
+                "contaminated"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def decontaminate_bm25_sql() -> str:
+    from .dedup import DECON_BENCH_DOCS
+
+    tok = TOKENS_SQL.format(c="text")
+    return f"""
+WITH ex AS MATERIALIZED (
+  SELECT doc_id, unnest({tok}) AS term FROM documents
+),
+per_doc AS (SELECT doc_id, term, count(*) AS tf FROM ex GROUP BY doc_id, term),
+train AS (SELECT * FROM per_doc WHERE doc_id >= {DECON_BENCH_DOCS}),
+dl AS (SELECT doc_id, sum(tf)::BIGINT AS dl FROM train GROUP BY doc_id),
+df_t AS (SELECT term, count(*) AS df FROM train GROUP BY term),
+tot AS (SELECT count(*) AS n, sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+q AS (
+  SELECT bench_id, term FROM (
+    SELECT p.doc_id AS bench_id, p.term,
+           row_number() OVER (
+             PARTITION BY p.doc_id ORDER BY d.df, p.term) AS qr
+    FROM per_doc p JOIN df_t d USING (term)
+    WHERE p.doc_id < {DECON_BENCH_DOCS})
+  WHERE qr <= {DECON_BM25_TERMS}),
+pair AS (
+  SELECT t.doc_id, q.bench_id,
+         sum(floor(
+           ln((tot.n::DOUBLE - df_t.df + 0.5) / (df_t.df + 0.5) + 1.0)
+           * ((t.tf * {BM25_K1 + 1.0})
+              / (t.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl.dl / tot.avgdl)))
+           * {BM25_SCALE}
+         )::BIGINT)::BIGINT AS iscore
+  FROM train t
+  JOIN q USING (term)
+  JOIN df_t USING (term)
+  JOIN dl ON dl.doc_id = t.doc_id
+  CROSS JOIN tot
+  GROUP BY t.doc_id, q.bench_id),
+best AS (
+  SELECT doc_id, bench_id, iscore FROM (
+    SELECT doc_id, bench_id, iscore,
+           row_number() OVER (
+             PARTITION BY doc_id ORDER BY iscore DESC, bench_id) AS br
+    FROM pair)
+  WHERE br = 1)
+SELECT d.doc_id, b.bench_id,
+       coalesce(b.iscore, 0) AS iscore,
+       coalesce(b.iscore, 0) / {BM25_SCALE}.0 AS score,
+       coalesce(b.iscore, 0) >= {DECON_BM25_MIN_I} AS contaminated
+FROM documents d LEFT JOIN best b USING (doc_id)
+WHERE d.doc_id >= {DECON_BENCH_DOCS}
+ORDER BY d.doc_id
+"""

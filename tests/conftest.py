@@ -39,6 +39,7 @@ _SHARD_COST: dict[str, float] = {
     "test_classifier_eval.py": 41.0,
     "test_crawl_budget.py": 30.0,
     "test_tokenizer_stats.py": 29.0,
+    "test_decon_bm25.py": 19.0,
     "test_dedup_cap.py": 15.7,
     "test_canonicalize_native.py": 14.7,
     "test_driver_sim_smoke.py": 13.2,
