@@ -246,6 +246,11 @@ HEADLINE = [
     # round-4 session-6: trained quality classifier (6 GD rounds, each
     # a broadcast-scored per-doc sum + per-feature gradient agg)
     "quality_classifier_train",
+    # round-4 session-7: sparse retrieval, DSIR selection (heaviest new
+    # op — two md5 passes over the unigram∪bigram stream), eval rank
+    "bm25_topk",
+    "dsir_select",
+    "classifier_pr_auc",
 ]
 
 

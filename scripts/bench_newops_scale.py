@@ -32,6 +32,8 @@ QUERIES = [
     "classifier_pr_auc",
     "crawl_budget_allocation",
     "contrastive_triplets_hard",
+    "tokenizer_stats",
+    "decontaminate_bm25",
 ]
 
 

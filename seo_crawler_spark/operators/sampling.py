@@ -181,11 +181,18 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     there). Zero-token docs have no features and drop from the pool, as
     in the reference method."""
     docs = load(spark, "documents", sf_dir).select("doc_id", "lang", "text")
-    tok = tokens(F.col("text"))
-    g = docs.select(
+    # materialize the token array as a COLUMN before shingling: inlining
+    # tokens(text) into the shingle lambda re-runs the regex per element
+    # (no common-subexpression elimination across the transform
+    # boundary — measured 14× slower at sf0.1), the same reason the
+    # dedup family routes through _token_arrays
+    tokd = docs.select("doc_id", "lang", tokens(F.col("text")).alias("tok"))
+    g = tokd.select(
         "doc_id",
         "lang",
-        F.explode(F.concat(tok, shingles(tok, 2))).alias("gram"),
+        F.explode(
+            F.concat(F.col("tok"), shingles(F.col("tok"), 2))
+        ).alias("gram"),
     )
     b = g.select(
         "doc_id",
