@@ -88,6 +88,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # for queries with multi-round green driver history (the TPC-H five,
     # the events family, status_histogram — green since round 1/2).
     return {
+        # new in round 4 session 8 — must sit inside the 50-row window
+        # (displaces dedup_simhash / dedup_embedding_cosine /
+        # ann_brute_topk, green driver rows since r1-r3, to the tail)
+        "paragraph_dedup": CS.paragraph_dedup,
+        "winnowing_candidates": D.winnowing_candidates,
+        "temperature_sample": SA.temperature_sample,
+        # (displaces interleaved_spans, a green driver row since r3)
+        "trustrank_scores": G.trustrank_scores,
+        # (displaces redirect_chains, a green driver row since r3)
+        "ngram_novelty": CS.ngram_novelty,
         # new in round 4 session 6 — must sit inside the 50-row window
         "quality_classifier_train": CL.quality_classifier_train,
         "quality_classifier_filter": CL.quality_classifier_filter,
@@ -115,10 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stream-static band-index joins); same oracle SQL as the batch
         # operator — a streaming operator with a full hash-match gate
         "dedup_incremental_stream": DS.dedup_incremental_stream,
-        "dedup_simhash": D.dedup_simhash,
-        "dedup_embedding_cosine": D.dedup_embedding_cosine,
         # similarity search
-        "ann_brute_topk": S.ann_brute_topk,
         "kmeans_quantizer": S.kmeans_quantizer,
         "cluster_balanced_sample": S.cluster_balanced_sample,
         "embedding_neardup_lsh": S.embedding_neardup_lsh,
@@ -130,7 +137,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r1-r3)
         "repetition_signals": TS.repetition_signals,
         "pii_scrub": TS.pii_scrub,
-        "interleaved_spans": TS.interleaved_spans,
         "inverted_index": TS.inverted_index,
         # new in round 4 session 7 — must sit inside the 50-row window
         # (displaces stratified_sample, a green driver row since r3, to
@@ -155,7 +161,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget_allocation": CQ.crawl_budget_allocation,
         "crawl_trap_detection": CQ.crawl_trap_detection,
         "crawl_snapshot_diff": CQ.crawl_snapshot_diff,
-        "redirect_chains": CQ.redirect_chains,
         "anchor_text_agg": G.anchor_text_agg,
         "hits_scores": G.hits_scores,
         # corpus curation rollups
@@ -212,6 +217,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": D.decontaminate,
         "ann_lsh_buckets": S.ann_lsh_bucketed,
         "ann_ivf_topk": S.ann_ivf_topk,
+        "dedup_simhash": D.dedup_simhash,
+        "dedup_embedding_cosine": D.dedup_embedding_cosine,
+        "ann_brute_topk": S.ann_brute_topk,
+        "interleaved_spans": TS.interleaved_spans,
+        "redirect_chains": CQ.redirect_chains,
         # multimodal: meta/dims are md5int-derived (SQL-reproducible);
         # the payload BYTES stay pinned rows-only in tests/test_multimodal.py
         "multimodal_pipeline": MM.multimodal_pipeline,
@@ -220,6 +230,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "paragraph_dedup": CS.paragraph_dedup_sql(),
+        "winnowing_candidates": D.winnowing_candidates_sql(),
+        "temperature_sample": SA.temperature_sample_sql(),
+        "trustrank_scores": G.trustrank_sql(),
+        "ngram_novelty": CS.ngram_novelty_sql(),
         "quality_classifier_train": CL.quality_classifier_train_sql(),
         "quality_classifier_filter": CL.quality_classifier_filter_sql(),
         "classifier_pr_auc": CL.classifier_pr_auc_sql(),

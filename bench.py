@@ -251,6 +251,12 @@ HEADLINE = [
     "bm25_topk",
     "dsir_select",
     "classifier_pr_auc",
+    # round-4 session-8: paragraph-granularity dedup + winnowing
+    # fingerprints (both posting-list plans over the token barrier) +
+    # seed-biased pagerank (5 unrolled join+agg iterations)
+    "paragraph_dedup",
+    "winnowing_candidates",
+    "trustrank_scores",
 ]
 
 

@@ -27,6 +27,9 @@ import time
 sys.path.insert(0, "/root/repo")  # script lives in scripts/
 
 SIZES = {"1x": 5_000, "10x": 50_000}
+# --full adds the 100x step (500k docs ≈ 60M tokens) — the two-decade
+# linearity table; kept behind a flag so the default run stays cheap
+FULL_SIZES = {"1x": 5_000, "10x": 50_000, "100x": 500_000}
 OUT_ROOT = "/tmp/dedup_scale"
 
 
@@ -66,10 +69,15 @@ def synth_documents(spark, n_docs: int, out_dir: str) -> None:
 
 
 def main() -> int:
+    from seo_crawler_spark.operators.corpus_stats import (
+        ngram_novelty,
+        paragraph_dedup,
+    )
     from seo_crawler_spark.operators.dedup import (
         dedup_minhash_lsh,
         dedup_ngram_jaccard,
         dedup_simhash,
+        winnowing_candidates,
     )
     from seo_crawler_spark.session import get_spark
 
@@ -80,9 +88,13 @@ def main() -> int:
         "minhash_lsh": dedup_minhash_lsh,
         "ngram_jaccard": dedup_ngram_jaccard,
         "simhash": dedup_simhash,
+        "paragraph_dedup": paragraph_dedup,
+        "winnowing": winnowing_candidates,
+        "ngram_novelty": ngram_novelty,
     }
+    sizes = FULL_SIZES if "--full" in sys.argv else SIZES
     out = {}
-    for label, n in SIZES.items():
+    for label, n in sizes.items():
         sf_dir = os.path.join(OUT_ROOT, label)
         synth_documents(spark, n, sf_dir)
         res = {"n_docs": n}
@@ -97,10 +109,12 @@ def main() -> int:
             res[op_name + "_sec"] = round(min(runs), 3)
             res[op_name + "_pairs"] = rows
         out[label] = res
+    labels = list(sizes)
     for op_name in ops:
-        out[op_name + "_time_ratio_10x"] = round(
-            out["10x"][op_name + "_sec"] / out["1x"][op_name + "_sec"], 2
-        )
+        for prev, cur in zip(labels, labels[1:]):
+            out[f"{op_name}_time_ratio_{cur}"] = round(
+                out[cur][op_name + "_sec"] / out[prev][op_name + "_sec"], 2
+            )
     print(json.dumps(out))
     spark.stop()
     shutil.rmtree(OUT_ROOT, ignore_errors=True)

@@ -34,6 +34,12 @@ QUERIES = [
     "contrastive_triplets_hard",
     "tokenizer_stats",
     "decontaminate_bm25",
+    # session 8
+    "paragraph_dedup",
+    "winnowing_candidates",
+    "temperature_sample",
+    "trustrank_scores",
+    "ngram_novelty",
 ]
 
 

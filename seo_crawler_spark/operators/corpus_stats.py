@@ -293,6 +293,202 @@ FROM cut ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# crawl-order n-gram novelty
+# ---------------------------------------------------------------------------
+
+NOVELTY_STALE = 0.5  # docs adding <50% new grams are marked stale
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-order marginal utility: per document, the fraction of its
+    distinct token 8-grams whose corpus-wide FIRST occurrence (min
+    doc_id = arrival order) is this document — i.e. how much NEW text
+    the document added when it arrived. The signal behind "stop
+    crawling this source" decisions and repeated-token accounting in
+    data-constrained scaling (Muennighoff et al. 2023): a stale doc
+    re-serves text the corpus already has even when no single earlier
+    doc is a near-duplicate of it (which is why dedup pair metrics
+    can't see it).
+
+    Where :func:`substring_dup_fraction` is SYMMETRIC (df >= 2 flags
+    both copies), novelty is ORDER-AWARE: the first copy keeps full
+    credit. Scale shape: distinct (doc, gram-hash) collapse, ONE
+    map-side-combined min-agg per hash, one equi-join back, one
+    per-doc agg — no windows, no pair generation; a df = d boilerplate
+    gram costs d rows at every stage."""
+    d = _token_arrays(load(spark, "documents", sf_dir))
+    occ = (
+        d.select(
+            "doc_id",
+            F.explode(shingles(F.col("tok"), SUB_NGRAM)).alias("g"),
+        )
+        .select("doc_id", (md5int(F.col("g")) % MOD).alias("h"))
+        .distinct()
+        # barrier: occ feeds both the first-arrival agg and the join
+        .localCheckpoint(eager=True)
+    )
+    first = occ.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        occ.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("int")
+            ).alias("novel_grams"),
+        )
+    )
+    frac = F.round(F.col("novel_grams") / F.col("n_grams"), 6)
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "novel_grams",
+        frac.alias("novelty_frac"),
+        (frac < NOVELTY_STALE).alias("stale"),
+    ).orderBy("doc_id")
+
+
+def ngram_novelty_sql() -> str:
+    tok = TOKENS_SQL.format(c="text")
+    grams = shingles_sql("tok", SUB_NGRAM)
+    h = MD5INT_SQL.format(c="g")
+    return f"""
+WITH tokd AS (SELECT doc_id, {tok} AS tok FROM documents),
+occ AS (
+  SELECT DISTINCT doc_id, ({h} % {MOD}) AS h
+  FROM (SELECT doc_id, unnest({grams}) AS g
+        FROM tokd WHERE len(tok) >= {SUB_NGRAM})
+),
+first AS (SELECT h, min(doc_id) AS first_doc FROM occ GROUP BY h),
+per_doc AS (
+  SELECT doc_id,
+         count(*) AS n_grams,
+         sum((first_doc = doc_id)::INT) AS novel_grams
+  FROM occ JOIN first USING (h) GROUP BY doc_id
+)
+SELECT doc_id, n_grams::BIGINT AS n_grams,
+       novel_grams::BIGINT AS novel_grams,
+       round(novel_grams * 1.0 / n_grams, 6) AS novelty_frac,
+       round(novel_grams * 1.0 / n_grams, 6) < {NOVELTY_STALE} AS stale
+FROM per_doc ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# paragraph-granularity dedup
+# ---------------------------------------------------------------------------
+
+# paragraph block size in tokens. The shipped synthetic corpus has no
+# newline structure, so "paragraph" is derived as fixed 20-token blocks;
+# a real web corpus swaps the splitter to split(text, '\n\n') — every
+# stage downstream of the split is splitter-agnostic.
+PARA_TOKENS = 20
+# paragraphs-per-doc bound for the (doc_id, pidx) -> int64 encoding of
+# the first-occurrence key; 1e5 blocks x 20 tokens = 2M tokens/doc,
+# far above any document a quality gate keeps
+PARA_ENC = 100_000
+
+
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup (the NearDup granularity between
+    whole-document ``dedup_exact`` and token-window
+    ``exact_substring_trim``; Lee et al. 2022 run the same rule on
+    '\\n\\n' paragraphs): every paragraph occurrence is kept iff it is
+    the corpus-wide FIRST occurrence of its hash — smallest
+    (doc_id, pidx) — so repeated boilerplate paragraphs survive exactly
+    once. Output per doc: paragraph counts, kept fraction, and the md5
+    of the recomposed kept text (proves the recomposition, compactly).
+
+    Scale shape — same discipline as :func:`substring_dup_fraction`:
+      1. the paragraph split is ROW-LOCAL (slice over the token array,
+         posexplode);
+      2. the first-occurrence rule is ONE map-side-combined min-agg per
+         hash over an int64-encoded (doc_id, pidx) key — no window, so
+         a df = d boilerplate paragraph costs d rows, never a d-row
+         sort partition;
+      3. one hash equi-join back to occurrences, then one per-doc agg
+         whose collect_list is bounded by paragraphs/doc.
+    Shuffles = 1 agg + 1 equi-join + 1 per-doc agg."""
+    d = _token_arrays(load(spark, "documents", sf_dir))
+    p = F.lit(PARA_TOKENS)
+    blocks = F.transform(
+        F.sequence(F.lit(1), F.ceil(F.size("tok") / p).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice("tok", (i - 1) * p + 1, p)),
+    )
+    paras = (
+        d.filter(F.size("tok") > 0)
+        .select("doc_id", F.posexplode(blocks).alias("p0", "para"))
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("pidx"),
+            "para",
+            (md5int(F.col("para")) % MOD).alias("h"),
+            (F.col("doc_id") * PARA_ENC + F.col("p0") + 1).alias("ek"),
+        )
+        # barrier: paras feeds BOTH the first-occurrence agg and the
+        # join probe side (exchange reuse doesn't cover the two)
+        .localCheckpoint(eager=True)
+    )
+    byh = paras.groupBy("h").agg(F.min("ek").alias("kek"))
+    kept = F.col("ek") == F.col("kek")
+    g = (
+        paras.join(byh, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(kept.cast("int")).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(kept, F.struct(F.col("pidx"), F.col("para")))
+                        )
+                    ),
+                    lambda x: x["para"],
+                ),
+            ).alias("kept_text"),
+        )
+    )
+    return g.select(
+        "doc_id",
+        "n_paras",
+        "n_kept",
+        F.round(F.col("n_kept") / F.col("n_paras"), 6).alias("kept_frac"),
+        F.md5("kept_text").alias("kept_md5"),
+    ).orderBy("doc_id")
+
+
+def paragraph_dedup_sql() -> str:
+    tok = TOKENS_SQL.format(c="text")
+    h = MD5INT_SQL.format(c="para")
+    p = PARA_TOKENS
+    return f"""
+WITH tokd AS (SELECT doc_id, {tok} AS tok FROM documents),
+paras AS (
+  SELECT doc_id, generate_subscripts(ps, 1) AS pidx, unnest(ps) AS para
+  FROM (SELECT doc_id,
+          list_transform(range(1, cast(ceil(len(tok) / {p}.0) AS INT) + 1),
+                         i -> array_to_string(tok[(i-1)*{p}+1 : i*{p}], ' '))
+            AS ps
+        FROM tokd WHERE len(tok) > 0)
+),
+occ AS (SELECT doc_id, pidx, para, ({h} % {MOD}) AS h,
+               doc_id * {PARA_ENC} + pidx AS ek FROM paras),
+byh AS (SELECT h, min(ek) AS kek FROM occ GROUP BY h)
+SELECT doc_id,
+       count(*) AS n_paras,
+       sum((ek = kek)::INT)::BIGINT AS n_kept,
+       round(sum((ek = kek)::INT) * 1.0 / count(*), 6) AS kept_frac,
+       md5(coalesce(
+         string_agg(CASE WHEN ek = kek THEN para END, ' ' ORDER BY pidx),
+         '')) AS kept_md5
+FROM occ JOIN byh USING (h)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # per-source rollup
 # ---------------------------------------------------------------------------
 

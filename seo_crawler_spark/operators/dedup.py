@@ -928,6 +928,98 @@ ORDER BY a, b
 # ---------------------------------------------------------------------------
 # Train/test decontamination
 # ---------------------------------------------------------------------------
+# winnowing fingerprints (Schleimer, Wilkerson, Aiken 2003 — MOSS)
+# ---------------------------------------------------------------------------
+
+WIN_K = 5        # gram length (tokens) behind each hash
+WIN_W = 4        # winnowing window: one fingerprint per w consecutive hashes
+WIN_DF_CAP = 100  # posting-list cap, same rationale as JACCARD_DF_CAP
+WIN_MIN_SHARED = 2  # candidate pair = docs sharing >= this many fingerprints
+
+
+def winnowing_candidates(
+    spark: SparkSession, sf_dir: str, k: int = WIN_K, w: int = WIN_W,
+    df_cap: int = WIN_DF_CAP, min_shared: int = WIN_MIN_SHARED,
+) -> DataFrame:
+    """Winnowing-fingerprint near-dup candidates (Schleimer et al.
+    2003, the MOSS algorithm): per document, hash every k-token gram,
+    then keep the MINIMUM hash of each w-hash window — a locality-
+    sensitive selection that guarantees any shared substring of
+    >= w+k-1 tokens yields at least one shared fingerprint, while
+    storing only ~2/(w+1) of the gram hashes. Candidate pairs are
+    documents sharing >= min_shared distinct fingerprints. Complements
+    MinHash (whole-doc resemblance) with guaranteed LOCAL-match
+    detection at a fraction of ``exact_substring_trim``'s index size.
+
+    Scale shape — the posting-list discipline of
+    :func:`dedup_ngram_jaccard`: gram hashing and window minima are
+    ROW-LOCAL higher-order exprs over a checkpoint-barriered hash
+    array (each element is read w times — without the barrier
+    CollapseProject re-inlines the md5 per read); ONE shuffle builds
+    fingerprint -> sorted doc set (collect_set dedupes per-doc
+    repeats), the df-cap is a free size() filter, and pair-gen is
+    row-local from each posting array — bounded by df_cap²/2 per
+    fingerprint, so boilerplate can never go quadratic."""
+    d = _token_arrays(load(spark, "documents", sf_dir))
+    hv = F.transform(shingles(F.col("tok"), k), lambda g: md5int(g) % MOD)
+    hs = (
+        # need at least one full window: len(hv) = len(tok)-k+1 >= w
+        d.filter(F.size("tok") >= k + w - 1)
+        .select("doc_id", hv.alias("hv"))
+        .localCheckpoint(eager=True)
+    )
+    minima = F.transform(
+        F.sequence(F.lit(1), F.size("hv") - (w - 1)),
+        lambda j: F.array_min(F.slice("hv", j, w)),
+    )
+    posts = (
+        hs.select("doc_id", F.explode(minima).alias("fp"))
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= df_cap))
+    )
+    pairs = posts.selectExpr(
+        "inline(flatten(transform(ds, "
+        "x -> transform(filter(ds, y -> y > x), y -> struct(x AS a, y AS b)))))"
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy("a", "b")
+    )
+
+
+def winnowing_candidates_sql(
+    k: int = WIN_K, w: int = WIN_W, df_cap: int = WIN_DF_CAP,
+    min_shared: int = WIN_MIN_SHARED,
+) -> str:
+    tok = TOKENS_SQL.format(c="text")
+    grams = shingles_sql("tok", k)
+    h = MD5INT_SQL.format(c="g")
+    return f"""
+WITH tokd AS (SELECT doc_id, {tok} AS tok FROM documents),
+hs AS (
+  SELECT doc_id, list_transform({grams}, g -> {h} % {MOD}) AS hv
+  FROM tokd WHERE len(tok) >= {k + w - 1}
+),
+fps AS (
+  SELECT DISTINCT doc_id, unnest(
+    list_transform(range(1, len(hv) - {w} + 2),
+                   j -> list_min(hv[j : j + {w - 1}]))) AS fp
+  FROM hs
+),
+df AS (SELECT fp, count(*) AS c FROM fps GROUP BY fp),
+ok AS (SELECT f.doc_id, f.fp FROM fps f JOIN df USING (fp)
+       WHERE c BETWEEN 2 AND {df_cap})
+SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
+FROM ok a JOIN ok b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+ORDER BY a, b
+"""
+
+
+# ---------------------------------------------------------------------------
 
 DECON_NGRAM = 8       # long shingles: benchmark-verbatim evidence, not topic
 DECON_BENCH_DOCS = 20  # doc_id < this = the "held-out benchmark" set

@@ -139,6 +139,123 @@ FROM {prev} ORDER BY rnk
 """
 
 
+# ---------------------------------------------------------------------------
+# TrustRank — seed-biased PageRank for spam demotion
+# ---------------------------------------------------------------------------
+
+# manually-vetted whitelist stand-in (the deterministic analog of the
+# oracle-selectable seed set TrustRank assumes; a production run feeds
+# the real vetted host list). Same stand-in convention as
+# decontaminate's benchmark docs.
+TRUST_SEEDS = 25
+
+
+def trustrank_scores(
+    spark: SparkSession, sf_dir: str, iters: int = ITERS,
+    n_seeds: int = TRUST_SEEDS,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): PageRank
+    with the teleport mass restricted to a trusted seed set, so trust
+    attenuates with link distance from vetted pages — the standard
+    spam-demotion / source-weighting signal a crawler feeds back into
+    admission and a curation pipeline feeds into source mixing.
+    ``reachable = false`` (zero trust after k rounds) marks pages no
+    trusted page endorses within k hops.
+
+    Same execution discipline as :func:`pagerank`: INTEGER fixed-point
+    throughout (per-edge contribution ``(score·85) div (100·outdeg)``),
+    so k iterations are bit-identical between Spark and the unrolled
+    DuckDB CTE oracle; each iteration is one equi-join + one
+    map-side-combined agg with a per-iteration lineage checkpoint. The
+    seed base term injects the SAME total mass as pagerank's uniform
+    teleport (BASE·N split over |S| seeds) — n and |S| are two bounded
+    driver scalars, the pagerank-n pattern."""
+    docs = load(spark, "documents", sf_dir).select("doc_id")
+    n = docs.count()
+    e = _edges(docs, n)
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e2 = e.join(outdeg, "src").localCheckpoint(eager=True)
+
+    tbase = (BASE * n) // n_seeds
+    seed_base = F.when(
+        F.col("doc_id") < n_seeds, F.lit(tbase).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    score = docs.select("doc_id", seed_base.alias("score"))
+    for _ in range(iters):
+        contrib = (
+            e2.join(score, e2.src == score.doc_id)
+            .select(
+                "dst",
+                F.expr(
+                    f"(score * {DAMP_NUM}) div ({DAMP_DEN} * outdeg)"
+                ).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("m"))
+        )
+        score = (
+            docs.join(contrib, docs.doc_id == contrib.dst, "left")
+            .select(
+                "doc_id",
+                (seed_base + F.coalesce("m", F.lit(0))).alias("score"),
+            )
+            .localCheckpoint(eager=True)  # truncate per-iteration lineage
+        )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        score.withColumn("rnk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            F.col("score").alias("tscore"),
+            (F.col("score") > 0).alias("reachable"),
+            "rnk",
+        )
+        .orderBy("rnk")
+    )
+
+
+def trustrank_sql(iters: int = ITERS, n_seeds: int = TRUST_SEEDS) -> str:
+    gens = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {frag} AS dst FROM documents"
+        for _, frag in _GEN_EXPRS
+    )
+    base = (
+        f"(CASE WHEN d.doc_id < {n_seeds} THEN (SELECT v FROM tb) "
+        f"ELSE 0 END)"
+    )
+    steps = []
+    prev = "s0"
+    for k in range(1, iters + 1):
+        steps.append(
+            f"s{k} AS MATERIALIZED (SELECT d.doc_id, "
+            f"({base} + coalesce(x.m, 0))::BIGINT AS score "
+            f"FROM documents d LEFT JOIN ("
+            f"SELECT e2.dst, sum((s.score * {DAMP_NUM}) // ({DAMP_DEN} * e2.outdeg)) AS m "
+            f"FROM e2 JOIN {prev} s ON e2.src = s.doc_id GROUP BY e2.dst"
+            f") x ON d.doc_id = x.dst)"
+        )
+        prev = f"s{k}"
+    return f"""
+WITH n AS (SELECT count(*) AS c FROM documents),
+tb AS (SELECT ({BASE}::BIGINT * (SELECT c FROM n))
+       // (SELECT count(*) FROM documents WHERE doc_id < {n_seeds}) AS v),
+e0 AS ({gens}),
+e AS MATERIALIZED (SELECT * FROM e0 WHERE src <> dst),
+od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+e2 AS MATERIALIZED (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+s0 AS (SELECT doc_id,
+              (CASE WHEN doc_id < {n_seeds} THEN (SELECT v FROM tb)
+               ELSE 0 END)::BIGINT AS score
+       FROM documents),
+{', '.join(steps)}
+SELECT doc_id, score AS tscore, score > 0 AS reachable,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+FROM {prev} ORDER BY rnk
+"""
+
+
 CC_ITERS = 5
 
 

@@ -317,3 +317,82 @@ SELECT rank, doc_id, lang, iw, iw / {DSIR_SCALE}.0 AS lw
 FROM phase2 WHERE rank <= {DSIR_KEEP}
 ORDER BY rank
 """
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled mixture sampling
+# ---------------------------------------------------------------------------
+
+# alpha = 0.5 exactly (w = sqrt(count)): IEEE-754 sqrt is correctly
+# rounded, so both engines compute bit-identical weights; a general
+# alpha would route through pow(), whose rounding is NOT pinned by the
+# standard. 0.5 is in the published range (XLM-R uses 0.3, mT5 0.3-0.7).
+TEMP_TARGET_FRAC_1K = 400  # sample ~40% of the corpus overall
+
+
+def temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled multilingual mixture sampling (the
+    p_i ∝ c_i^alpha rule of XLM-R / mT5): per-language keep rates are
+    derived FROM the corpus's own language counts so low-resource
+    languages are up-weighted relative to their share, then each doc
+    is kept by a deterministic salted-hash draw against its language's
+    rate — no RNG, identical output at any parallelism.
+
+    Where :func:`stratified_sample` applies FIXED per-language rates
+    and ``mixture_allocation`` reports budgets against external
+    targets, this derives the rates from the data and executes the
+    draw in one pass.
+
+    Determinism discipline: weights are floor(sqrt(c) * 1e6) int64
+    (order-independent partial sums); the only double arithmetic is
+    ONE fixed-shape scalar expression per language row over identical
+    integer operands — bit-identical across engines and partitionings.
+    Scale shape: one map-side-combined count agg, an O(|langs|)
+    dimension (the window below spans |langs| rows, not the corpus),
+    one broadcast join, a row-local hash filter. Zero corpus-side
+    shuffles beyond the count."""
+    from pyspark.sql import Window
+
+    docs = load(spark, "documents", sf_dir)
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    wcol = F.floor(F.sqrt(F.col("c")) * 1e6).cast("long")
+    dim = counts.select("lang", "c", wcol.alias("w"))
+    all_rows = Window.partitionBy()  # |langs| rows — a dimension, not data
+    target = F.floor(
+        F.sum("c").over(all_rows) * TEMP_TARGET_FRAC_1K / 1000
+    ).cast("long")
+    rate = F.least(
+        F.lit(1000),
+        F.floor(
+            F.lit(1000.0) * target * F.col("w")
+            / F.sum("w").over(all_rows) / F.col("c")
+        ).cast("long"),
+    )
+    rates = dim.select("lang", rate.alias("rate_1k"))
+    h = md5int(F.concat(F.lit("tmix:"), F.col("doc_id").cast("string"))) % 1000
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .filter(h < F.col("rate_1k"))
+        .select("doc_id", "lang", "rate_1k")
+        .orderBy("doc_id")
+    )
+
+
+def temperature_sample_sql() -> str:
+    h = MD5INT_SQL.format(c="('tmix:' || doc_id)")
+    return f"""
+WITH counts AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+w AS (SELECT lang, c, cast(floor(sqrt(c) * 1e6) AS BIGINT) AS w FROM counts),
+rates AS (
+  SELECT lang,
+         least(1000, cast(floor(
+           1000.0 * cast(floor(sum(c) OVER () * {TEMP_TARGET_FRAC_1K} / 1000)
+                         AS BIGINT)
+           * w / sum(w) OVER () / c) AS BIGINT)) AS rate_1k
+  FROM w
+)
+SELECT d.doc_id, d.lang, r.rate_1k
+FROM documents d JOIN rates r USING (lang)
+WHERE ({h} % 1000) < r.rate_1k
+ORDER BY d.doc_id
+"""
