@@ -257,6 +257,12 @@ HEADLINE = [
     "paragraph_dedup",
     "winnowing_candidates",
     "trustrank_scores",
+    # round-4 session-9: content-defined chunking (two barriered
+    # higher-order passes + the keep-first tail), mirror-host posting
+    # lists, spam mass (two 5-iteration rank loops + one doc_id join)
+    "cdc_chunk_dedup",
+    "mirror_hosts",
+    "spam_mass",
 ]
 
 

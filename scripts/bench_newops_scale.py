@@ -40,6 +40,10 @@ QUERIES = [
     "temperature_sample",
     "trustrank_scores",
     "ngram_novelty",
+    # session 9
+    "cdc_chunk_dedup",
+    "mirror_hosts",
+    "spam_mass",
 ]
 
 
@@ -47,6 +51,9 @@ def main() -> int:
     reps = 3
     if "--reps" in sys.argv:
         reps = int(sys.argv[sys.argv.index("--reps") + 1])
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
 
     import importlib.util
 
@@ -77,7 +84,7 @@ def main() -> int:
         return times[len(times) // 2]
 
     print(f"{'query':26s} {'sf0.01 s':>9s} {'sf0.1 s':>9s} {'ratio':>6s}")
-    for name in QUERIES:
+    for name in only if only else QUERIES:
         a = run(name, "/root/testdata/sf0.01")
         b = run(name, "/root/testdata/sf0.1")
         print(f"{name:26s} {a:9.2f} {b:9.2f} {b / a:5.1f}x")

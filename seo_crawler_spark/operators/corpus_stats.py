@@ -429,32 +429,45 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # join probe side (exchange reuse doesn't cover the two)
         .localCheckpoint(eager=True)
     )
-    byh = paras.groupBy("h").agg(F.min("ek").alias("kek"))
+    return _first_occurrence_rollup(paras, "pidx", "para", "n_paras")
+
+
+def _first_occurrence_rollup(
+    occ: DataFrame, idx: str, piece: str, n_name: str
+) -> DataFrame:
+    """Keep-first rollup shared by :func:`paragraph_dedup` and
+    :func:`cdc_chunk_dedup`: given occurrences (doc_id, <idx>, <piece>,
+    h, ek) where ek is the int64-encoded (doc_id, idx) arrival key,
+    keep each occurrence iff ek is the corpus-wide minimum for its
+    hash, and roll up per doc — counts, kept fraction, and the md5 of
+    the recomposed kept text. ONE map-side min-agg + one equi-join +
+    one per-doc agg; no window over occurrences."""
+    byh = occ.groupBy("h").agg(F.min("ek").alias("kek"))
     kept = F.col("ek") == F.col("kek")
     g = (
-        paras.join(byh, "h")
+        occ.join(byh, "h")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_paras"),
+            F.count(F.lit(1)).alias(n_name),
             F.sum(kept.cast("int")).alias("n_kept"),
             F.concat_ws(
                 " ",
                 F.transform(
                     F.array_sort(
                         F.collect_list(
-                            F.when(kept, F.struct(F.col("pidx"), F.col("para")))
+                            F.when(kept, F.struct(F.col(idx), F.col(piece)))
                         )
                     ),
-                    lambda x: x["para"],
+                    lambda x: x[piece],
                 ),
             ).alias("kept_text"),
         )
     )
     return g.select(
         "doc_id",
-        "n_paras",
+        n_name,
         "n_kept",
-        F.round(F.col("n_kept") / F.col("n_paras"), 6).alias("kept_frac"),
+        F.round(F.col("n_kept") / F.col(n_name), 6).alias("kept_frac"),
         F.md5("kept_text").alias("kept_md5"),
     ).orderBy("doc_id")
 
@@ -707,4 +720,257 @@ SELECT lang, n_docs, available_tokens,
        round(({MIX_BUDGET_TOKENS} * (CASE lang {whens} ELSE 0 END) // 1000)
              * 1.0 / available_tokens, 6) AS sample_rate
 FROM avail ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking dedup (CDC)
+# ---------------------------------------------------------------------------
+
+CDC_K = 4        # boundary decision looks at the k-token gram ending here
+CDC_D = 8        # boundary probability 1/D -> mean chunk ~D tokens
+CDC_ENC = 100_000  # chunks-per-doc bound for the int64 (doc_id, cidx) key
+
+
+def cdc_chunk_dedup(
+    spark: SparkSession, sf_dir: str, k: int = CDC_K, d: int = CDC_D
+) -> DataFrame:
+    """Content-defined-chunking dedup: cut each document AFTER any token
+    whose trailing k-gram hashes to 0 mod D (the text analog of
+    gear/Rabin CDC used by dedup storage systems and by corpus-level
+    passage dedup), then keep each chunk occurrence iff it is the
+    corpus-wide FIRST occurrence of its hash — the same rule as
+    :func:`paragraph_dedup` at a granularity that is INSERTION-ROBUST:
+    because every boundary is a pure function of the k tokens ending at
+    it, editing or prepending text re-chunks only up to the first
+    surviving boundary, after which all cuts — and therefore all chunk
+    hashes — realign. Fixed blocks (paragraph_dedup's splitter) lose
+    every block after an insertion point; CDC loses at most one.
+
+    Scale shape: gram hashing, boundary selection, and chunk slicing
+    are ROW-LOCAL higher-order exprs over two checkpoint-barriered
+    arrays (the gram-hash array, then the materialized bounds array —
+    without the second barrier each chunk re-evaluates the whole
+    filter+concat bounds expression, O(L²/D) per doc; with it chunk
+    slicing is O(L)). The dedup tail is paragraph_dedup's: ONE
+    map-side min-agg per hash, one equi-join, one per-doc agg."""
+    t = _token_arrays(load(spark, "documents", sf_dir)).filter(
+        F.size("tok") > 0
+    )
+    hv = F.transform(shingles(F.col("tok"), k), lambda g: md5int(g) % MOD)
+    hs = t.select("doc_id", "tok", hv.alias("hv")).localCheckpoint(eager=True)
+    # cut after token e = j+k-1 for gram j (1-based); the gram ending at
+    # the LAST token never cuts — doc end is an implicit boundary
+    cuts = F.when(
+        F.size("hv") >= 2,
+        F.filter(
+            F.sequence(F.lit(1), F.size("hv") - 1),
+            lambda j: F.element_at(F.col("hv"), j) % d == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    bounds = F.concat(
+        F.array(F.lit(0)),
+        F.transform(cuts, lambda j: j + F.lit(k - 1)),
+        F.array(F.size("tok")),
+    )
+    hb = hs.select(
+        "doc_id", "tok", bounds.alias("bounds")
+    ).localCheckpoint(eager=True)
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size("bounds") - 1),
+        lambda i: F.concat_ws(
+            " ",
+            F.slice(
+                F.col("tok"),
+                F.element_at(F.col("bounds"), i) + 1,
+                F.element_at(F.col("bounds"), i + 1)
+                - F.element_at(F.col("bounds"), i),
+            ),
+        ),
+    )
+    occ = (
+        hb.select("doc_id", F.posexplode(chunks).alias("c0", "chunk"))
+        .select(
+            "doc_id",
+            (F.col("c0") + 1).alias("cidx"),
+            "chunk",
+            (md5int(F.col("chunk")) % MOD).alias("h"),
+            (F.col("doc_id") * CDC_ENC + F.col("c0") + 1).alias("ek"),
+        )
+        # barrier: occ feeds BOTH the first-occurrence agg and the join
+        # probe side (exchange reuse doesn't cover the two)
+        .localCheckpoint(eager=True)
+    )
+    return _first_occurrence_rollup(occ, "cidx", "chunk", "n_chunks")
+
+
+def cdc_chunk_dedup_sql(k: int = CDC_K, d: int = CDC_D) -> str:
+    tok = TOKENS_SQL.format(c="text")
+    grams = shingles_sql("tok", k)
+    hg = MD5INT_SQL.format(c="g")
+    hc = MD5INT_SQL.format(c="chunk")
+    return f"""
+WITH tokd AS (SELECT doc_id, {tok} AS tok FROM documents),
+hs AS (
+  SELECT doc_id, tok, list_transform({grams}, g -> {hg} % {MOD}) AS hv
+  FROM tokd WHERE len(tok) > 0
+),
+bd AS (
+  SELECT doc_id, tok,
+         list_concat(list_concat([0],
+           list_transform(list_filter(range(1, len(hv)),
+                                      j -> hv[j] % {d} = 0),
+                          j -> j + {k - 1})),
+           [len(tok)]) AS bounds
+  FROM hs
+),
+chunks AS (
+  SELECT doc_id, generate_subscripts(cs, 1) AS cidx, unnest(cs) AS chunk
+  FROM (SELECT doc_id,
+          list_transform(range(1, len(bounds)),
+            i -> array_to_string(tok[bounds[i]+1 : bounds[i+1]], ' ')) AS cs
+        FROM bd)
+),
+occ AS (SELECT doc_id, cidx, chunk, ({hc} % {MOD}) AS h,
+               doc_id * {CDC_ENC} + cidx AS ek FROM chunks),
+byh AS (SELECT h, min(ek) AS kek FROM occ GROUP BY h)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       sum((ek = kek)::INT)::BIGINT AS n_kept,
+       round(sum((ek = kek)::INT) * 1.0 / count(*), 6) AS kept_frac,
+       md5(coalesce(
+         string_agg(CASE WHEN ek = kek THEN chunk END, ' ' ORDER BY cidx),
+         '')) AS kept_md5
+FROM occ JOIN byh USING (h)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# mirror-host detection
+# ---------------------------------------------------------------------------
+
+MIRROR_DF_CAP = 50      # max hosts sharing one paragraph hash (df-cap)
+MIRROR_FLAG_PCT = 2     # mirror iff 100·shared >= pct·min(|A|,|B|)
+
+
+def mirror_hosts(
+    spark: SparkSession, sf_dir: str, df_cap: int = MIRROR_DF_CAP
+) -> DataFrame:
+    """Mirror-host detection (Bharat & Broder, WWW 1999 "A comparison
+    of techniques to find mirrored hosts"): host pairs sharing
+    paragraph-level content — the signal a crawler uses to collapse
+    mirrors into one fetch budget and a curation pipeline uses to stop
+    double-counting a source. Content unit = the PARA_TOKENS-block
+    paragraph hash (full-document hashing is vacuous across hosts by
+    construction on the shipped corpus; real mirrors share paragraphs
+    long before they share byte-identical pages). overlap =
+    shared / min(|A|, |B|) over each host's distinct paragraph set;
+    the mirror verdict is stated on the INTEGERS
+    (100·shared >= MIRROR_FLAG_PCT·min) so it is exact cross-engine.
+
+    Scale shape — the posting-list discipline: (source, h) pairs
+    collapse map-side via distinct; ONE shuffle builds
+    hash -> sorted host set; the df-cap is a free size() filter (a
+    boilerplate paragraph on d hosts costs d(d-1)/2 pair rows ONLY
+    below the cap — above it the hash is stopworded, same rationale as
+    JACCARD_DF_CAP); pair-gen is row-local from each posting array;
+    host sizes join back broadcast (the host dimension is tiny next to
+    the corpus at any scale)."""
+    docs = load(spark, "documents", sf_dir)
+    d = _token_arrays(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    p = F.lit(PARA_TOKENS)
+    blocks = F.transform(
+        F.sequence(F.lit(1), F.ceil(F.size("tok") / p).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice("tok", (i - 1) * p + 1, p)),
+    )
+    ph = (
+        d.filter(F.size("tok") > 0)
+        .select("source", F.explode(blocks).alias("para"))
+        .select("source", (md5int(F.col("para")) % MOD).alias("h"))
+        .distinct()
+        # barrier: ph feeds the posting build AND the size agg (which
+        # itself feeds BOTH sides of the pair join) — without it the
+        # explode+md5+distinct pipeline replays up to 3×
+        .localCheckpoint(eager=True)
+    )
+    sz = (
+        ph.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_paras"))
+        # host-dimension-sized; barriered so sa/sb don't re-aggregate
+        .localCheckpoint(eager=True)
+    )
+    posts = (
+        ph.groupBy("h")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .filter((F.size("ss") >= 2) & (F.size("ss") <= df_cap))
+    )
+    pairs = posts.selectExpr(
+        "inline(flatten(transform(ss, "
+        "x -> transform(filter(ss, y -> y > x), "
+        "y -> struct(x AS host_a, y AS host_b)))))"
+    )
+    shared = pairs.groupBy("host_a", "host_b").agg(
+        F.count(F.lit(1)).alias("shared_paras")
+    )
+    sa = sz.select(
+        F.col("source").alias("host_a"), F.col("n_paras").alias("n_a")
+    )
+    sb = sz.select(
+        F.col("source").alias("host_b"), F.col("n_paras").alias("n_b")
+    )
+    mn = F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        shared.join(F.broadcast(sa), "host_a")
+        .join(F.broadcast(sb), "host_b")
+        .select(
+            "host_a",
+            "host_b",
+            "shared_paras",
+            "n_a",
+            "n_b",
+            F.round(F.col("shared_paras") / mn, 6).alias("overlap"),
+            (F.col("shared_paras") * 100 >= mn * MIRROR_FLAG_PCT).alias(
+                "mirror"
+            ),
+        )
+        .orderBy("host_a", "host_b")
+    )
+
+
+def mirror_hosts_sql(df_cap: int = MIRROR_DF_CAP) -> str:
+    tok = TOKENS_SQL.format(c="text")
+    h = MD5INT_SQL.format(c="para")
+    p = PARA_TOKENS
+    return f"""
+WITH tokd AS (SELECT doc_id, source, {tok} AS tok FROM documents),
+paras AS (
+  SELECT source, unnest(
+    list_transform(range(1, cast(ceil(len(tok) / {p}.0) AS INT) + 1),
+                   i -> array_to_string(tok[(i-1)*{p}+1 : i*{p}], ' ')))
+    AS para
+  FROM tokd WHERE len(tok) > 0
+),
+ph AS (SELECT DISTINCT source, ({h} % {MOD}) AS h FROM paras),
+sz AS (SELECT source, count(*) AS n_paras FROM ph GROUP BY source),
+df AS (SELECT h, count(*) AS c FROM ph GROUP BY h),
+ok AS (SELECT ph.source, ph.h FROM ph JOIN df USING (h)
+       WHERE c BETWEEN 2 AND {df_cap}),
+pairs AS (
+  SELECT a.source AS host_a, b.source AS host_b, count(*) AS shared_paras
+  FROM ok a JOIN ok b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT p.host_a, p.host_b, p.shared_paras,
+       x.n_paras AS n_a, y.n_paras AS n_b,
+       round(p.shared_paras * 1.0 / least(x.n_paras, y.n_paras), 6)
+         AS overlap,
+       p.shared_paras * 100 >= least(x.n_paras, y.n_paras) * {MIRROR_FLAG_PCT}
+         AS mirror
+FROM pairs p
+JOIN sz x ON p.host_a = x.source
+JOIN sz y ON p.host_b = y.source
+ORDER BY p.host_a, p.host_b
 """

@@ -707,3 +707,72 @@ SELECT node AS doc_id, min(lbl) AS cluster_id,
        (node = min(lbl)) AS is_keeper
 FROM reach GROUP BY node ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Spam mass — PageRank not endorsed by trusted sources
+# ---------------------------------------------------------------------------
+
+# relative-mass threshold: spammy iff (pr - tr)/pr >= 0.99, stated on
+# the INTEGERS as 100·tr <= pr so the verdict is exact cross-engine
+# (the lm_perplexity/temperature_sample float-threshold lesson)
+SPAM_MASS_PCT = 99
+
+
+def spam_mass(
+    spark: SparkSession, sf_dir: str, iters: int = ITERS,
+    n_seeds: int = TRUST_SEEDS,
+) -> DataFrame:
+    """Spam mass (Gyöngyi, Berkhin, Garcia-Molina & Pedersen 2006,
+    "Link Spam Detection Based on Mass Estimation"): the share of a
+    page's PageRank NOT attributable to trusted sources — mass =
+    PR − TrustRank (clamped at 0; near-seed pages can hold more trust
+    than rank), relative mass = mass/PR. Pages whose rank is almost
+    entirely untrusted (rel_mass >= 0.99, i.e. 100·tr <= pr on the
+    integers) are link-spam candidates a crawler demotes and a curation
+    pipeline down-weights — the decision signal the paper builds on
+    top of the two scores this composes.
+
+    Composition, not re-implementation: reuses the REGISTERED
+    :func:`pagerank` and :func:`trustrank_scores` operators verbatim
+    (both integer fixed-point with the SAME total teleport mass
+    BASE·N, so the two scores are directly comparable — the paper's
+    core requirement) plus ONE doc_id equi-join; the division is a
+    single same-int/same-int IEEE op, identical in both engines. Scale
+    shape is the two underlying loops' (one equi-join + one map-side
+    agg per iteration, per-iteration lineage checkpoints); the final
+    join is doc_id-partitioned, co-located when both score tables are
+    bucketed by doc_id."""
+    pr = pagerank(spark, sf_dir, iters).select(
+        "doc_id", F.col("score").alias("pr_score")
+    )
+    tr = trustrank_scores(spark, sf_dir, iters, n_seeds).select(
+        "doc_id", F.col("tscore").alias("tr_score")
+    )
+    m = pr.join(tr, "doc_id")
+    excess = F.greatest(
+        F.col("pr_score") - F.col("tr_score"), F.lit(0).cast("long")
+    )
+    return m.select(
+        "doc_id",
+        "pr_score",
+        "tr_score",
+        excess.alias("mass"),
+        F.round(excess / F.col("pr_score"), 6).alias("rel_mass"),
+        (F.col("tr_score") * 100 <= F.col("pr_score") * (100 - SPAM_MASS_PCT))
+        .alias("spammy"),
+    ).orderBy("doc_id")
+
+
+def spam_mass_sql(iters: int = ITERS, n_seeds: int = TRUST_SEEDS) -> str:
+    return f"""
+SELECT p.doc_id,
+       p.score AS pr_score,
+       t.tscore AS tr_score,
+       greatest(p.score - t.tscore, 0) AS mass,
+       round(greatest(p.score - t.tscore, 0) * 1.0 / p.score, 6) AS rel_mass,
+       t.tscore * 100 <= p.score * {100 - SPAM_MASS_PCT} AS spammy
+FROM ({pagerank_sql(iters)}) p
+JOIN ({trustrank_sql(iters, n_seeds)}) t USING (doc_id)
+ORDER BY p.doc_id
+"""
