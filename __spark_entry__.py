@@ -88,6 +88,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # for queries with multi-round green driver history (the TPC-H five,
     # the events family, status_histogram — green since round 1/2).
     return {
+        # new in round 4 session 10 — must sit inside the 50-row window
+        # (displaces embedding_neardup_lsh / repetition_signals /
+        # pii_scrub, green driver rows in r3, to the tail)
+        "bitext_mining": S.bitext_mining,
+        "vocab_coverage": BP.vocab_coverage,
+        "source_similarity": CS.source_similarity,
         # new in round 4 session 9 — must sit inside the 50-row window
         # (displaces host_stats / length_quantiles / mixture_allocation,
         # single-agg queries judge-verified in r3, to the tail)
@@ -134,15 +140,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "kmeans_quantizer": S.kmeans_quantizer,
         "cluster_balanced_sample": S.cluster_balanced_sample,
-        "embedding_neardup_lsh": S.embedding_neardup_lsh,
+        # embedding_neardup_lsh demoted to the tail (green driver row in
+        # r3) to make window room for session-10's bitext_mining
         # media-modality exact dedup (hash map-side, blobs never shuffle)
         "media_dedup": MM.media_dedup,
         # text analysis (lang_id/token_counts/quality_scores demoted to
         # the tail to make window room for the classifier pair and the
         # cluster-balanced sampler / triplet miner — green driver rows
         # r1-r3)
-        "repetition_signals": TS.repetition_signals,
-        "pii_scrub": TS.pii_scrub,
+        # repetition_signals / pii_scrub demoted to the tail (green
+        # driver rows in r3) for session-10's vocab_coverage /
+        # source_similarity
         "inverted_index": TS.inverted_index,
         # new in round 4 session 7 — must sit inside the 50-row window
         # (displaces stratified_sample, a green driver row since r3, to
@@ -228,6 +236,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": S.ann_ivf_topk,
         "dedup_simhash": D.dedup_simhash,
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
+        "embedding_neardup_lsh": S.embedding_neardup_lsh,
+        "repetition_signals": TS.repetition_signals,
+        "pii_scrub": TS.pii_scrub,
         "ann_brute_topk": S.ann_brute_topk,
         "interleaved_spans": TS.interleaved_spans,
         "redirect_chains": CQ.redirect_chains,
@@ -239,6 +250,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bitext_mining": S.bitext_mining_sql(),
+        "vocab_coverage": BP.vocab_coverage_sql(),
+        "source_similarity": CS.source_similarity_sql(),
         "cdc_chunk_dedup": CS.cdc_chunk_dedup_sql(),
         "mirror_hosts": CS.mirror_hosts_sql(),
         "spam_mass": G.spam_mass_sql(),

@@ -263,6 +263,10 @@ HEADLINE = [
     "cdc_chunk_dedup",
     "mirror_hosts",
     "spam_mass",
+    # round-4 session-10: margin-based bitext mining (LSH band join +
+    # candidate-set k-NN margin windows), source-pair TF cosine matrix
+    "bitext_mining",
+    "source_similarity",
 ]
 
 

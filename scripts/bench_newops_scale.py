@@ -44,6 +44,10 @@ QUERIES = [
     "cdc_chunk_dedup",
     "mirror_hosts",
     "spam_mass",
+    # session 10
+    "bitext_mining",
+    "vocab_coverage",
+    "source_similarity",
 ]
 
 

@@ -297,3 +297,102 @@ FROM perdoc p JOIN documents d USING (doc_id)
 GROUP BY d.lang
 ORDER BY d.lang
 """
+
+
+# ---------------------------------------------------------------------------
+# vocabulary coverage curve (tokenizer vocab-size planning)
+# ---------------------------------------------------------------------------
+
+VOCAB_STEPS = [1, 2, 4, 8, 16, 32]  # candidate vocab sizes; a production
+# run passes [1e3 .. 1e6] — the shipped corpus has ~31 types, so the
+# steps are scaled to keep every row of the curve discriminative
+VOCAB_RANK_BUCKETS = 32  # two-phase top-k salt (bm25_topk discipline)
+
+
+def vocab_coverage(
+    spark: SparkSession, sf_dir: str, steps: list[int] | None = None
+) -> DataFrame:
+    """Vocabulary coverage curve — for each candidate vocab size N,
+    the fraction of corpus TOKEN OCCURRENCES covered by the N most
+    frequent types (and the complementary OOV rate). This is the
+    tokenizer-vocab-size planning readout: where the curve flattens is
+    where growing the vocabulary stops paying for itself (Sennrich et
+    al. 2016 size-selection practice; the same curve drives stopword
+    cutoffs and feature-hash sizing).
+
+    Scale shape: ONE map-side-combined type-count aggregate, then the
+    global frequency rank runs TWO-PHASE (rank within md5-salted
+    buckets, keep per-bucket top max(N) ≤ steps' max, then rank the
+    ≤ buckets×max(N) survivors) — no single-reducer sort over the
+    vocabulary at any corpus size (the bm25_topk discipline). The
+    corpus totals are a 2-scalar driver constant. Coverage and OOV are
+    single divisions of exact integer sums (same-int ÷ same-int is the
+    same double bit-for-bit in both engines — no float accumulation
+    anywhere)."""
+    from pyspark.sql import Window
+
+    from ..functions.text import md5int
+
+    steps = steps or VOCAB_STEPS
+    top = max(steps)
+    d = load(spark, "documents", sf_dir)
+    cnt = (
+        d.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # feeds the rank chain + the totals
+    )
+    tot = cnt.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")).collect()[0]
+    n_tokens, n_types = int(tot["n"]), int(tot["v"])
+    # phase 1: per-bucket rank; only per-bucket top `top` survive
+    w1 = Window.partitionBy("bk").orderBy(F.desc("c"), F.asc("t"))
+    sur = (
+        cnt.withColumn("bk", F.pmod(md5int(F.col("t")), F.lit(VOCAB_RANK_BUCKETS)))
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= top)
+    )
+    # phase 2: global rank over <= buckets*top survivors (tiny)
+    w2 = Window.orderBy(F.desc("c"), F.asc("t"))
+    ranked = sur.withColumn("rnk", F.row_number().over(w2))
+    stepc = F.explode(F.array(*[F.lit(n) for n in sorted(steps)])).alias("vocab_n")
+    return (
+        ranked.select("c", "rnk", stepc)
+        .filter(F.col("rnk") <= F.col("vocab_n"))
+        .groupBy("vocab_n")
+        .agg(F.sum("c").alias("covered_tokens"), F.count(F.lit(1)).alias("types_used"))
+        .select(
+            "vocab_n",
+            "types_used",
+            "covered_tokens",
+            (F.col("covered_tokens") / F.lit(float(n_tokens))).alias("coverage"),
+            (
+                (F.lit(n_tokens) - F.col("covered_tokens")) / F.lit(float(n_tokens))
+            ).alias("oov_rate"),
+        )
+        .orderBy("vocab_n")
+    )
+
+
+def vocab_coverage_sql(steps: list[int] | None = None) -> str:
+    tok = TOKENS_SQL.format(c="text")
+    ns = ", ".join(str(n) for n in sorted(steps or VOCAB_STEPS))
+    return f"""
+WITH cnt AS (
+  SELECT t, count(*) AS c FROM (
+    SELECT unnest({tok}) AS t FROM documents) GROUP BY t
+),
+tot AS (SELECT sum(c) AS n FROM cnt),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rnk FROM cnt
+)
+SELECT s.vocab_n,
+       count(*) AS types_used,
+       sum(ranked.c)::BIGINT AS covered_tokens,
+       sum(ranked.c)::BIGINT / (SELECT n::DOUBLE FROM tot) AS coverage,
+       ((SELECT n FROM tot) - sum(ranked.c))::BIGINT
+         / (SELECT n::DOUBLE FROM tot) AS oov_rate
+FROM ranked, (SELECT unnest([{ns}]) AS vocab_n) s
+WHERE ranked.rnk <= s.vocab_n
+GROUP BY s.vocab_n
+ORDER BY s.vocab_n
+"""

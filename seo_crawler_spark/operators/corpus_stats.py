@@ -31,6 +31,7 @@ from ..functions.text import (
     md5int,
     shingles,
     shingles_sql,
+    tokens,
 )
 from ..sources.tables import load
 from .dedup import _token_arrays
@@ -973,4 +974,100 @@ FROM pairs p
 JOIN sz x ON p.host_a = x.source
 JOIN sz y ON p.host_b = y.source
 ORDER BY p.host_a, p.host_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# source distributional similarity (term-frequency cosine matrix)
+# ---------------------------------------------------------------------------
+
+SRCSIM_SCALE = 10_000  # cosine -> int grid (the bitext_mining grid)
+
+
+def source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise DISTRIBUTIONAL similarity between sources: cosine of
+    each source pair's term-frequency vectors. The vocabulary-profile
+    complement of :func:`mirror_hosts` — mirrors share literal content
+    (paragraph hashes); this matrix finds sources drawing on the same
+    *distribution* (scraped from the same upstream, same template
+    family, same genre) even when no paragraph is shared. It is the
+    standard corpus-composition diagnostic before mixture weighting:
+    near-identical sources shouldn't each get independent mixture mass.
+
+    Scale shape: ONE map-side-combined (source, term) count aggregate,
+    row-local squared-norms per source (a \\|sources\\|-row frame), and a
+    term-keyed equi-join for the dots — a term present in d sources
+    contributes d(d-1)/2 pair rows, so the join is bounded by
+    \\|vocab\\|·\\|sources\\|² and never touches documents twice; with very
+    many sources the mirror_hosts posting-list collapse (collect per
+    term, row-local pair-gen, df-cap) is the drop-in swap. All dots
+    and norms are exact integer sums of counts; cosine is the
+    floor-to-1e4-grid of int64-derived doubles (the bitext_mining
+    discipline), so the matrix is partition-invariant and
+    bit-identical cross-engine."""
+    d = load(spark, "documents", sf_dir)
+    tf = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        # feeds the norm agg AND both sides of the dot join
+        .localCheckpoint(eager=True)
+    )
+    norms = tf.groupBy("source").agg(F.sum(F.col("c") * F.col("c")).alias("n2"))
+    a = tf.select(F.col("source").alias("src_a"), "t", F.col("c").alias("ca"))
+    b = tf.select(F.col("source").alias("src_b"), "t", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "t")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).alias("idot"))
+    )
+    icos = F.floor(
+        F.col("idot").cast("double")
+        / F.sqrt(F.col("na").cast("double"))
+        / F.sqrt(F.col("nb").cast("double"))
+        * F.lit(float(SRCSIM_SCALE))
+    ).cast("long")
+    return (
+        dots.join(
+            F.broadcast(norms.select(F.col("source").alias("src_a"), F.col("n2").alias("na"))),
+            "src_a",
+        )
+        .join(
+            F.broadcast(norms.select(F.col("source").alias("src_b"), F.col("n2").alias("nb"))),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            icos.alias("icos"),
+            (icos / F.lit(float(SRCSIM_SCALE))).alias("cos"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def source_similarity_sql() -> str:
+    tok = TOKENS_SQL.format(c="text")
+    s = SRCSIM_SCALE
+    return f"""
+WITH tf AS (
+  SELECT source, t, count(*) AS c FROM (
+    SELECT source, unnest({tok}) AS t FROM documents) GROUP BY 1, 2
+),
+norms AS (SELECT source, sum(c * c) AS n2 FROM tf GROUP BY 1),
+dots AS (
+  SELECT a.source AS src_a, b.source AS src_b, sum(a.c * b.c) AS idot
+  FROM tf a JOIN tf b ON a.t = b.t AND a.source < b.source
+  GROUP BY 1, 2
+),
+g AS (
+  SELECT d.src_a, d.src_b,
+         floor(d.idot::DOUBLE / sqrt(na.n2::DOUBLE)
+               / sqrt(nb.n2::DOUBLE) * {s})::BIGINT AS icos
+  FROM dots d JOIN norms na ON na.source = d.src_a
+              JOIN norms nb ON nb.source = d.src_b
+)
+SELECT src_a, src_b, icos, icos / {float(s)} AS cos
+FROM g ORDER BY src_a, src_b
 """

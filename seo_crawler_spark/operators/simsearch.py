@@ -1113,3 +1113,235 @@ sel AS (SELECT vec_id, cell,
 SELECT vec_id, cell, pos::BIGINT AS pos, (pos <= {quota})::BIGINT AS kept
 FROM sel ORDER BY vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-lingual bitext mining (margin-based alignment)
+# ---------------------------------------------------------------------------
+
+BTX_SRC_LANG = "en"   # source side of the mined pairs
+BTX_BANDS = 4         # 16-bit signature split 4 bands x 4 bits (the
+BTX_BAND_BITS = 4     # dedup_embedding_cosine split - weak-similarity data)
+BTX_KNN = 4           # k of the margin's k-NN denominator
+BTX_MARGIN_PCT = 105  # kept iff margin >= 1.05, stated on integers
+ICOS_SCALE = 10_000   # cosine -> int grid: icos = floor(cos * 1e4)
+
+
+def bitext_mining(
+    spark: SparkSession,
+    sf_dir: str,
+    src_lang: str = BTX_SRC_LANG,
+    knn: int = BTX_KNN,
+    margin_pct: int = BTX_MARGIN_PCT,
+) -> DataFrame:
+    """Margin-based cross-lingual bitext mining (Artetxe & Schwenk
+    2019's ratio margin, the CCMatrix/LASER mining rule): for every
+    source-language document, score each candidate target-language
+    document by cos(x,y) normalized by the average cosine of each
+    side's k nearest neighbours — margin = 2*cos(x,y) /
+    (avg_kNN(x) + avg_kNN(y)) — and keep the forward-best target per
+    (source doc, target lang) when the margin clears a threshold. The
+    margin denominator calibrates away "hub" vectors that are close to
+    everything, which raw-cosine mining mistakes for translations.
+
+    Candidates come from the SAME banded hyperplane-LSH signature as
+    :func:`dedup_embedding_cosine` (per-(band,key) equi-joins — the
+    only corpus-scale shuffle), exactly how production miners use an
+    ANN index both for candidates and for the k-NN denominator; the
+    k-NN average is computed over each side's candidate set. Per-pair
+    cosine is derived from exact int64 fixed-point dots and norms
+    (floor(v*1e6) grid), then floored onto a 1e4 integer grid
+    (icos) — every downstream sum/verdict is integer, so results are
+    independent of partitioning and bit-identical to the DuckDB
+    oracle; the reported margin is one division of two int64-derived
+    doubles (the lm_perplexity discipline). The keep verdict is stated
+    on integers: 100*mnum >= margin_pct*mden. `mutual` flags pairs
+    where the target's best source is this source (the
+    mutual-best-candidate signal CCMatrix filters on).
+
+    Scale shape: band equi-join -> bounded per-vector candidate sets;
+    two window ranks + two aggs partitioned by source/target vector
+    (partition size = candidate count, bounded by band collisions);
+    zero all-pairs joins anywhere. Output: one row per (src, tgt_lang)
+    forward-best candidate with kept/mutual integer verdicts."""
+    docs = load(spark, "documents", sf_dir).select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    emb = load(spark, "embeddings", sf_dir)
+    buckets = ann_lsh_bucketed(spark, sf_dir).join(docs, "vec_id")
+    mask = (1 << BTX_BAND_BITS) - 1
+    bands = buckets.select(
+        "vec_id",
+        "lang",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftright(F.col("bucket"), k * BTX_BAND_BITS)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for k in range(BTX_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("vec_id", "lang", "bk.band", "bk.key")
+    src_b = bands.filter(F.col("lang") == src_lang).select(
+        F.col("vec_id").alias("src"), "band", "key"
+    )
+    tgt_b = bands.filter(F.col("lang") != src_lang).select(
+        F.col("vec_id").alias("tgt"), F.col("lang").alias("tgt_lang"), "band", "key"
+    )
+    cand = src_b.join(tgt_b, ["band", "key"]).select("src", "tgt", "tgt_lang").distinct()
+
+    qarr = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * DOT_SCALE).cast("long")
+    )
+    norms = (
+        emb.select(
+            "vec_id",
+            F.aggregate(
+                qarr, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+            ).alias("inorm"),
+        )
+        # zero-norm guard: an all-zeros embedding (empty doc) has no
+        # cosine; drop it here exactly as the oracle's WHERE inorm > 0
+        .filter(F.col("inorm") > 0)
+        # reused by both the src and tgt join below
+        .localCheckpoint(eager=True)
+    )
+    ea = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("tgt"), F.col("embedding").alias("vb"))
+    pairs = (
+        cand.join(ea, "src")
+        .join(eb, "tgt")
+        .withColumn("idot", _int_dot(F.col("va"), F.col("vb")))
+        .join(norms.select(F.col("vec_id").alias("src"), F.col("inorm").alias("na")), "src")
+        .join(norms.select(F.col("vec_id").alias("tgt"), F.col("inorm").alias("nb")), "tgt")
+        .select(
+            "src",
+            "tgt",
+            "tgt_lang",
+            # same op order as the SQL: idot / sqrt(na) / sqrt(nb) * 1e4
+            # -- each step an IEEE-exact op on int64-derived doubles, so
+            # the floor lands on the identical integer in both engines
+            F.floor(
+                F.col("idot").cast("double")
+                / F.sqrt(F.col("na").cast("double"))
+                / F.sqrt(F.col("nb").cast("double"))
+                * F.lit(float(ICOS_SCALE))
+            )
+            .cast("long")
+            .alias("icos"),
+        )
+        # feeds two windows, two aggs, and the final join
+        .localCheckpoint(eager=True)
+    )
+    ws = Window.partitionBy("src", "tgt_lang").orderBy(F.desc("icos"), F.asc("tgt"))
+    wt = Window.partitionBy("tgt").orderBy(F.desc("icos"), F.asc("src"))
+    r = (
+        pairs.withColumn("rs", F.row_number().over(ws))
+        .withColumn("rt", F.row_number().over(wt))
+        .localCheckpoint(eager=True)
+    )
+    srcnn = r.filter(F.col("rs") <= knn).groupBy("src", "tgt_lang").agg(
+        F.sum("icos").alias("ssum"), F.count(F.lit(1)).alias("scnt")
+    )
+    tgtnn = r.filter(F.col("rt") <= knn).groupBy("tgt").agg(
+        F.sum("icos").alias("tsum"), F.count(F.lit(1)).alias("tcnt")
+    )
+    scored = (
+        r.join(srcnn, ["src", "tgt_lang"])
+        .join(tgtnn, "tgt")
+        .withColumn("mnum", F.lit(2) * F.col("icos") * F.col("scnt") * F.col("tcnt"))
+        .withColumn(
+            "mden", F.col("ssum") * F.col("tcnt") + F.col("tsum") * F.col("scnt")
+        )
+        .filter(F.col("mden") > 0)
+        .withColumn("margin", F.col("mnum").cast("double") / F.col("mden").cast("double"))
+    )
+    wf = Window.partitionBy("src", "tgt_lang").orderBy(F.desc("margin"), F.asc("tgt"))
+    wr = Window.partitionBy("tgt").orderBy(F.desc("margin"), F.asc("src"))
+    best = scored.withColumn("fwd", F.row_number().over(wf)).withColumn(
+        "rev", F.row_number().over(wr)
+    )
+    return (
+        best.filter(F.col("fwd") == 1)
+        .select(
+            "src",
+            "tgt",
+            "tgt_lang",
+            "icos",
+            "margin",
+            (F.lit(100) * F.col("mnum") >= F.lit(margin_pct) * F.col("mden"))
+            .cast("long")
+            .alias("kept"),
+            (F.col("rev") == 1).cast("long").alias("mutual"),
+        )
+        .orderBy("src", "tgt_lang")
+    )
+
+
+def bitext_mining_sql(
+    src_lang: str = BTX_SRC_LANG,
+    knn: int = BTX_KNN,
+    margin_pct: int = BTX_MARGIN_PCT,
+) -> str:
+    base = ann_lsh_bucketed_sql().strip()
+    inner = base[: base.rfind("ORDER BY")]
+    ks = ", ".join(str(k) for k in range(BTX_BANDS))
+    mask = (1 << BTX_BAND_BITS) - 1
+    return f"""
+WITH bucketq AS ({inner}),
+bands AS (
+  SELECT b.vec_id, l.lang, k AS band, (bucket >> (k * {BTX_BAND_BITS})) & {mask} AS key
+  FROM bucketq b JOIN (SELECT doc_id, lang FROM documents) l ON b.vec_id = l.doc_id,
+       (SELECT unnest([{ks}]) AS k)
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS src, y.vec_id AS tgt, y.lang AS tgt_lang
+  FROM bands x JOIN bands y ON x.band = y.band AND x.key = y.key
+  WHERE x.lang = '{src_lang}' AND y.lang <> '{src_lang}'
+),
+pex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+               floor(unnest(embedding)::DOUBLE * {DOT_SCALE})::BIGINT AS q
+        FROM embeddings),
+norms AS (SELECT vec_id, sum(q * q) AS inorm FROM pex GROUP BY 1),
+pdots AS (SELECT c.src, c.tgt, c.tgt_lang, sum(a.q * b.q) AS idot
+          FROM cand c JOIN pex a ON a.vec_id = c.src
+                      JOIN pex b ON b.vec_id = c.tgt AND a.d = b.d
+          GROUP BY 1, 2, 3),
+pairs AS (SELECT d.src, d.tgt, d.tgt_lang,
+                 floor(d.idot::DOUBLE / sqrt(na.inorm::DOUBLE)
+                       / sqrt(nb.inorm::DOUBLE) * {ICOS_SCALE})::BIGINT AS icos
+          FROM pdots d JOIN norms na ON na.vec_id = d.src
+                       JOIN norms nb ON nb.vec_id = d.tgt
+          WHERE na.inorm > 0 AND nb.inorm > 0),
+r AS (SELECT *,
+        row_number() OVER (PARTITION BY src, tgt_lang ORDER BY icos DESC, tgt) AS rs,
+        row_number() OVER (PARTITION BY tgt ORDER BY icos DESC, src) AS rt
+      FROM pairs),
+srcnn AS (SELECT src, tgt_lang, sum(icos) AS ssum, count(*) AS scnt
+          FROM r WHERE rs <= {knn} GROUP BY 1, 2),
+tgtnn AS (SELECT tgt, sum(icos) AS tsum, count(*) AS tcnt
+          FROM r WHERE rt <= {knn} GROUP BY 1),
+scored AS (SELECT r.src, r.tgt, r.tgt_lang, r.icos,
+                  2 * r.icos * s.scnt * t.tcnt AS mnum,
+                  s.ssum * t.tcnt + t.tsum * s.scnt AS mden
+           FROM r JOIN srcnn s ON s.src = r.src AND s.tgt_lang = r.tgt_lang
+                  JOIN tgtnn t ON t.tgt = r.tgt
+           WHERE s.ssum * t.tcnt + t.tsum * s.scnt > 0),
+best AS (SELECT *,
+           row_number() OVER (PARTITION BY src, tgt_lang
+                              ORDER BY mnum::DOUBLE / mden::DOUBLE DESC, tgt) AS fwd,
+           row_number() OVER (PARTITION BY tgt
+                              ORDER BY mnum::DOUBLE / mden::DOUBLE DESC, src) AS rev
+         FROM scored)
+SELECT src, tgt, tgt_lang, icos,
+       mnum::DOUBLE / mden::DOUBLE AS margin,
+       (100 * mnum >= {margin_pct} * mden)::BIGINT AS kept,
+       (rev = 1)::BIGINT AS mutual
+FROM best WHERE fwd = 1
+ORDER BY src, tgt_lang
+"""
