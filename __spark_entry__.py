@@ -88,6 +88,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # for queries with multi-round green driver history (the TPC-H five,
     # the events family, status_histogram — green since round 1/2).
     return {
+        # new in round 4 session 11 — must sit inside the 50-row window
+        # (displaces contrastive_triplets_hard / dedup_incremental_stream
+        # / classifier_pr_auc — each the sibling variant of an in-window
+        # family member, two-scale green in the committed local
+        # artifacts — to the tail)
+        "seed_distance_bfs": G.seed_distance_bfs,
+        "opic_priority": G.opic_priority,
+        "centroid_outliers": CU.centroid_outliers,
         # new in round 4 session 10 — must sit inside the 50-row window
         # (displaces embedding_neardup_lsh / repetition_signals /
         # pii_scrub, green driver rows in r3, to the tail)
@@ -113,10 +121,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 session 6 — must sit inside the 50-row window
         "quality_classifier_train": CL.quality_classifier_train,
         "quality_classifier_filter": CL.quality_classifier_filter,
-        # new in round 4 session 7 — must sit inside the 50-row window
-        # (displaces multimodal_pipeline, a green driver row since r3,
-        # to the tail)
-        "classifier_pr_auc": CL.classifier_pr_auc,
         # new in round 4 session 4 — must sit inside the 50-row window
         "ann_ivfpq_topk": S.ann_ivfpq_topk,
         "lm_perplexity_buckets": TS.lm_perplexity_buckets,
@@ -133,10 +137,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": G.connected_components_query,
         # training-data pipeline: dedup family
         "dedup_incremental": D.dedup_incremental,
-        # Structured Streaming twin of dedup_incremental (foreachBatch +
-        # stream-static band-index joins); same oracle SQL as the batch
-        # operator — a streaming operator with a full hash-match gate
-        "dedup_incremental_stream": DS.dedup_incremental_stream,
         # similarity search
         "kmeans_quantizer": S.kmeans_quantizer,
         "cluster_balanced_sample": S.cluster_balanced_sample,
@@ -183,7 +183,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": CS.dedup_keep_best,
         # curation: semantic dedup, batch packing, rule bundle
         "contrastive_triplets": CU.contrastive_triplets,
-        "contrastive_triplets_hard": CU.contrastive_triplets_hard,
         "semdedup": CU.semdedup,
         "sequence_packing": CU.sequence_packing,
         "quality_filter_verdicts": CU.quality_filter_verdicts,
@@ -195,6 +194,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": CS.host_stats,
         "length_quantiles": CS.length_quantiles,
         "mixture_allocation": CS.mixture_allocation,
+        # session-11 displacements (sibling variants of in-window family
+        # members; two-scale green in the committed local artifacts)
+        "classifier_pr_auc": CL.classifier_pr_auc,
+        # Structured Streaming twin of dedup_incremental (foreachBatch +
+        # stream-static band-index joins); same oracle SQL as the batch
+        # operator — a streaming operator with a full hash-match gate
+        "dedup_incremental_stream": DS.dedup_incremental_stream,
+        "contrastive_triplets_hard": CU.contrastive_triplets_hard,
         # crawl-engine operator semantics (SURVEY.md §2.2, §2.3, §2.5, §2.7)
         "politeness_rank": CQ.politeness_rank,
         "seen_anti_join": CQ.seen_anti_join,
@@ -250,6 +257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "seed_distance_bfs": G.seed_distance_sql(),
+        "opic_priority": G.opic_priority_sql(),
+        "centroid_outliers": CU.centroid_outliers_sql(),
         "bitext_mining": S.bitext_mining_sql(),
         "vocab_coverage": BP.vocab_coverage_sql(),
         "source_similarity": CS.source_similarity_sql(),

@@ -267,6 +267,10 @@ HEADLINE = [
     # candidate-set k-NN margin windows), source-pair TF cosine matrix
     "bitext_mining",
     "source_similarity",
+    # round-4 session-11: OPIC cash diffusion (5 unrolled join+agg
+    # rounds) and the centroid-outlier audit (posexplode + two aggs)
+    "opic_priority",
+    "centroid_outliers",
 ]
 
 

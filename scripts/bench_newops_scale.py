@@ -48,6 +48,10 @@ QUERIES = [
     "bitext_mining",
     "vocab_coverage",
     "source_similarity",
+    # session 11
+    "seed_distance_bfs",
+    "opic_priority",
+    "centroid_outliers",
 ]
 
 

@@ -738,3 +738,132 @@ SELECT b.anchor, b.positive,
 FROM base b LEFT JOIN pick p USING (anchor)
 ORDER BY anchor, positive
 """
+
+
+# ---------------------------------------------------------------------------
+# Centroid outliers — embedding-space quality audit
+# ---------------------------------------------------------------------------
+
+CENT_SCALE = 10_000   # embedding value -> int grid: q = floor(v * 1e4)
+CENT_ICOS = 10_000    # cosine -> int grid (simsearch.ICOS_SCALE convention)
+OUT_K = 5             # per-label outlier count to flag
+
+
+def centroid_outliers(
+    spark: SparkSession, sf_dir: str, out_k: int = OUT_K
+) -> DataFrame:
+    """(vec_id, label, icos, out_rnk, is_outlier): cosine of every
+    embedding to its own label's centroid, flagging the ``out_k`` least
+    central vectors per label. The standard embedding-space data-quality
+    audit (mislabeled / off-topic / garbage docs sit far from their
+    cluster centroid — cf. the centroid-distance filters in SemDeDup
+    §4 and CLIP-score-style curation): run it per topic / per source /
+    per language bucket and route the tail to review or drop.
+
+    Scale shape — NO pairwise stage at all (the audit is linear where
+    semdedup is quadratic-within-cell): one posexplode of the embedding
+    column, ONE map-side-combined (label, dim) sum — the centroid —
+    whose output is |labels|·dim rows (broadcast back), then one
+    (vec_id) re-agg computing the dot and the vector norm in the same
+    pass. The only corpus-scale exchanges are the two aggs; the
+    per-label bottom-k window partitions by label (for mega-labels swap
+    in the two-phase salted rank the vocab_coverage op uses).
+
+    Determinism: all sums are exact int64 on the floor(v·1e4) grid;
+    the centroid is count-normalized IN INTEGER (cd = (Σq·1e4) div n)
+    so per-dim magnitude is bounded by the grid — independent of label
+    size — and the final cosine is the floor-to-1e4 of int64-derived
+    doubles (identical op order cross-engine: div, div, mul, floor)."""
+    emb = load(spark, "embeddings", sf_dir)
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("d", "v"),
+    ).select(
+        "vec_id",
+        "label",
+        "d",
+        F.floor(F.col("v").cast("double") * CENT_SCALE)
+        .cast("long")
+        .alias("q"),
+    )
+    cents = (
+        q.groupBy("label", "d")
+        .agg(F.sum("q").alias("sq"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "d",
+            F.expr(f"(sq * {CENT_SCALE}) div n").alias("cd"),
+        )
+    ).localCheckpoint(eager=True)  # |labels|·dim rows — feeds 2 consumers
+    cnorm = cents.groupBy("label").agg(
+        F.sum(F.col("cd") * F.col("cd")).alias("nc")
+    )
+    scored = (
+        q.join(F.broadcast(cents), ["label", "d"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.col("q") * F.col("cd")).alias("idot"),
+            F.sum(F.col("q") * F.col("q")).alias("nx"),
+        )
+        .join(F.broadcast(cnorm), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.floor(
+                F.col("idot").cast("double")
+                / F.sqrt(F.col("nx").cast("double"))
+                / F.sqrt(F.col("nc").cast("double"))
+                * F.lit(float(CENT_ICOS))
+            )
+            .cast("long")
+            .alias("icos"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.asc("icos"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("out_rnk", F.row_number().over(w))
+        .select(
+            "vec_id",
+            "label",
+            "icos",
+            "out_rnk",
+            (F.col("out_rnk") <= out_k).alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def centroid_outliers_sql(out_k: int = OUT_K) -> str:
+    s = CENT_SCALE
+    return f"""
+WITH q AS (
+  SELECT vec_id, label, d, floor(v::DOUBLE * {s})::BIGINT AS q
+  FROM (SELECT vec_id, label, unnest(embedding) AS v,
+               generate_subscripts(embedding, 1) AS d
+        FROM embeddings)
+),
+cents AS (
+  SELECT label, d, (sum(q) * {s}) // count(*) AS cd
+  FROM q GROUP BY label, d
+),
+cnorm AS (SELECT label, sum(cd * cd) AS nc FROM cents GROUP BY label),
+scored AS (
+  SELECT q.vec_id, q.label,
+         floor(sum(q.q * c.cd)::DOUBLE
+               / sqrt(sum(q.q * q.q)::DOUBLE)
+               / sqrt(any_value(n.nc)::DOUBLE) * {float(CENT_ICOS)})::BIGINT AS icos
+  FROM q JOIN cents c ON q.label = c.label AND q.d = c.d
+         JOIN cnorm n ON q.label = n.label
+  GROUP BY q.vec_id, q.label
+)
+SELECT vec_id, label, icos,
+       row_number() OVER (PARTITION BY label
+                          ORDER BY icos ASC, vec_id ASC) AS out_rnk,
+       row_number() OVER (PARTITION BY label
+                          ORDER BY icos ASC, vec_id ASC) <= {out_k}
+         AS is_outlier
+FROM scored ORDER BY vec_id
+"""

@@ -776,3 +776,196 @@ FROM ({pagerank_sql(iters)}) p
 JOIN ({trustrank_sql(iters, n_seeds)}) t USING (doc_id)
 ORDER BY p.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# BFS seed distance — crawl-depth audit
+# ---------------------------------------------------------------------------
+
+BFS_HOPS = 4
+
+
+def seed_distance_bfs(
+    spark: SparkSession, sf_dir: str, max_hops: int = BFS_HOPS,
+    n_seeds: int = TRUST_SEEDS,
+) -> DataFrame:
+    """Minimum link-hop distance of every page from the seed list — the
+    crawl-depth audit a frontier operator reports (reference: the crawl
+    engine's depth gate, seo-crawler crawler.py depth tracking): which
+    pages are reachable within the depth budget, and how deep the
+    frontier must go to cover the site. Pages unreached in ``max_hops``
+    get ``dist = -1`` (outside the budget → candidates for sitemap
+    seeding or budget raise).
+
+    DELTA-frontier BFS, the same shape as the crawl loop's seen
+    anti-join: per hop, join ONLY the newly-discovered frontier against
+    the edge table (not the whole visited set), dedupe, anti-join
+    against visited, tag with the hop number. Each hop is one equi-join
+    + one distinct + one left-anti — all hash exchanges on doc_id; the
+    visited set folds via union + checkpoint exactly like the engine's
+    seen folding, so hop k's plan does not replan hops 1..k-1. At
+    10^10 nodes the frontier is the working set (output of hop k), not
+    the graph — the property that lets web-scale BFS run in
+    O(reachable) not O(V·hops).
+
+    Integer-exact throughout (hop counters), so the DuckDB unrolled-CTE
+    oracle is bit-identical."""
+    docs = load(spark, "documents", sf_dir).select("doc_id")
+    n = docs.count()
+    e = _edges(docs, n).localCheckpoint(eager=True)
+
+    visited = docs.filter(F.col("doc_id") < n_seeds).select(
+        "doc_id", F.lit(0).alias("dist")
+    )
+    frontier = visited.select("doc_id")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.doc_id == e.src)
+            .select(F.col("dst").alias("doc_id"))
+            .distinct()
+            .join(visited.select("doc_id"), "doc_id", "left_anti")
+            .select("doc_id", F.lit(hop).alias("dist"))
+            .localCheckpoint(eager=True)  # frontier is the working set
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("doc_id")
+    return (
+        docs.join(visited, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dist", F.lit(-1)).cast("int").alias("dist"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def seed_distance_sql(
+    max_hops: int = BFS_HOPS, n_seeds: int = TRUST_SEEDS
+) -> str:
+    gens = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {frag} AS dst FROM documents"
+        for _, frag in _GEN_EXPRS
+    )
+    steps = []
+    prev = "v0"
+    for k in range(1, max_hops + 1):
+        steps.append(
+            f"v{k} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL "
+            f"SELECT f.doc_id, {k} AS dist FROM ("
+            f"SELECT DISTINCT e.dst AS doc_id FROM e "
+            f"JOIN {prev} p ON e.src = p.doc_id WHERE p.dist = {k - 1}"
+            f") f WHERE f.doc_id NOT IN (SELECT doc_id FROM {prev}))"
+        )
+        prev = f"v{k}"
+    return f"""
+WITH n AS (SELECT count(*) AS c FROM documents),
+e0 AS ({gens}),
+e AS MATERIALIZED (SELECT * FROM e0 WHERE src <> dst),
+v0 AS (SELECT doc_id, 0 AS dist FROM documents WHERE doc_id < {n_seeds}),
+{', '.join(steps)}
+SELECT d.doc_id, coalesce(v.dist, -1)::INT AS dist
+FROM documents d LEFT JOIN {prev} v ON d.doc_id = v.doc_id
+ORDER BY d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# OPIC — Online Page Importance Computation (crawl-priority scoring)
+# ---------------------------------------------------------------------------
+
+OPIC_ITERS = 5
+
+
+def opic_priority(
+    spark: SparkSession, sf_dir: str, iters: int = OPIC_ITERS
+) -> DataFrame:
+    """OPIC (Abiteboul, Preda & Cobéna, WWW 2003 — "Adaptive On-Line
+    Page Importance Computation"): the cash-diffusion importance score
+    real crawlers (e.g. Apache Nutch) use to ORDER THE FRONTIER without
+    waiting for a full PageRank to converge. Every page starts with
+    equal cash; each round a page distributes its cash equally over its
+    out-links and banks what it held into its history; importance ≈
+    history + current cash. Unlike PageRank there is no damping/teleport
+    — the signal is pure link endorsement flow, and the history column
+    makes partial runs usable (exactly why crawlers like it: the
+    frontier can be re-prioritized after ANY number of rounds).
+
+    Synchronous batched variant: round k distributes every page's cash
+    simultaneously (one equi-join on src + one map-side-combined agg on
+    dst per round — identical plan shape and checkpoint discipline to
+    :func:`pagerank`). INTEGER fixed-point: cash scaled by 10^6,
+    per-edge share = cash div outdeg; floor remainders and dangling-page cash
+    evaporate deterministically (same documented convention as
+    pagerank's dangling mass), so k rounds are bit-identical between
+    Spark and the unrolled DuckDB CTE oracle."""
+    docs = load(spark, "documents", sf_dir).select("doc_id")
+    n = docs.count()
+    e = _edges(docs, n)
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e2 = e.join(outdeg, "src").localCheckpoint(eager=True)
+
+    state = docs.select(
+        "doc_id",
+        F.lit(SCALE).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("hist"),
+    )
+    for _ in range(iters):
+        inflow = (
+            e2.join(state, e2.src == state.doc_id)
+            .select("dst", F.expr("cash div outdeg").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("m"))
+        )
+        state = (
+            state.join(inflow, state.doc_id == inflow.dst, "left")
+            .select(
+                "doc_id",
+                F.coalesce("m", F.lit(0)).cast("long").alias("cash"),
+                (F.col("hist") + F.col("cash")).alias("hist"),
+            )
+            .localCheckpoint(eager=True)  # truncate per-round lineage
+        )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.desc(F.col("hist") + F.col("cash")), F.asc("doc_id")
+    )
+    return (
+        state.withColumn("priority", F.col("hist") + F.col("cash"))
+        .withColumn("rnk", F.row_number().over(w))
+        .select("doc_id", "cash", "hist", "priority", "rnk")
+        .orderBy("rnk")
+    )
+
+
+def opic_priority_sql(iters: int = OPIC_ITERS) -> str:
+    gens = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {frag} AS dst FROM documents"
+        for _, frag in _GEN_EXPRS
+    )
+    steps = []
+    prev = "s0"
+    for k in range(1, iters + 1):
+        steps.append(
+            f"s{k} AS MATERIALIZED (SELECT p.doc_id, "
+            f"coalesce(x.m, 0)::BIGINT AS cash, "
+            f"(p.hist + p.cash)::BIGINT AS hist "
+            f"FROM {prev} p LEFT JOIN ("
+            f"SELECT e2.dst, sum(s.cash // e2.outdeg) AS m "
+            f"FROM e2 JOIN {prev} s ON e2.src = s.doc_id GROUP BY e2.dst"
+            f") x ON p.doc_id = x.dst)"
+        )
+        prev = f"s{k}"
+    return f"""
+WITH n AS (SELECT count(*) AS c FROM documents),
+e0 AS ({gens}),
+e AS MATERIALIZED (SELECT * FROM e0 WHERE src <> dst),
+od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+e2 AS MATERIALIZED (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+s0 AS (SELECT doc_id, {SCALE}::BIGINT AS cash, 0::BIGINT AS hist
+       FROM documents),
+{', '.join(steps)}
+SELECT doc_id, cash, hist, (hist + cash) AS priority,
+       row_number() OVER (ORDER BY (hist + cash) DESC, doc_id ASC) AS rnk
+FROM {prev} ORDER BY rnk
+"""
