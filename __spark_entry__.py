@@ -21,6 +21,7 @@ from seo_crawler_spark.operators import multimodal as MM
 from seo_crawler_spark.operators import retrieval as RT
 from seo_crawler_spark.operators import sampling as SA
 from seo_crawler_spark.operators import simsearch as S
+from seo_crawler_spark.operators import sketches as SK
 from seo_crawler_spark.operators import temporal as TP
 from seo_crawler_spark.operators import textstats as TS
 from seo_crawler_spark.plans import crawl_queries as CQ
@@ -96,6 +97,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seed_distance_bfs": G.seed_distance_bfs,
         "opic_priority": G.opic_priority,
         "centroid_outliers": CU.centroid_outliers,
+        # (displaces bpe_encode — transitively exercised by the
+        # in-window tokenizer_stats, whose oracle nests the encode CTE
+        # chain — and events_range_join, sibling of the in-window
+        # events_asof_join; both two-scale green in the local artifacts)
+        "hll_distinct": SK.hll_distinct,
+        "cms_frequency": SK.cms_frequency,
         # new in round 4 session 10 — must sit inside the 50-row window
         # (displaces embedding_neardup_lsh / repetition_signals /
         # pii_scrub, green driver rows in r3, to the tail)
@@ -126,7 +133,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity_buckets": TS.lm_perplexity_buckets,
         "caption_pairs": TS.caption_pairs,
         "bpe_merges": BP.bpe_merges_query,
-        "bpe_encode": BP.bpe_encode,
         # new in round 4 session 7 — must sit inside the 50-row window
         # (displaces ann_lsh_buckets, a green driver row since r3, to
         # the tail)
@@ -166,7 +172,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": SA.dsir_select,
         # temporal joins (new in r4 — must sit inside the 50-row window)
         "events_asof_join": TP.events_asof_join,
-        "events_range_join": TP.events_range_join,
         "analytics_detection": CQ.analytics_detection,
         "recrawl_schedule": CQ.recrawl_schedule,
         # new in round 4 session 7 — must sit inside the 50-row window
@@ -196,6 +201,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_allocation": CS.mixture_allocation,
         # session-11 displacements (sibling variants of in-window family
         # members; two-scale green in the committed local artifacts)
+        "bpe_encode": BP.bpe_encode,
+        "events_range_join": TP.events_range_join,
         "classifier_pr_auc": CL.classifier_pr_auc,
         # Structured Streaming twin of dedup_incremental (foreachBatch +
         # stream-static band-index joins); same oracle SQL as the batch
@@ -260,6 +267,8 @@ def oracle_sql() -> dict[str, str]:
         "seed_distance_bfs": G.seed_distance_sql(),
         "opic_priority": G.opic_priority_sql(),
         "centroid_outliers": CU.centroid_outliers_sql(),
+        "hll_distinct": SK.hll_distinct_sql(),
+        "cms_frequency": SK.cms_frequency_sql(),
         "bitext_mining": S.bitext_mining_sql(),
         "vocab_coverage": BP.vocab_coverage_sql(),
         "source_similarity": CS.source_similarity_sql(),

@@ -268,9 +268,11 @@ HEADLINE = [
     "bitext_mining",
     "source_similarity",
     # round-4 session-11: OPIC cash diffusion (5 unrolled join+agg
-    # rounds) and the centroid-outlier audit (posexplode + two aggs)
+    # rounds), the centroid-outlier audit (posexplode + two aggs), and
+    # the HLL register build (shingle explode + 64-register max-agg)
     "opic_priority",
     "centroid_outliers",
+    "hll_distinct",
 ]
 
 

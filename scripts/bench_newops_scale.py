@@ -52,6 +52,8 @@ QUERIES = [
     "seed_distance_bfs",
     "opic_priority",
     "centroid_outliers",
+    "hll_distinct",
+    "cms_frequency",
 ]
 
 

@@ -1,0 +1,316 @@
+"""Mergeable sketch aggregates — HyperLogLog distinct counting and
+count-min frequency estimation, in EXACT integer arithmetic.
+
+At 100 TB the questions "how many distinct shingles / URLs / users does
+this source have" and "how often does this key occur" cannot afford an
+exact per-group distinct (a corpus-scale shuffle holding every key in
+the hash table) — crawlers and curation pipelines run SKETCHES whose
+per-partition state is constant-size and whose merge is an associative
+map-side combine (register max for HLL, bucket sum for CMS). Spark's
+built-in `approx_count_distinct` IS an HLL++ — this module builds the
+sketch as an explicit DataFrame aggregate instead, because (a) the
+sketch TABLE itself is the production artifact (persist it, merge
+tomorrow's crawl into it — the seen-filter pattern), and (b) the
+driver's oracle gate needs bit-identical DuckDB twins, which the
+built-in's binary registers can't give.
+
+Determinism: the usual HLL estimator ends in float log/harmonic sums.
+Here every step is int64: the harmonic sum Σ2^(-M_j) is computed as
+Σ2^(CAP-M_j) over a 2^CAP grid (exact — register ranks are capped at
+CAP=30, far beyond any realistic rank), the bias constant α_m is the
+rational 709/1000, the estimate is one integer division, and the
+small-range linear-counting branch reads a PRECOMPUTED integer table
+(round(m·ln(m/z)) for z=1..m-1, literal in both engines) so no engine
+evaluates a transcendental at query time. CMS is integers end-to-end.
+
+References: Flajolet et al. 2007 (HyperLogLog), Cormode & Muthukrishnan
+2005 (count-min); Heule et al. 2013 (HLL++ practice: linear counting
+below 2.5m). Public-knowledge only.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    MD5INT_SQL,
+    TOKENS_SQL,
+    md5int,
+    shingles,
+    shingles_sql,
+    tokens,
+)
+from ..sources.tables import load
+
+HLL_M = 64          # registers (2^6); relative error ~1.04/√m ≈ 13%
+HLL_CAP = 30        # register-rank cap: harmonic sum lives on the 2^30 grid
+HLL_ALPHA = (709, 1000)   # α_64 = 0.709 as a rational (Flajolet Fig. 3)
+# linear-counting threshold: E ≤ 2.5·m (Heule et al. §5.2), integer
+HLL_LC_LIMIT = (5 * HLL_M) // 2
+
+CMS_D = 4           # hash rows
+# bucket count per row: deliberately SMALL relative to the shipped
+# corpus's 31-type vocabulary so the collision path (est > exact, the
+# ε·N guarantee) is exercised by the data the tests run on; production
+# sizes w = ⌈e/ε⌉ for the wanted error
+CMS_W = 16
+
+# Spark-dialect md5int over a column named t (the shared CASE-chain
+# texts below wrap each engine's own hash fragment; DuckDB's twin is
+# MD5INT_SQL)
+_MD5INT_SPARK = "cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)"
+
+
+def _hll_lc_table() -> dict[int, int]:
+    """z → round(m·ln(m/z)) for z = 1..m-1 — precomputed so NEITHER
+    engine evaluates ln at query time (libm last-ulp parity is not a
+    thing to bet a hash gate on)."""
+    return {
+        z: round(HLL_M * math.log(HLL_M / z)) for z in range(1, HLL_M)
+    }
+
+
+def _rho_sql(w: str) -> str:
+    """rank(w) = leading zeros of the 54-bit hash remainder + 1, capped
+    at HLL_CAP — ONE shared CASE-chain text evaluated by both engines
+    (integer comparisons against power-of-two literals; no log2)."""
+    branches = " ".join(
+        f"WHEN {w} >= {1 << (54 - r)} THEN {r}"
+        for r in range(1, HLL_CAP)
+    )
+    return f"(CASE {branches} ELSE {HLL_CAP} END)"
+
+
+def _lc_case_sql(zeros: str) -> str:
+    table = _hll_lc_table()
+    branches = " ".join(
+        f"WHEN {zeros} = {z} THEN {v}" for z, v in table.items()
+    )
+    return f"(CASE {branches} ELSE 0 END)"
+
+
+def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, zeros, isum, est, exact, abs_err_bp, method): per-source
+    distinct-SHINGLE cardinality (3-gram types — the dedup family's
+    unit of content) estimated from a 64-register HyperLogLog, next to
+    the exact count (the audit pairing; production drops the exact
+    branch — that is the point of the sketch).
+
+    Scale shape: the ONLY corpus-scale exchange is the register
+    aggregate groupBy(source, register).max(rank) — map-side combined,
+    so each partition ships at most |sources|·64 rows no matter how
+    many shingle occurrences it scanned (duplicates never inflate
+    state: max is idempotent — exactly why HLL needs no dedup shuffle,
+    where the exact twin's countDistinct must shuffle every distinct
+    key). The per-source fold of 64 registers into (zeros, isum) is a
+    second agg over a |sources|·64-row frame, and the estimate is
+    row-local integer arithmetic. Merging tomorrow's crawl = the same
+    max-agg over the union of register tables."""
+    d = load(spark, "documents", sf_dir)
+    sc = spark.sparkContext
+    toks = (
+        d.repartition(sc.defaultParallelism)
+        .select("source", tokens(F.col("text")).alias("tok"))
+        .localCheckpoint(eager=True)  # _token_arrays discipline (dedup.py)
+    )
+    grams = toks.select(
+        "source", F.explode(shingles(F.col("tok"))).alias("t")
+    )
+    h = md5int(F.col("t"))
+    q = grams.select(
+        "source",
+        (h % HLL_M).alias("j"),
+        F.expr(_rho_sql(f"({_MD5INT_SPARK} div {HLL_M})")).alias("rho"),
+    )
+    regs = q.groupBy("source", "j").agg(F.max("rho").alias("m"))
+    per_src = regs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("present"),
+        F.expr(f"sum(cast(1 as bigint) << ({HLL_CAP} - m))").alias(
+            "isum_present"
+        ),
+    )
+    an, ad = HLL_ALPHA
+    calc = per_src.select(
+        "source",
+        (F.lit(HLL_M) - F.col("present")).cast("long").alias("zeros"),
+        (
+            F.col("isum_present")
+            + (F.lit(HLL_M) - F.col("present")).cast("long")
+            * F.lit(1 << HLL_CAP).cast("long")
+        ).alias("isum"),
+    ).withColumn(
+        "raw",
+        F.expr(
+            f"(cast({an} as bigint) * {HLL_M * HLL_M}"
+            f" * {1 << HLL_CAP}) div ({ad} * isum)"
+        ),
+    )
+    exact = grams.groupBy("source").agg(
+        F.countDistinct("t").alias("exact")
+    )
+    use_lc = (F.col("raw") <= HLL_LC_LIMIT) & (F.col("zeros") > 0)
+    return (
+        calc.join(F.broadcast(exact), "source")
+        .withColumn(
+            "est",
+            F.when(use_lc, F.expr(_lc_case_sql("zeros")))
+            .otherwise(F.col("raw"))
+            .cast("long"),
+        )
+        .withColumn(
+            "method",
+            F.when(use_lc, F.lit("linear_counting")).otherwise(F.lit("raw")),
+        )
+        .withColumn(
+            "abs_err_bp", F.expr("(abs(est - exact) * 10000) div exact")
+        )
+        .select(
+            "source", "zeros", "isum", "est", "exact", "abs_err_bp", "method"
+        )
+        .orderBy("source")
+    )
+
+
+def hll_distinct_sql() -> str:
+    tok = TOKENS_SQL.format(c="text")
+    sh = shingles_sql("tok")
+    h = MD5INT_SQL.format(c="t")
+    an, ad = HLL_ALPHA
+    return f"""
+WITH toks AS (SELECT source, {tok} AS tok FROM documents),
+grams AS (
+  SELECT source, unnest(CASE WHEN len(tok) >= 3 THEN {sh}
+                        ELSE [] END) AS t
+  FROM toks
+),
+q AS (
+  SELECT source, ({h}) % {HLL_M} AS j,
+         {_rho_sql(f'(({h}) // {HLL_M})')} AS rho
+  FROM grams
+),
+regs AS (SELECT source, j, max(rho) AS m FROM q GROUP BY source, j),
+per_src AS (
+  SELECT source, count(*) AS present,
+         sum(1::BIGINT << ({HLL_CAP} - m)) AS isum_present
+  FROM regs GROUP BY source
+),
+exact AS (
+  SELECT source, count(DISTINCT t) AS exact FROM grams GROUP BY source
+),
+calc AS (
+  SELECT p.source,
+         ({HLL_M} - p.present)::BIGINT AS zeros,
+         (p.isum_present
+          + ({HLL_M} - p.present)::BIGINT * {1 << HLL_CAP}) AS isum,
+         x.exact
+  FROM per_src p JOIN exact x USING (source)
+),
+raws AS (
+  SELECT source, zeros, isum, exact,
+         ({an}::BIGINT * {HLL_M * HLL_M} * {1 << HLL_CAP})
+           // ({ad} * isum) AS raw
+  FROM calc
+),
+ests AS (
+  SELECT source, zeros, isum, exact,
+         (CASE WHEN raw <= {HLL_LC_LIMIT} AND zeros > 0
+               THEN {_lc_case_sql('zeros')}
+               ELSE raw END)::BIGINT AS est,
+         CASE WHEN raw <= {HLL_LC_LIMIT} AND zeros > 0
+              THEN 'linear_counting' ELSE 'raw' END AS method
+  FROM raws
+)
+SELECT source, zeros, isum, est, exact,
+       (abs(est - exact) * 10000) // exact AS abs_err_bp,
+       method
+FROM ests ORDER BY source
+"""
+
+
+def cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, est, exact, overcount): corpus frequency of every term
+    TYPE estimated from a d=4 × w=16 count-min sketch, next to the
+    exact count. CMS guarantees est ≥ exact (collisions only add) and
+    est ≤ exact + εN with prob 1-δ — the overcount column IS that
+    guarantee made visible (w is sized so the shipped corpus actually
+    collides; production picks w = ⌈e/ε⌉).
+
+    Scale shape: sketch build = ONE map-side-combined aggregate whose
+    key space is d·w = 64 cells — constant-size per-partition state
+    regardless of corpus size (the explode-by-d multiplies rows 4× but
+    never shuffles more than 64 groups). The probe side is the distinct
+    term dimension (vocab-bounded — at web scale this is the
+    heavy-hitter candidate list, not the raw stream); the 64-cell
+    sketch broadcasts to it. Production mergers sum bucket tables
+    across days — same associativity story as the HLL register max."""
+    d = load(spark, "documents", sf_dir)
+    occ = d.select(F.explode(tokens(F.col("text"))).alias("t"))
+    rows = occ.select(
+        "t", F.explode(F.array(*[F.lit(r) for r in range(CMS_D)])).alias("r")
+    )
+    bucket = md5int(F.concat(F.lit("cms"), F.col("r").cast("string"), F.lit("_"), F.col("t")))
+    sketch = (
+        rows.select("r", (bucket % CMS_W).alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = occ.groupBy(F.col("t")).agg(F.count(F.lit(1)).alias("exact"))
+    pb = exact.select(
+        F.col("t"),
+        F.explode(F.array(*[F.lit(r) for r in range(CMS_D)])).alias("r"),
+    ).select(
+        "t",
+        "r",
+        (
+            md5int(F.concat(F.lit("cms"), F.col("r").cast("string"), F.lit("_"), F.col("t")))
+            % CMS_W
+        ).alias("b"),
+    )
+    est = (
+        pb.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("t")
+        .agg(F.min("cnt").alias("est"))
+    )
+    return (
+        est.join(exact, "t")
+        .select(
+            F.col("t").alias("term"),
+            "est",
+            "exact",
+            (F.col("est") - F.col("exact")).alias("overcount"),
+        )
+        .orderBy("term")
+    )
+
+
+def cms_frequency_sql() -> str:
+    tok = TOKENS_SQL.format(c="text")
+    hb = MD5INT_SQL.format(c="'cms' || r || '_' || t")
+    return f"""
+WITH occ AS (
+  SELECT unnest({tok}) AS t FROM documents
+),
+rows_ AS (
+  SELECT t, r FROM occ, (SELECT unnest(range(0, {CMS_D})) AS r)
+),
+sketch AS (
+  SELECT r, ({hb}) % {CMS_W} AS b, count(*) AS cnt
+  FROM rows_ GROUP BY 1, 2
+),
+exact AS (SELECT t, count(*) AS exact FROM occ GROUP BY t),
+pb AS (
+  SELECT t, r, ({hb}) % {CMS_W} AS b
+  FROM exact, (SELECT unnest(range(0, {CMS_D})) AS r)
+),
+est AS (
+  SELECT pb.t, min(s.cnt) AS est
+  FROM pb JOIN sketch s ON pb.r = s.r AND pb.b = s.b
+  GROUP BY pb.t
+)
+SELECT e.t AS term, e.est, x.exact, (e.est - x.exact) AS overcount
+FROM est e JOIN exact x USING (t)
+ORDER BY term
+"""

@@ -1,0 +1,194 @@
+"""Round-4 session-11 sketch aggregates: HyperLogLog distinct counting
+and count-min frequency estimation.
+
+Oracle parity (value hash vs DuckDB) runs in test_oracle_parity.py;
+these pin what the hash can't see — each sketch against a pure-python
+reference (same md5 hashing, same integer estimator), the published
+guarantees (CMS est ≥ exact; HLL register max idempotent under
+duplication), and MERGEABILITY: the sketch of a union equals the
+register-max / bucket-sum merge of per-part sketches — the property
+that makes a 1000-executor rollup a map-side combine.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import defaultdict
+
+import pyarrow.parquet as pq
+
+from seo_crawler_spark.operators.sketches import (
+    CMS_D,
+    CMS_W,
+    HLL_ALPHA,
+    HLL_CAP,
+    HLL_LC_LIMIT,
+    HLL_M,
+    _hll_lc_table,
+    cms_frequency,
+    hll_distinct,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _md5int(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _tokens(text: str) -> list[str]:
+    import re
+
+    return re.findall(r"\w+", text.lower())
+
+
+def _grams(text: str) -> list[str]:
+    t = _tokens(text)
+    return [" ".join(t[i : i + 3]) for i in range(len(t) - 2)]
+
+
+def _docs(sf_dir: str):
+    return pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["source", "text"]
+    ).to_pylist()
+
+
+# ---------------------------------------------------------------------------
+# HLL
+# ---------------------------------------------------------------------------
+
+
+def _hll_registers(grams_by_src: dict[str, list[str]]) -> dict[str, list[int]]:
+    regs = {s: [0] * HLL_M for s in grams_by_src}
+    for s, gs in grams_by_src.items():
+        for g in gs:
+            h = _md5int(g)
+            j = h % HLL_M
+            w = h // HLL_M
+            rho = min(55 - w.bit_length(), HLL_CAP) if w else HLL_CAP
+            regs[s][j] = max(regs[s][j], rho)
+    return regs
+
+
+def _hll_estimate(reg: list[int]) -> tuple[int, str]:
+    an, ad = HLL_ALPHA
+    isum = sum(1 << (HLL_CAP - m) for m in reg)
+    raw = (an * HLL_M * HLL_M * (1 << HLL_CAP)) // (ad * isum)
+    zeros = sum(1 for m in reg if m == 0)
+    if raw <= HLL_LC_LIMIT and zeros > 0:
+        return _hll_lc_table()[zeros], "linear_counting"
+    return raw, "raw"
+
+
+def _hll_reference(sf_dir: str) -> dict[str, tuple[int, int, str]]:
+    by_src = defaultdict(list)
+    for r in _docs(sf_dir):
+        by_src[r["source"]].extend(_grams(r["text"]))
+    out = {}
+    for s, regs in _hll_registers(by_src).items():
+        est, method = _hll_estimate(regs)
+        out[s] = (est, len(set(by_src[s])), method)
+    return out
+
+
+def test_hll_matches_python_reference(spark):
+    ref = _hll_reference(SF0001)
+    rows = hll_distinct(spark, SF0001).collect()
+    got = {r.source: (r.est, r.exact, r.method) for r in rows}
+    assert got == ref
+    for r in rows:
+        assert r.abs_err_bp == (abs(r.est - r.exact) * 10000) // r.exact
+
+
+def test_hll_estimate_within_published_error(spark):
+    # 1.04/√64 = 13% standard error; allow 4σ — a failure here means the
+    # estimator arithmetic is wrong, not bad luck
+    for r in hll_distinct(spark, SF0001).collect():
+        assert abs(r.est - r.exact) <= 0.52 * r.exact + 3
+
+
+def test_hll_registers_merge_and_dedup_invariance():
+    # idempotence: feeding every gram twice changes NO register (why
+    # HLL needs no dedup shuffle) — and register-wise max of per-part
+    # sketches equals the sketch of the union (map-side combine)
+    by_src = defaultdict(list)
+    for r in _docs(SF0001):
+        by_src[r["source"]].extend(_grams(r["text"]))
+    src, gs = next(iter(by_src.items()))
+    whole = _hll_registers({src: gs})[src]
+    doubled = _hll_registers({src: gs + gs})[src]
+    assert whole == doubled
+    half = len(gs) // 2
+    a = _hll_registers({src: gs[:half]})[src]
+    b = _hll_registers({src: gs[half:]})[src]
+    assert [max(x, y) for x, y in zip(a, b)] == whole
+
+
+# ---------------------------------------------------------------------------
+# CMS
+# ---------------------------------------------------------------------------
+
+
+def _cms_reference(sf_dir: str) -> dict[str, tuple[int, int]]:
+    occ = []
+    for r in _docs(sf_dir):
+        occ.extend(_tokens(r["text"]))
+    sketch = [[0] * CMS_W for _ in range(CMS_D)]
+    for t in occ:
+        for r in range(CMS_D):
+            sketch[r][_md5int(f"cms{r}_{t}") % CMS_W] += 1
+    exact: dict[str, int] = defaultdict(int)
+    for t in occ:
+        exact[t] += 1
+    return {
+        t: (
+            min(sketch[r][_md5int(f"cms{r}_{t}") % CMS_W] for r in range(CMS_D)),
+            c,
+        )
+        for t, c in exact.items()
+    }
+
+
+def test_cms_matches_python_reference(spark):
+    ref = _cms_reference(SF0001)
+    rows = cms_frequency(spark, SF0001).collect()
+    got = {r.term: (r.est, r.exact) for r in rows}
+    assert got == ref
+
+
+def test_cms_guarantees(spark):
+    rows = cms_frequency(spark, SF0001).collect()
+    n = sum(r.exact for r in rows)
+    over = 0
+    for r in rows:
+        # the one-sided CMS guarantee: collisions only ADD
+        assert r.est >= r.exact
+        assert r.overcount == r.est - r.exact
+        # ε·N bound with ε = e/w (holds per row deterministically here
+        # since the full bucket mass is an upper bound on any min)
+        assert r.overcount <= n
+        over += r.overcount > 0
+    # w=16 vs a 31-type vocab: the collision path must actually fire
+    assert over > 0
+
+
+def test_cms_sketch_is_mergeable():
+    # bucket-wise SUM of per-part sketches equals the whole sketch
+    docs = _docs(SF0001)
+    half = len(docs) // 2
+
+    def build(rows):
+        sk = [[0] * CMS_W for _ in range(CMS_D)]
+        for rec in rows:
+            for t in _tokens(rec["text"]):
+                for r in range(CMS_D):
+                    sk[r][_md5int(f"cms{r}_{t}") % CMS_W] += 1
+        return sk
+
+    whole = build(docs)
+    a, b = build(docs[:half]), build(docs[half:])
+    merged = [
+        [x + y for x, y in zip(ra, rb)] for ra, rb in zip(a, b)
+    ]
+    assert merged == whole
