@@ -28,6 +28,7 @@ from seo_crawler_spark.plans import crawl_queries as CQ
 from seo_crawler_spark.plans import relational as R
 from seo_crawler_spark.streaming import dedup_stream as DS
 from seo_crawler_spark.streaming import events as E
+from seo_crawler_spark.streaming import sketch_stream as SS
 
 SF0001 = "/root/testdata/sf0.001"
 
@@ -103,6 +104,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events_asof_join; both two-scale green in the local artifacts)
         "hll_distinct": SK.hll_distinct,
         "cms_frequency": SK.cms_frequency,
+        # Structured Streaming twin of hll_distinct (foreachBatch
+        # register-max merge into versioned state); register max is
+        # idempotent so streaming ≡ batch exactly and the batch
+        # operator's oracle doubles as this query's hash gate
+        # (displaces caption_pairs — sibling of the r3-green
+        # multimodal_pipeline family, two-scale green locally)
+        "hll_distinct_stream": SS.hll_distinct_stream,
         # new in round 4 session 10 — must sit inside the 50-row window
         # (displaces embedding_neardup_lsh / repetition_signals /
         # pii_scrub, green driver rows in r3, to the tail)
@@ -131,7 +139,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 session 4 — must sit inside the 50-row window
         "ann_ivfpq_topk": S.ann_ivfpq_topk,
         "lm_perplexity_buckets": TS.lm_perplexity_buckets,
-        "caption_pairs": TS.caption_pairs,
         "bpe_merges": BP.bpe_merges_query,
         # new in round 4 session 7 — must sit inside the 50-row window
         # (displaces ann_lsh_buckets, a green driver row since r3, to
@@ -203,6 +210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # members; two-scale green in the committed local artifacts)
         "bpe_encode": BP.bpe_encode,
         "events_range_join": TP.events_range_join,
+        "caption_pairs": TS.caption_pairs,
         "classifier_pr_auc": CL.classifier_pr_auc,
         # Structured Streaming twin of dedup_incremental (foreachBatch +
         # stream-static band-index joins); same oracle SQL as the batch
@@ -268,6 +276,9 @@ def oracle_sql() -> dict[str, str]:
         "opic_priority": G.opic_priority_sql(),
         "centroid_outliers": CU.centroid_outliers_sql(),
         "hll_distinct": SK.hll_distinct_sql(),
+        # streaming twin: register-wise max merge is exact, so the
+        # batch estimator SQL is the stream's oracle too
+        "hll_distinct_stream": SK.hll_distinct_sql(),
         "cms_frequency": SK.cms_frequency_sql(),
         "bitext_mining": S.bitext_mining_sql(),
         "vocab_coverage": BP.vocab_coverage_sql(),

@@ -110,22 +110,55 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-local integer arithmetic. Merging tomorrow's crawl = the same
     max-agg over the union of register tables."""
     d = load(spark, "documents", sf_dir)
-    sc = spark.sparkContext
+    return hll_finalize(hll_registers(d), hll_exact(d))
+
+
+def hll_exact(docs: DataFrame) -> DataFrame:
+    """(source, exact): the exact distinct-shingle audit column — the
+    key-shuffling countDistinct the sketch exists to avoid."""
+    sc = docs.sparkSession.sparkContext
     toks = (
-        d.repartition(sc.defaultParallelism)
+        docs.repartition(sc.defaultParallelism)
         .select("source", tokens(F.col("text")).alias("tok"))
         .localCheckpoint(eager=True)  # _token_arrays discipline (dedup.py)
+    )
+    return (
+        toks.select("source", F.explode(shingles(F.col("tok"))).alias("t"))
+        .groupBy("source")
+        .agg(F.countDistinct("t").alias("exact"))
+    )
+
+
+def hll_registers(docs: DataFrame) -> DataFrame:
+    """(source, j, m): the 64-register max-rank table over a document
+    frame — the MERGEABLE sketch state (register-wise max of two such
+    tables ≡ the table of their union). Shared by the batch operator
+    and the streaming twin's per-batch merge."""
+    sc = docs.sparkSession.sparkContext
+    toks = (
+        docs.repartition(sc.defaultParallelism)
+        .select("source", tokens(F.col("text")).alias("tok"))
+        .localCheckpoint(eager=True)
     )
     grams = toks.select(
         "source", F.explode(shingles(F.col("tok"))).alias("t")
     )
     h = md5int(F.col("t"))
-    q = grams.select(
-        "source",
-        (h % HLL_M).alias("j"),
-        F.expr(_rho_sql(f"({_MD5INT_SPARK} div {HLL_M})")).alias("rho"),
+    return (
+        grams.select(
+            "source",
+            (h % HLL_M).alias("j"),
+            F.expr(_rho_sql(f"({_MD5INT_SPARK} div {HLL_M})")).alias("rho"),
+        )
+        .groupBy("source", "j")
+        .agg(F.max("rho").alias("m"))
     )
-    regs = q.groupBy("source", "j").agg(F.max("rho").alias("m"))
+
+
+def hll_finalize(regs: DataFrame, exact: DataFrame) -> DataFrame:
+    """Fold a register table into per-source estimates (the integer
+    estimator described in the module docstring); ``exact`` supplies
+    the audit column."""
     per_src = regs.groupBy("source").agg(
         F.count(F.lit(1)).alias("present"),
         F.expr(f"sum(cast(1 as bigint) << ({HLL_CAP} - m))").alias(
@@ -147,9 +180,6 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(cast({an} as bigint) * {HLL_M * HLL_M}"
             f" * {1 << HLL_CAP}) div ({ad} * isum)"
         ),
-    )
-    exact = grams.groupBy("source").agg(
-        F.countDistinct("t").alias("exact")
     )
     use_lc = (F.col("raw") <= HLL_LC_LIMIT) & (F.col("zeros") > 0)
     return (

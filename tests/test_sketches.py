@@ -192,3 +192,50 @@ def test_cms_sketch_is_mergeable():
         [x + y for x, y in zip(ra, rb)] for ra, rb in zip(a, b)
     ]
     assert merged == whole
+
+
+# ---------------------------------------------------------------------------
+# streaming HLL
+# ---------------------------------------------------------------------------
+
+
+def test_hll_stream_equals_batch_and_state_bounded(spark, tmp_path):
+    from seo_crawler_spark.streaming.sketch_stream import (
+        hll_distinct_stream,
+    )
+
+    stream = sorted(
+        tuple(r) for r in hll_distinct_stream(spark, SF0001).collect()
+    )
+    batch = sorted(
+        tuple(r) for r in hll_distinct(spark, SF0001).collect()
+    )
+    # register-wise max merge is exact → stream ≡ batch, row for row
+    assert stream == batch
+
+
+def test_hll_stream_state_stays_constant_size(spark):
+    # the property no exact-distinct stream has: state ≤ |sources|·64
+    # rows after EVERY batch, and version count == batch count
+    import glob
+
+    from seo_crawler_spark.operators.sketches import HLL_M
+    from seo_crawler_spark.streaming.sketch_stream import (
+        _stage_batches,
+        stream_hll,
+    )
+    from seo_crawler_spark.sources.tables import load
+
+    import tempfile
+
+    docs = load(spark, "documents", SF0001).select(
+        "doc_id", "source", "text"
+    )
+    n_src = docs.select("source").distinct().count()
+    work = tempfile.mkdtemp(prefix="hll_state_")
+    _stage_batches(spark, docs, f"{work}/in", 4)
+    stream_hll(spark, f"{work}/in", docs.schema, f"{work}/state")
+    versions = sorted(glob.glob(f"{work}/state/v*"))
+    assert len(versions) == 4
+    for v in versions:
+        assert spark.read.parquet(v).count() <= n_src * HLL_M
