@@ -111,6 +111,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (displaces caption_pairs — sibling of the r3-green
         # multimodal_pipeline family, two-scale green locally)
         "hll_distinct_stream": SS.hll_distinct_stream,
+        # (displaces quality_classifier_filter — the forward pass of
+        # the in-window quality_classifier_train, whose oracle nests
+        # the same trajectory; two-scale green locally)
+        "length_quantile_sketch": SK.length_quantile_sketch,
         # new in round 4 session 10 — must sit inside the 50-row window
         # (displaces embedding_neardup_lsh / repetition_signals /
         # pii_scrub, green driver rows in r3, to the tail)
@@ -135,7 +139,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": CS.ngram_novelty,
         # new in round 4 session 6 — must sit inside the 50-row window
         "quality_classifier_train": CL.quality_classifier_train,
-        "quality_classifier_filter": CL.quality_classifier_filter,
         # new in round 4 session 4 — must sit inside the 50-row window
         "ann_ivfpq_topk": S.ann_ivfpq_topk,
         "lm_perplexity_buckets": TS.lm_perplexity_buckets,
@@ -211,6 +214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": BP.bpe_encode,
         "events_range_join": TP.events_range_join,
         "caption_pairs": TS.caption_pairs,
+        "quality_classifier_filter": CL.quality_classifier_filter,
         "classifier_pr_auc": CL.classifier_pr_auc,
         # Structured Streaming twin of dedup_incremental (foreachBatch +
         # stream-static band-index joins); same oracle SQL as the batch
@@ -280,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
         # batch estimator SQL is the stream's oracle too
         "hll_distinct_stream": SK.hll_distinct_sql(),
         "cms_frequency": SK.cms_frequency_sql(),
+        "length_quantile_sketch": SK.length_quantile_sketch_sql(),
         "bitext_mining": S.bitext_mining_sql(),
         "vocab_coverage": BP.vocab_coverage_sql(),
         "source_similarity": CS.source_similarity_sql(),

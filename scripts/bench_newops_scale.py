@@ -54,6 +54,7 @@ QUERIES = [
     "centroid_outliers",
     "hll_distinct",
     "cms_frequency",
+    "length_quantile_sketch",
 ]
 
 

@@ -344,3 +344,146 @@ SELECT e.t AS term, e.est, x.exact, (e.est - x.exact) AS overcount
 FROM est e JOIN exact x USING (t)
 ORDER BY term
 """
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+QSK_W = 32                    # bin width (chars)
+QSK_QS = (50, 90, 99)         # percentiles to report
+
+
+def length_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q, rank, bin, lo, hi, exact_val, contained): document-length
+    percentiles answered from a fixed-width histogram sketch — the
+    third mergeable sketch next to hll_distinct (distinct) and
+    cms_frequency (frequency). Exact percentiles need every value (or
+    a per-partition value-counts map, cf. length_quantiles' scale
+    note); the histogram needs ≤ range/W bin counters, merged across
+    partitions/days by plain addition, and answers any percentile to
+    ±W/2 forever after. For unbounded/skewed ranges the production
+    variant makes bins log-width (HDR-histogram style — the same
+    bit-length CASE chain the HLL rank uses); the shipped corpus's
+    44..577-char range wants linear bins.
+
+    Scale shape: ONE map-side-combined groupBy(bin).count — constant
+    state like the other sketches; the cumulative walk and the
+    quantile pick run on the ≤ range/W-row bin frame (a dimension,
+    like the politeness robots dim — its single-partition window is
+    bounded by construction). The exact_val audit column uses the
+    bounded value-counts route (doc-length cardinality ≤ max doc
+    bytes), and ``contained`` states the sketch's ±bin guarantee as a
+    boolean the hash gate checks. All arithmetic integer: rank =
+    ceil(q·N/100) via (q·N + 99) div 100, bin bounds are bin·W and
+    bin·W + W - 1."""
+    docs = load(spark, "documents", sf_dir)
+    hist = (
+        docs.groupBy(F.expr(f"n_chars div {QSK_W}").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    # bin frame is range/W rows — dimension-sized by construction
+    wb = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(wb)).localCheckpoint(
+        eager=True
+    )  # feeds |QSK_QS| consumers
+    n = docs.count()  # 1 driver scalar (the pagerank-n pattern)
+    # exact audit: smallest value whose cumulative count reaches rank
+    # (value-counts frame, bounded cardinality)
+    vals = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    vcum = vals.withColumn("vcum", F.sum("c").over(wv)).localCheckpoint(
+        eager=True
+    )
+    out = None
+    for q in QSK_QS:
+        rank = (q * n + 99) // 100
+        pick = (
+            cum.filter(F.col("cum") >= rank)
+            .orderBy("bin")
+            .limit(1)
+            .select(
+                F.lit(q).alias("q"),
+                F.lit(rank).cast("long").alias("rank"),
+                "bin",
+                (F.col("bin") * QSK_W).alias("lo"),
+                (F.col("bin") * QSK_W + QSK_W - 1).alias("hi"),
+            )
+        )
+        ex = (
+            vcum.filter(F.col("vcum") >= rank)
+            .orderBy("n_chars")
+            .limit(1)
+            .select(
+                F.lit(q).alias("q"),
+                F.col("n_chars").alias("exact_val"),
+            )
+        )
+        row = pick.join(ex, "q")
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "q",
+        "rank",
+        "bin",
+        "lo",
+        "hi",
+        "exact_val",
+        (
+            (F.col("exact_val") >= F.col("lo"))
+            & (F.col("exact_val") <= F.col("hi"))
+        ).alias("contained"),
+    ).orderBy("q")
+
+
+def length_quantile_sketch_sql() -> str:
+    qs = ", ".join(str(q) for q in QSK_QS)
+    return f"""
+WITH hist AS (
+  SELECT n_chars // {QSK_W} AS bin, count(*) AS cnt
+  FROM documents GROUP BY 1
+),
+cum AS (
+  SELECT bin, cnt,
+         sum(cnt) OVER (ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+),
+n AS (SELECT count(*) AS nn FROM documents),
+targets AS (
+  SELECT q, (q * (SELECT nn FROM n) + 99) // 100 AS rank
+  FROM (SELECT unnest([{qs}]) AS q)
+),
+vals AS (
+  SELECT n_chars, count(*) AS c FROM documents GROUP BY 1
+),
+vcum AS (
+  SELECT n_chars,
+         sum(c) OVER (ORDER BY n_chars
+                      ROWS UNBOUNDED PRECEDING) AS vcum
+  FROM vals
+),
+pick AS (
+  SELECT t.q, t.rank, min(c.bin) AS bin
+  FROM targets t JOIN cum c ON c.cum >= t.rank
+  GROUP BY t.q, t.rank
+),
+exact AS (
+  SELECT t.q, min(v.n_chars) AS exact_val
+  FROM targets t JOIN vcum v ON v.vcum >= t.rank
+  GROUP BY t.q
+)
+SELECT p.q, p.rank, p.bin,
+       (p.bin * {QSK_W})::BIGINT AS lo,
+       (p.bin * {QSK_W} + {QSK_W - 1})::BIGINT AS hi,
+       e.exact_val,
+       e.exact_val >= p.bin * {QSK_W}
+         AND e.exact_val <= p.bin * {QSK_W} + {QSK_W - 1} AS contained
+FROM pick p JOIN exact e USING (q)
+ORDER BY p.q
+"""

@@ -25,6 +25,12 @@ NESTED_LOOP_EXEMPT = {
     # a single row, no driver round-trip). The build side is bounded at
     # 1 row by construction, so the nested loop is O(n·1).
     "hits_scores",
+    # length_quantile_sketch joins the per-percentile picked bin (a
+    # limit(1) frame) with the per-percentile exact audit (another
+    # limit(1) frame) on a LITERAL q — Catalyst constant-folds the
+    # equality, leaving a 1-row × 1-row nested loop per percentile.
+    # Both sides are bounded at 1 row by construction: O(1·1)·|QSK_QS|.
+    "length_quantile_sketch",
 }
 
 QUERIES = sorted(entry_mod.queries().keys())

@@ -239,3 +239,63 @@ def test_hll_stream_state_stays_constant_size(spark):
     assert len(versions) == 4
     for v in versions:
         assert spark.read.parquet(v).count() <= n_src * HLL_M
+
+
+# ---------------------------------------------------------------------------
+# histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def _lengths(sf_dir: str) -> list[int]:
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    return [r["n_chars"] for r in t.to_pylist()]
+
+
+def test_quantile_sketch_matches_python_reference(spark):
+    from seo_crawler_spark.operators.sketches import (
+        QSK_QS,
+        QSK_W,
+        length_quantile_sketch,
+    )
+
+    lens = _lengths(SF0001)
+    hist = defaultdict(int)
+    for v in lens:
+        hist[v // QSK_W] += 1
+    n = len(lens)
+    svals = sorted(lens)
+    ref = {}
+    for q in QSK_QS:
+        rank = (q * n + 99) // 100
+        cum = 0
+        for b in sorted(hist):
+            cum += hist[b]
+            if cum >= rank:
+                break
+        ref[q] = (rank, b, b * QSK_W, b * QSK_W + QSK_W - 1, svals[rank - 1])
+    rows = length_quantile_sketch(spark, SF0001).collect()
+    got = {r.q: (r.rank, r.bin, r.lo, r.hi, r.exact_val) for r in rows}
+    assert got == ref
+    # the sketch's ±bin guarantee: the exact value falls in the picked
+    # bin whenever ranks agree — stated as the contained column
+    assert all(r.contained for r in rows)
+
+
+def test_quantile_histogram_is_mergeable():
+    from seo_crawler_spark.operators.sketches import QSK_W
+
+    lens = _lengths(SF0001)
+    half = len(lens) // 2
+
+    def build(vs):
+        h = defaultdict(int)
+        for v in vs:
+            h[v // QSK_W] += 1
+        return h
+
+    whole, a, b = build(lens), build(lens[:half]), build(lens[half:])
+    merged = defaultdict(int)
+    for h in (a, b):
+        for k, v in h.items():
+            merged[k] += v
+    assert dict(merged) == dict(whole)
