@@ -55,6 +55,7 @@ QUERIES = [
     "hll_distinct",
     "cms_frequency",
     "length_quantile_sketch",
+    "cocitation_similarity",
 ]
 
 

@@ -969,3 +969,103 @@ SELECT doc_id, cash, hist, (hist + cash) AS priority,
        row_number() OVER (ORDER BY (hist + cash) DESC, doc_id ASC) AS rnk
 FROM {prev} ORDER BY rnk
 """
+
+
+# ---------------------------------------------------------------------------
+# Co-citation similarity — "related pages" from the link graph
+# ---------------------------------------------------------------------------
+
+COCITE_OUT_CAP = 64     # out-degree cap on the citing page (df-cap analog)
+COCITE_MIN = 2          # related iff co-cited by ≥ this many pages
+
+
+def cocitation_similarity(
+    spark: SparkSession, sf_dir: str, out_cap: int = COCITE_OUT_CAP
+) -> DataFrame:
+    """(a, b, cocite, indeg_a, indeg_b, score_pct, related): co-citation
+    similarity over the link graph (Small 1973 via Dean & Henzinger,
+    WWW 1999 "Finding related pages in the World Wide Web"): two pages
+    are related when many third pages link to BOTH. The crawler uses it
+    for seed expansion ("crawl pages related to the good ones") and a
+    curation pipeline for source discovery; it needs no content — pure
+    link evidence, which is why it survives templating/spam that fools
+    text similarity.
+
+    Scale shape — the posting-list discipline on the CITING side: one
+    distinct edge collapse, ONE shuffle groups each citing page's
+    out-link set, pair-gen is row-local from each set (a page citing d
+    targets yields C(d,2) pairs, bounded by the out-degree cap — the
+    mirror_hosts df-cap analog; pages citing more than ``out_cap``
+    targets are link farms/directories and get stopworded, which is
+    ALSO the right relevance call), then one count agg over pairs.
+    In-degrees join back as a doc-keyed equi-join. score_pct =
+    (100·cocite) div min(indeg) states the normalized strength on
+    INTEGERS, exact cross-engine."""
+    docs = load(spark, "documents", sf_dir).select("doc_id")
+    n = docs.count()
+    e = _edges(docs, n).distinct().localCheckpoint(eager=True)
+    outs = (
+        e.groupBy("src")
+        .agg(F.sort_array(F.collect_set("dst")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= out_cap))
+    )
+    pairs = outs.selectExpr(
+        "inline(flatten(transform(ds, "
+        "x -> transform(filter(ds, y -> y > x), "
+        "y -> struct(x AS a, y AS b)))))"
+    )
+    cc = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cocite"))
+    indeg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("indeg"))
+    ia = indeg.select(F.col("dst").alias("a"), F.col("indeg").alias("indeg_a"))
+    ib = indeg.select(F.col("dst").alias("b"), F.col("indeg").alias("indeg_b"))
+    mn = F.least(F.col("indeg_a"), F.col("indeg_b"))
+    return (
+        cc.join(ia, "a")
+        .join(ib, "b")
+        .select(
+            "a",
+            "b",
+            "cocite",
+            "indeg_a",
+            "indeg_b",
+            F.expr("(100 * cocite) div least(indeg_a, indeg_b)").alias(
+                "score_pct"
+            ),
+            (F.col("cocite") >= COCITE_MIN).alias("related"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+def cocitation_similarity_sql(out_cap: int = COCITE_OUT_CAP) -> str:
+    gens = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {frag} AS dst FROM documents"
+        for _, frag in _GEN_EXPRS
+    )
+    return f"""
+WITH n AS (SELECT count(*) AS c FROM documents),
+e0 AS ({gens}),
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+outs AS (
+  SELECT src, list_sort(list(dst)) AS ds
+  FROM e GROUP BY src
+  HAVING len(list(dst)) BETWEEN 2 AND {out_cap}
+),
+pairs AS (
+  SELECT p.a, p.b FROM outs,
+  LATERAL (
+    SELECT x.x AS a, y.y AS b
+    FROM (SELECT unnest(ds) AS x) x
+    JOIN (SELECT unnest(ds) AS y) y ON y.y > x.x
+  ) p
+),
+cc AS (SELECT a, b, count(*) AS cocite FROM pairs GROUP BY a, b),
+indeg AS (SELECT dst, count(*) AS indeg FROM e GROUP BY dst)
+SELECT cc.a, cc.b, cc.cocite,
+       ia.indeg AS indeg_a, ib.indeg AS indeg_b,
+       (100 * cc.cocite) // least(ia.indeg, ib.indeg) AS score_pct,
+       cc.cocite >= {COCITE_MIN} AS related
+FROM cc JOIN indeg ia ON cc.a = ia.dst
+        JOIN indeg ib ON cc.b = ib.dst
+ORDER BY cc.a, cc.b
+"""

@@ -194,3 +194,52 @@ def test_centroid_outliers_exactly_k_per_label(spark):
         # cosine to own centroid lives on the 1e4 grid in [-1e4, 1e4]
         assert -CENT_ICOS <= r.icos <= CENT_ICOS
     assert all(per[lab] == OUT_K for lab in seen_labels)
+
+
+# ---------------------------------------------------------------------------
+# cocitation_similarity
+# ---------------------------------------------------------------------------
+
+
+def _cocite_reference(ids: list[int]):
+    from seo_crawler_spark.operators.graph import COCITE_MIN, COCITE_OUT_CAP
+
+    edges = set(_edges_py(ids))
+    outs = defaultdict(set)
+    indeg = defaultdict(int)
+    for s, t in edges:
+        outs[s].add(t)
+        indeg[t] += 1
+    cc = defaultdict(int)
+    for s, ds in outs.items():
+        if not (2 <= len(ds) <= COCITE_OUT_CAP):
+            continue
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                cc[(ds[i], ds[j])] += 1
+    return {
+        (a, b): (
+            c,
+            indeg[a],
+            indeg[b],
+            (100 * c) // min(indeg[a], indeg[b]),
+            c >= COCITE_MIN,
+        )
+        for (a, b), c in cc.items()
+    }
+
+
+def test_cocitation_matches_python_reference(spark):
+    from seo_crawler_spark.operators.graph import cocitation_similarity
+
+    ref = _cocite_reference(_doc_ids(SF0001))
+    rows = cocitation_similarity(spark, SF0001).collect()
+    got = {
+        (r.a, r.b): (r.cocite, r.indeg_a, r.indeg_b, r.score_pct, r.related)
+        for r in rows
+    }
+    assert got == ref
+    # pair canonicalization + non-vacuous verdicts both ways
+    assert all(r.a < r.b for r in rows)
+    assert any(r.related for r in rows) and not all(r.related for r in rows)
