@@ -16,6 +16,7 @@ from seo_crawler_spark.operators import classifier as CL
 from seo_crawler_spark.operators import corpus_stats as CS
 from seo_crawler_spark.operators import curation as CU
 from seo_crawler_spark.operators import dedup as D
+from seo_crawler_spark.operators import dust as DU
 from seo_crawler_spark.operators import graph as G
 from seo_crawler_spark.operators import multimodal as MM
 from seo_crawler_spark.operators import retrieval as RT
@@ -90,6 +91,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # for queries with multi-round green driver history (the TPC-H five,
     # the events family, status_histogram — green since round 1/2).
     return {
+        # new in round 4 session 12 — must sit inside the 50-row window
+        # (displaces analytics_detection / recrawl_schedule /
+        # crawl_snapshot_diff — green driver rows in r3, two-scale green
+        # in the committed local artifacts — to the tail)
+        "dust_param_rules": DU.dust_param_rules,
+        "host_rank": G.host_rank,
+        "focused_crawl_priority": CQ.focused_crawl_priority,
         # new in round 4 session 11 — must sit inside the 50-row window
         # (displaces contrastive_triplets_hard / dedup_incremental_stream
         # / classifier_pr_auc — each the sibling variant of an in-window
@@ -185,14 +193,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": SA.dsir_select,
         # temporal joins (new in r4 — must sit inside the 50-row window)
         "events_asof_join": TP.events_asof_join,
-        "analytics_detection": CQ.analytics_detection,
-        "recrawl_schedule": CQ.recrawl_schedule,
         # new in round 4 session 7 — must sit inside the 50-row window
         # (displaces decontaminate, a green driver row since r3, to the
         # tail)
         "crawl_budget_allocation": CQ.crawl_budget_allocation,
         "crawl_trap_detection": CQ.crawl_trap_detection,
-        "crawl_snapshot_diff": CQ.crawl_snapshot_diff,
         "anchor_text_agg": G.anchor_text_agg,
         "hits_scores": G.hits_scores,
         # corpus curation rollups
@@ -212,6 +217,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_stats": CS.host_stats,
         "length_quantiles": CS.length_quantiles,
         "mixture_allocation": CS.mixture_allocation,
+        # session-12 displacements (green driver rows in r3; two-scale
+        # green in the committed local artifacts)
+        "analytics_detection": CQ.analytics_detection,
+        "recrawl_schedule": CQ.recrawl_schedule,
+        "crawl_snapshot_diff": CQ.crawl_snapshot_diff,
         # session-11 displacements (sibling variants of in-window family
         # members; two-scale green in the committed local artifacts)
         "bpe_encode": BP.bpe_encode,
@@ -280,6 +290,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dust_param_rules": DU.dust_param_rules_sql(),
+        "host_rank": G.host_rank_sql(),
+        "focused_crawl_priority": CQ.focused_crawl_priority_sql(),
         "seed_distance_bfs": G.seed_distance_sql(),
         "opic_priority": G.opic_priority_sql(),
         "centroid_outliers": CU.centroid_outliers_sql(),

@@ -56,6 +56,10 @@ QUERIES = [
     "cms_frequency",
     "length_quantile_sketch",
     "cocitation_similarity",
+    # session 12
+    "dust_param_rules",
+    "host_rank",
+    "focused_crawl_priority",
 ]
 
 

@@ -1069,3 +1069,128 @@ FROM cc JOIN indeg ia ON cc.a = ia.dst
         JOIN indeg ib ON cc.b = ib.dst
 ORDER BY cc.a, cc.b
 """
+
+
+# ---------------------------------------------------------------------------
+# Host-graph PageRank — centrality on the CONTRACTED link graph
+# ---------------------------------------------------------------------------
+
+HOST_ITERS = 5
+
+
+def host_rank(
+    spark: SparkSession, sf_dir: str, iters: int = HOST_ITERS
+) -> DataFrame:
+    """(host, score, in_hosts, rnk): weighted PageRank on the host graph
+    — the document link graph contracted to one node per host (source),
+    edge weight = number of doc-level links between the two hosts,
+    intra-host edges dropped. Crawl systems rank HOSTS, not just pages,
+    for seed selection, per-host budget split (crawl_budget_allocation's
+    value input), and spam-neighborhood demotion: host-level centrality
+    is far more stable than page-level under template churn.
+
+    The contraction is the 100 TB point: a trillion-edge page graph
+    collapses to a host graph with |hosts|² ≤ millions of weighted
+    edges in ONE groupBy over the edge table (two broadcast-able
+    doc→host joins first — the host map is dimension-sized at any
+    corpus scale). The k PageRank iterations then run on the contracted
+    frame, each a join + map-side agg over rows proportional to hosts,
+    not pages — where pagerank() above pays per-page cost per
+    iteration.
+
+    Weighted integer fixed point: per-edge contribution =
+    (score·85·w) div (100·W) with W = Σ out-weights of the source host
+    — exact int64, so k iterations are bit-identical vs the unrolled
+    DuckDB CTE chain (the pagerank/trustrank discipline). Dangling
+    hosts (no out-edges after the intra-host drop) lose their damped
+    mass deterministically, same as pagerank()."""
+    docs = load(spark, "documents", sf_dir).select("doc_id", "source")
+    n = docs.count()
+    hmap = docs.select("doc_id", F.col("source").alias("host"))
+    e = _edges(docs.select("doc_id"), n)
+    he = (
+        e.join(hmap.withColumnsRenamed({"doc_id": "src", "host": "hsrc"}), "src")
+        .join(hmap.withColumnsRenamed({"doc_id": "dst", "host": "hdst"}), "dst")
+        .filter(F.col("hsrc") != F.col("hdst"))
+        .groupBy("hsrc", "hdst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outw = he.groupBy("hsrc").agg(F.sum("w").alias("ow"))
+    he2 = he.join(outw, "hsrc").localCheckpoint(eager=True)
+    hosts = hmap.select("host").distinct()
+    score = hosts.select("host", F.lit(SCALE).cast("long").alias("score"))
+    for _ in range(iters):
+        contrib = (
+            he2.join(score, he2.hsrc == score.host)
+            .select(
+                "hdst",
+                F.expr(
+                    f"(score * {DAMP_NUM} * w) div ({DAMP_DEN} * ow)"
+                ).alias("c"),
+            )
+            .groupBy("hdst")
+            .agg(F.sum("c").alias("m"))
+        )
+        score = (
+            hosts.join(contrib, hosts.host == contrib.hdst, "left")
+            .select(
+                "host",
+                (F.lit(BASE).cast("long") + F.coalesce("m", F.lit(0))).alias(
+                    "score"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    indeg = he2.groupBy("hdst").agg(F.count(F.lit(1)).alias("in_hosts"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("host"))
+    return (
+        score.join(indeg, score.host == indeg.hdst, "left")
+        .select(
+            "host",
+            "score",
+            F.coalesce("in_hosts", F.lit(0)).alias("in_hosts"),
+            F.row_number().over(w).alias("rnk"),
+        )
+        .orderBy("rnk")
+    )
+
+
+def host_rank_sql(iters: int = HOST_ITERS) -> str:
+    gens = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {frag} AS dst FROM documents"
+        for _, frag in _GEN_EXPRS
+    )
+    steps = []
+    prev = "s0"
+    for k in range(1, iters + 1):
+        steps.append(
+            f"s{k} AS MATERIALIZED (SELECT h.host, ({BASE} + coalesce(x.m, 0))::BIGINT AS score "
+            f"FROM hosts h LEFT JOIN ("
+            f"SELECT he2.hdst, sum((s.score * {DAMP_NUM} * he2.w) // ({DAMP_DEN} * he2.ow)) AS m "
+            f"FROM he2 JOIN {prev} s ON he2.hsrc = s.host GROUP BY he2.hdst"
+            f") x ON h.host = x.hdst)"
+        )
+        prev = f"s{k}"
+    return f"""
+WITH n AS (SELECT count(*) AS c FROM documents),
+e0 AS ({gens}),
+e AS (SELECT * FROM e0 WHERE src <> dst),
+hm AS (SELECT doc_id, source AS host FROM documents),
+he AS MATERIALIZED (
+  SELECT a.host AS hsrc, b.host AS hdst, count(*) AS w
+  FROM e JOIN hm a ON e.src = a.doc_id JOIN hm b ON e.dst = b.doc_id
+  WHERE a.host <> b.host GROUP BY a.host, b.host
+),
+ow AS (SELECT hsrc, sum(w) AS ow FROM he GROUP BY hsrc),
+he2 AS MATERIALIZED (SELECT he.hsrc, he.hdst, he.w, ow.ow FROM he JOIN ow USING (hsrc)),
+hosts AS (SELECT DISTINCT source AS host FROM documents),
+s0 AS (SELECT host, {SCALE}::BIGINT AS score FROM hosts),
+{', '.join(steps)},
+indeg AS (SELECT hdst, count(*) AS in_hosts FROM he2 GROUP BY hdst)
+SELECT s.host, s.score, coalesce(i.in_hosts, 0) AS in_hosts,
+       row_number() OVER (ORDER BY s.score DESC, s.host ASC) AS rnk
+FROM {prev} s LEFT JOIN indeg i ON s.host = i.hdst
+ORDER BY rnk
+"""
