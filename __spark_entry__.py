@@ -91,6 +91,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # for queries with multi-round green driver history (the TPC-H five,
     # the events family, status_histogram — green since round 1/2).
     return {
+        # new in round 4 session 13 — must sit inside the 50-row window
+        "phrase_search": RT.phrase_search,
+        "boilerplate_strip": CS.boilerplate_strip,
+        "hyperball_centrality": G.hyperball_centrality,
+        "triangle_count": G.triangle_count,
         # new in round 4 session 12 — must sit inside the 50-row window
         # (displaces analytics_detection / recrawl_schedule /
         # crawl_snapshot_diff — green driver rows in r3, two-scale green
@@ -373,6 +378,10 @@ def oracle_sql() -> dict[str, str]:
         "interleaved_spans": TS.interleaved_spans_sql(),
         "inverted_index": TS.inverted_index_sql(),
         "bm25_topk": RT.bm25_topk_sql(),
+        "phrase_search": RT.phrase_search_sql(),
+        "boilerplate_strip": CS.boilerplate_strip_sql(),
+        "hyperball_centrality": G.hyperball_sql(),
+        "triangle_count": G.triangle_count_sql(),
         "decontaminate_bm25": RT.decontaminate_bm25_sql(),
         "dsir_select": SA.dsir_select_sql(),
         "stratified_sample": SA.stratified_sample_sql(),

@@ -273,6 +273,13 @@ HEADLINE = [
     "opic_priority",
     "centroid_outliers",
     "hll_distinct",
+    # round-4 session-13: HyperBall centrality (4 rounds of edge-join +
+    # register max-merge over per-node HLL state), positional phrase
+    # search (posting broadcast-probe + start-aligned agg), per-source
+    # boilerplate line strip (distinct-df agg + join + per-doc rollup)
+    "hyperball_centrality",
+    "phrase_search",
+    "boilerplate_strip",
 ]
 
 

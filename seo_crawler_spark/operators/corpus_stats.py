@@ -1071,3 +1071,127 @@ g AS (
 SELECT src_a, src_b, icos, icos / {float(s)} AS cos
 FROM g ORDER BY src_a, src_b
 """
+
+
+# ---------------------------------------------------------------------------
+# per-source boilerplate line removal
+# ---------------------------------------------------------------------------
+
+# line unit in tokens — finer than PARA_TOKENS because site boilerplate
+# (nav bars, footers, cookie banners) is short; same splitter-agnostic
+# note as paragraph_dedup: the shipped corpus has no newline structure,
+# a real web corpus swaps the block slice for split(text, '\n')
+BP_TOKENS = 5
+# a line is boilerplate within its source when >= this many DISTINCT
+# docs of the source contain it (CCNet dedups lines seen twice per
+# shard; RefinedWeb strips repeated lines per site)
+BP_MIN_DF = 2
+BP_ENC = 1_000_000  # lines-per-doc bound for the int64 (doc, lidx) key
+
+
+def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE repeated-line removal — the site-template boilerplate
+    pass every web-corpus pipeline runs before document-level dedup
+    (CCNet, Wenzek et al. 2020 — line-level dedup against shard
+    frequency; RefinedWeb, Penedo et al. 2023 — repeated-line strip per
+    site). Unlike :func:`paragraph_dedup` (corpus-wide keep-FIRST, one
+    survivor per hash), this drops EVERY occurrence of a line that
+    appears in >= BP_MIN_DF distinct documents of the SAME source —
+    navigation chrome should survive zero times, not once.
+
+    Scale shape (mirrors the other `_first_occurrence_rollup` plans):
+      1. line split is ROW-LOCAL (slice over the token array);
+      2. the per-(source, line-hash) document frequency is ONE
+         map-side-combined distinct-aggregate — no window, so a
+         boilerplate line on d docs costs d state rows, never a d-row
+         sort partition; because the key embeds the source, a mega-host
+         never concentrates on one reducer beyond its own line variety;
+      3. one (source, h) equi-join back to occurrences, then one
+         per-doc agg bounded by lines/doc.
+    Shuffles = 1 distinct-agg + 1 equi-join + 1 per-doc agg."""
+    docs = load(spark, "documents", sf_dir)
+    # _token_arrays discipline (dedup.py:79) but keeping the source
+    # column the per-host df scope needs
+    d = (
+        docs.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", "source", tokens(F.col("text")).alias("tok"))
+        .localCheckpoint(eager=True)
+    )
+    p = F.lit(BP_TOKENS)
+    blocks = F.transform(
+        F.sequence(F.lit(1), F.ceil(F.size("tok") / p).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice("tok", (i - 1) * p + 1, p)),
+    )
+    occ = (
+        d.filter(F.size("tok") > 0)
+        .select("doc_id", "source", F.posexplode(blocks).alias("l0", "line"))
+        .select(
+            "doc_id",
+            "source",
+            (F.col("l0") + 1).alias("lidx"),
+            "line",
+            (md5int(F.col("line")) % MOD).alias("h"),
+        )
+        # barrier: occ feeds BOTH the df agg and the join probe side
+        .localCheckpoint(eager=True)
+    )
+    dfreq = occ.groupBy("source", "h").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    kept = F.col("df") < BP_MIN_DF
+    g = (
+        occ.join(dfreq, ["source", "h"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(kept.cast("int")).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(kept, F.struct(F.col("lidx"), F.col("line")))
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+            ).alias("kept_text"),
+        )
+    )
+    return g.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.round(F.col("n_kept") / F.col("n_lines"), 6).alias("kept_frac"),
+        F.md5("kept_text").alias("kept_md5"),
+    ).orderBy("doc_id")
+
+
+def boilerplate_strip_sql() -> str:
+    tok = TOKENS_SQL.format(c="text")
+    h = MD5INT_SQL.format(c="line")
+    p = BP_TOKENS
+    return f"""
+WITH tokd AS (SELECT doc_id, source, {tok} AS tok FROM documents),
+lines AS (
+  SELECT doc_id, source, generate_subscripts(ls, 1) AS lidx, unnest(ls) AS line
+  FROM (SELECT doc_id, source,
+          list_transform(range(1, cast(ceil(len(tok) / {p}.0) AS INT) + 1),
+                         i -> array_to_string(tok[(i-1)*{p}+1 : i*{p}], ' '))
+            AS ls
+        FROM tokd WHERE len(tok) > 0)
+),
+occ AS (SELECT doc_id, source, lidx, line, ({h} % {MOD}) AS h FROM lines),
+dfreq AS (SELECT source, h, count(DISTINCT doc_id) AS df
+          FROM occ GROUP BY source, h)
+SELECT doc_id,
+       count(*) AS n_lines,
+       sum((df < {BP_MIN_DF})::INT)::BIGINT AS n_kept,
+       round(sum((df < {BP_MIN_DF})::INT) * 1.0 / count(*), 6) AS kept_frac,
+       md5(coalesce(
+         string_agg(CASE WHEN df < {BP_MIN_DF} THEN line END,
+                    ' ' ORDER BY lidx),
+         '')) AS kept_md5
+FROM occ JOIN dfreq USING (source, h)
+GROUP BY doc_id ORDER BY doc_id
+"""

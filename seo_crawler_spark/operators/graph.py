@@ -1194,3 +1194,336 @@ SELECT s.host, s.score, coalesce(i.in_hosts, 0) AS in_hosts,
 FROM {prev} s LEFT JOIN indeg i ON s.host = i.hdst
 ORDER BY rnk
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperBall — sketch-based harmonic centrality (Boldi & Vigna 2013)
+# ---------------------------------------------------------------------------
+
+HB_ITERS = 4          # ball radius; web graphs have tiny effective diameter
+HB_SCALE = 10_000     # fixed-point grid for the 1/t harmonic weights
+
+
+def hyperball_centrality(
+    spark: SparkSession, sf_dir: str, iters: int = HB_ITERS
+) -> DataFrame:
+    """Approximate HARMONIC centrality of every page via HyperBall
+    (Boldi & Vigna 2013, "In-Core Computation of Geometric
+    Centralities with HyperBall") — THE way centralities are computed
+    on web-scale graphs, because exact all-pairs BFS is O(V·E): each
+    node keeps a 64-register HyperLogLog of its in-ball
+    B(v,t) = {u : d(u→v) <= t}; one round of register max-merge along
+    reversed edges grows every ball by one hop simultaneously, and
+    harmonic centrality falls out as H(v) = Σ_t (|B(v,t)|-|B(v,t-1)|)/t
+    over the estimated ball sizes.
+
+    Scale shape — per iteration exactly TWO hash exchanges, both on
+    bounded state (the sketch property: state is 64 rows/node no
+    matter how many nodes the ball holds — a plain-set BFS from EVERY
+    node would carry O(V) state per node):
+      1. one edge⋈state equi-join on the edge source (each edge ships
+         at most 64 register rows);
+      2. one map-side-combined groupBy(node, register).max(rank) —
+         max is idempotent and associative, so partial aggregation
+         collapses duplicate contributions before the shuffle.
+    Per-round localCheckpoint folds lineage (the wave-loop/pagerank
+    discipline — round k never replans rounds 1..k-1).
+
+    Integer-exact end to end: registers and ranks are ints, ball-size
+    estimates reuse the sketch module's all-integer HLL estimator
+    (2^30-grid harmonic sum, rational α, precomputed linear-counting
+    table — sketches.py), and the 1/t weights are HB_SCALE-grid
+    integer divisions, so the DuckDB unrolled-CTE oracle is
+    bit-identical. ΔN is clamped at 0 (HLL estimates of nested sets
+    can jitter downward; Boldi & Vigna §4 do the same)."""
+    from .sketches import (
+        HLL_ALPHA,
+        HLL_CAP,
+        HLL_LC_LIMIT,
+        HLL_M,
+        _lc_case_sql,
+        _rho_sql,
+    )
+
+    docs = load(spark, "documents", sf_dir).select("doc_id")
+    n = docs.count()
+    e = _edges(docs, n).localCheckpoint(eager=True)
+
+    hsql = "cast(conv(substr(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint)"
+    st = docs.select(
+        "doc_id",
+        F.expr(f"({hsql}) % {HLL_M}").alias("j"),
+        F.expr(_rho_sql(f"(({hsql}) div {HLL_M})")).alias("m"),
+    ).localCheckpoint(eager=True)
+
+    an, ad = HLL_ALPHA
+
+    def _nf(state: DataFrame, t: int) -> DataFrame:
+        per = state.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("present"),
+            F.expr(f"sum(cast(1 as bigint) << ({HLL_CAP} - m))").alias(
+                "isp"
+            ),
+        )
+        calc = per.select(
+            "doc_id",
+            (F.lit(HLL_M) - F.col("present")).cast("long").alias("zeros"),
+            (
+                F.col("isp")
+                + (F.lit(HLL_M) - F.col("present")).cast("long")
+                * F.lit(1 << HLL_CAP).cast("long")
+            ).alias("isum"),
+        ).withColumn(
+            "raw",
+            F.expr(
+                f"(cast({an} as bigint) * {HLL_M * HLL_M}"
+                f" * {1 << HLL_CAP}) div ({ad} * isum)"
+            ),
+        )
+        use_lc = (F.col("raw") <= HLL_LC_LIMIT) & (F.col("zeros") > 0)
+        return calc.select(
+            "doc_id",
+            F.lit(t).alias("t"),
+            F.when(use_lc, F.expr(_lc_case_sql("zeros")))
+            .otherwise(F.col("raw"))
+            .cast("long")
+            .alias("nf"),
+        )
+
+    nfs = _nf(st, 0)
+    for t in range(1, iters + 1):
+        gathered = e.join(st, e.src == st.doc_id).select(
+            F.col("dst").alias("doc_id"), "j", "m"
+        )
+        st = (
+            st.unionByName(gathered)
+            .groupBy("doc_id", "j")
+            .agg(F.max("m").alias("m"))
+            .localCheckpoint(eager=True)
+        )
+        nfs = nfs.unionByName(_nf(st, t))
+
+    wide = nfs.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("t") == t, F.col("nf"))).alias(f"nf{t}")
+            for t in range(iters + 1)
+        ]
+    )
+    harm = None
+    for t in range(1, iters + 1):
+        term = F.expr(
+            f"(greatest(nf{t} - nf{t - 1}, cast(0 as bigint))"
+            f" * {HB_SCALE}) div {t}"
+        )
+        harm = term if harm is None else harm + term
+    return wide.select(
+        "doc_id",
+        *[f"nf{t}" for t in range(iters + 1)],
+        harm.cast("long").alias("iharm"),
+    ).orderBy("doc_id")
+
+
+def hyperball_sql(iters: int = HB_ITERS) -> str:
+    from .sketches import (
+        HLL_ALPHA,
+        HLL_CAP,
+        HLL_LC_LIMIT,
+        HLL_M,
+        _lc_case_sql,
+        _rho_sql,
+    )
+    from ..functions.text import MD5INT_SQL
+
+    an, ad = HLL_ALPHA
+    gens = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {frag} AS dst FROM documents"
+        for _, frag in _GEN_EXPRS
+    )
+    h = MD5INT_SQL.format(c="doc_id::VARCHAR")
+
+    def est_cte(state: str, t: int) -> str:
+        return (
+            f"nf{t} AS MATERIALIZED (SELECT doc_id, {t} AS t, "
+            f"(CASE WHEN raw <= {HLL_LC_LIMIT} AND zeros > 0 "
+            f"THEN {_lc_case_sql('zeros')} ELSE raw END)::BIGINT AS nf "
+            f"FROM (SELECT doc_id, zeros, "
+            f"({an}::BIGINT * {HLL_M * HLL_M} * {1 << HLL_CAP}) "
+            f"// ({ad} * isum) AS raw "
+            f"FROM (SELECT doc_id, ({HLL_M} - count(*))::BIGINT AS zeros, "
+            f"(sum(1::BIGINT << ({HLL_CAP} - m)) "
+            f" + ({HLL_M} - count(*))::BIGINT * {1 << HLL_CAP}) AS isum "
+            f"FROM {state} GROUP BY doc_id)))"
+        )
+
+    steps = [est_cte("s0", 0)]
+    prev = "s0"
+    for t in range(1, iters + 1):
+        steps.append(
+            f"s{t} AS MATERIALIZED (SELECT doc_id, j, max(m) AS m FROM ("
+            f"SELECT * FROM {prev} UNION ALL "
+            f"SELECT e.dst AS doc_id, s.j, s.m FROM e "
+            f"JOIN {prev} s ON e.src = s.doc_id) GROUP BY doc_id, j)"
+        )
+        steps.append(est_cte(f"s{t}", t))
+        prev = f"s{t}"
+    harm = " + ".join(
+        f"(greatest(w.nf{t} - w.nf{t - 1}, 0::BIGINT) * {HB_SCALE}) // {t}"
+        for t in range(1, iters + 1)
+    )
+    nf_cols = ", ".join(
+        f"max(CASE WHEN t = {t} THEN nf END) AS nf{t}"
+        for t in range(iters + 1)
+    )
+    unions = " UNION ALL ".join(
+        f"SELECT * FROM nf{t}" for t in range(iters + 1)
+    )
+    return f"""
+WITH n AS (SELECT count(*) AS c FROM documents),
+e0 AS ({gens}),
+e AS MATERIALIZED (SELECT * FROM e0 WHERE src <> dst),
+s0 AS MATERIALIZED (
+  SELECT doc_id, ({h}) % {HLL_M} AS j,
+         {_rho_sql(f'(({h}) // {HLL_M})')} AS m
+  FROM documents
+),
+{', '.join(steps)},
+wide AS (SELECT doc_id, {nf_cols} FROM ({unions}) GROUP BY doc_id)
+SELECT w.doc_id, {', '.join(f'w.nf{t}' for t in range(iters + 1))},
+       ({harm})::BIGINT AS iharm
+FROM wide w ORDER BY w.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# triangle counting / local clustering coefficient
+# ---------------------------------------------------------------------------
+
+TRI_SCALE = 1_000_000  # fixed-point grid for the clustering coefficient
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page triangle count and local clustering coefficient over the
+    undirected link graph — the link-farm / tightly-knit-community
+    signal (spam clusters have anomalously high clustering; cf. the
+    TrustRank/spam-mass family). Exact counting, but with the
+    DEGREE-ORDERED orientation that makes exact triangle counting run
+    at web scale (Cohen 2009 "Graph Twiddling in a MapReduce World";
+    Suri & Vassilvitskii 2011): orient every undirected edge from its
+    lower-degree endpoint to its higher-degree endpoint (ties by id),
+    then wedges are enumerated only at each edge's LOW-degree side, so
+    pair generation is Σ d_out(u)² with d_out = O(√E) — a mega-hub of
+    degree d costs O(E) wedges, not O(d²).
+
+    Plan shape: undirect+distinct (1 shuffle), degree agg (1), two
+    id-equi-joins to attach endpoint degrees, one self-equi-join on the
+    wedge apex, one closure equi-join against the canonical edge set,
+    and a final per-node agg — every exchange hash-partitioned, no
+    windows, no cartesians.
+
+    Output: (doc_id, degree, n_tri, icc) where icc = local clustering
+    coefficient on the TRI_SCALE integer grid: 2·n_tri·SCALE div
+    (degree·(degree-1)); integer-exact in both engines."""
+    docs = load(spark, "documents", sf_dir).select("doc_id")
+    n = docs.count()
+    e = _edges(docs, n)
+    und = (
+        e.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # feeds degrees, orientation, closure
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionByName(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("dega"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("degb"))
+    lower_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        )
+        .localCheckpoint(eager=True)  # feeds both sides of the wedge join
+    )
+    o2 = oriented.select(F.col("u").alias("u2"), F.col("w").alias("w2"))
+    wedges = oriented.join(o2, (F.col("u") == F.col("u2")) & (F.col("w") < F.col("w2"))).select(
+        F.col("u").alias("apex"),
+        F.least("w", "w2").alias("a"),
+        F.greatest("w", "w2").alias("b"),
+    )
+    tris = wedges.join(und, ["a", "b"])
+    per_node = (
+        tris.select(F.col("apex").alias("v"))
+        .unionByName(tris.select(F.col("a").alias("v")))
+        .unionByName(tris.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.join(per_node, "v", "left")
+        .select(
+            F.col("v").alias("doc_id"),
+            F.col("deg").alias("degree"),
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+            F.expr(
+                f"CASE WHEN deg >= 2 THEN (2 * coalesce(n_tri, 0)"
+                f" * cast({TRI_SCALE} as bigint)) div (deg * (deg - 1))"
+                f" ELSE 0 END"
+            ).alias("icc"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def triangle_count_sql() -> str:
+    gens = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {frag} AS dst FROM documents"
+        for _, frag in _GEN_EXPRS
+    )
+    return f"""
+WITH n AS (SELECT count(*) AS c FROM documents),
+e0 AS ({gens}),
+e AS (SELECT * FROM e0 WHERE src <> dst),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e
+),
+deg AS MATERIALIZED (
+  SELECT v, count(*) AS deg FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+  ) GROUP BY v
+),
+oriented AS MATERIALIZED (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+              THEN u.a ELSE u.b END AS u,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+              THEN u.b ELSE u.a END AS w
+  FROM und u JOIN deg da ON u.a = da.v JOIN deg db ON u.b = db.v
+),
+wedges AS (
+  SELECT o1.u AS apex, least(o1.w, o2.w) AS a, greatest(o1.w, o2.w) AS b
+  FROM oriented o1 JOIN oriented o2 ON o1.u = o2.u AND o1.w < o2.w
+),
+tris AS (SELECT w.apex, w.a, w.b FROM wedges w JOIN und USING (a, b)),
+per_node AS (
+  SELECT v, count(*) AS n_tri FROM (
+    SELECT apex AS v FROM tris UNION ALL
+    SELECT a AS v FROM tris UNION ALL
+    SELECT b AS v FROM tris
+  ) GROUP BY v
+)
+SELECT d.v AS doc_id, d.deg AS degree,
+       coalesce(p.n_tri, 0)::BIGINT AS n_tri,
+       CASE WHEN d.deg >= 2 THEN (2 * coalesce(p.n_tri, 0)
+            * {TRI_SCALE}::BIGINT) // (d.deg * (d.deg - 1))
+            ELSE 0 END AS icc
+FROM deg d LEFT JOIN per_node p ON d.v = p.v
+ORDER BY doc_id
+"""

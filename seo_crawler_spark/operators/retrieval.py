@@ -337,3 +337,105 @@ FROM documents d LEFT JOIN best b USING (doc_id)
 WHERE d.doc_id >= {DECON_BENCH_DOCS}
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# exact phrase search over a positional index
+# ---------------------------------------------------------------------------
+
+# literal phrase workload (word sequences that occur in the synthetic
+# corpus; a production run reads phrases from a queries table — the
+# plan is identical, the dimension stops being a literal)
+PHRASE_QUERIES: dict[int, str] = {
+    0: "order fast",
+    1: "window join",
+    2: "big order scan",
+    3: "group slow spark",
+    4: "stream column",
+}
+
+
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase matching over a POSITIONAL posting list — the
+    index-time capability BM25's bag-of-words scoring cannot express
+    (reference counterpart: the links-table substring search,
+    seo-crawler web/static/js/app.js search box, which scans text; a
+    100 TB engine answers phrases from the index instead).
+
+    Plan shape — ONE corpus-scale shuffle, no per-term join chain:
+      1. postings (doc_id, pos, term) are ROW-LOCAL (posexplode of the
+         token array);
+      2. the phrase set unrolls to a literal (query_id, term, off,
+         plen) dimension — broadcast, so the only equi-join tags each
+         posting with the phrases that could use it and the candidate
+         START position (pos - off). Postings for terms in no phrase
+         are dropped by the join (at the scan end after pushdown of
+         the broadcast hash table — never shuffled);
+      3. a phrase matches at a start iff ALL plen offsets are present:
+         one map-side-combined agg on (query_id, doc_id, start)
+         counting distinct off (bounded by plen, so partial-agg state
+         per key is tiny), then a per-(query, doc) rollup.
+    The naive alternative — a (plen-1)-deep self-join of the posting
+    list on (doc_id, pos+1) — shuffles the postings once PER TERM;
+    this shape pays one broadcast probe + one agg regardless of
+    phrase length.
+
+    Integer-exact (positions and counts), so the DuckDB twin is
+    bit-identical."""
+    docs = load(spark, "documents", sf_dir)
+    postings = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "term")
+    )
+    dim_rows = [
+        (qid, t, off, len(phrase.split()))
+        for qid, phrase in PHRASE_QUERIES.items()
+        for off, t in enumerate(phrase.split())
+    ]
+    dim = spark.createDataFrame(
+        dim_rows, "query_id int, term string, off int, plen int"
+    )
+    starts = (
+        postings.join(F.broadcast(dim), "term")
+        .groupBy("query_id", "doc_id", (F.col("pos") - F.col("off")).alias("start"))
+        .agg(
+            F.count_distinct("off").alias("hit"),
+            F.first("plen").alias("plen"),
+        )
+        .filter((F.col("hit") == F.col("plen")) & (F.col("start") >= 0))
+    )
+    return (
+        starts.groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.min("start").alias("first_pos"),
+        )
+        .orderBy("query_id", "doc_id")
+    )
+
+
+def phrase_search_sql() -> str:
+    tok = TOKENS_SQL.format(c="text")
+    dim_vals = ", ".join(
+        f"({qid}, '{t}', {off}, {len(phrase.split())})"
+        for qid, phrase in PHRASE_QUERIES.items()
+        for off, t in enumerate(phrase.split())
+    )
+    return f"""
+WITH tokd AS (SELECT doc_id, {tok} AS tok FROM documents),
+postings AS (
+  SELECT doc_id, generate_subscripts(tok, 1) - 1 AS pos, unnest(tok) AS term
+  FROM tokd
+),
+dim(query_id, term, off, plen) AS (VALUES {dim_vals}),
+starts AS (
+  SELECT d.query_id, p.doc_id, p.pos - d.off AS start,
+         count(DISTINCT d.off) AS hit, first(d.plen) AS plen
+  FROM postings p JOIN dim d USING (term)
+  GROUP BY d.query_id, p.doc_id, p.pos - d.off
+)
+SELECT query_id, doc_id,
+       count(*) AS n_matches, min(start) AS first_pos
+FROM starts WHERE hit = plen AND start >= 0
+GROUP BY query_id, doc_id
+ORDER BY query_id, doc_id
+"""

@@ -1,0 +1,294 @@
+"""Round-4 session-13 operators: positional phrase search, per-source
+boilerplate line removal, and HyperBall harmonic centrality.
+
+Oracle parity (value hash vs DuckDB) runs in test_oracle_parity.py /
+driver_sim; these pin the SEMANTICS the hash can't see — pure-python
+reference equality (naive string-scan phrase matching, naive per-source
+line-frequency strip, exact-set HyperBall simulation) plus each
+operator's structural invariants.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import defaultdict
+
+import pyarrow.parquet as pq
+
+from seo_crawler_spark.operators.corpus_stats import (
+    BP_MIN_DF,
+    BP_TOKENS,
+    boilerplate_strip,
+)
+from seo_crawler_spark.operators.graph import (
+    HB_ITERS,
+    HB_SCALE,
+    hyperball_centrality,
+)
+from seo_crawler_spark.operators.retrieval import (
+    PHRASE_QUERIES,
+    phrase_search,
+)
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _docs(sf_dir: str):
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return t.to_pylist()
+
+
+def _toks(text: str) -> list[str]:
+    return re.findall(r"\w+", text.lower())
+
+
+# ---------------------------------------------------------------------------
+# phrase_search
+# ---------------------------------------------------------------------------
+
+
+def _phrase_reference(docs):
+    """Naive scan: every token-aligned occurrence of each phrase."""
+    out = {}
+    for qid, phrase in PHRASE_QUERIES.items():
+        terms = phrase.split()
+        k = len(terms)
+        for d in docs:
+            tok = _toks(d["text"])
+            starts = [
+                i
+                for i in range(len(tok) - k + 1)
+                if tok[i : i + k] == terms
+            ]
+            if starts:
+                out[(qid, d["doc_id"])] = (len(starts), min(starts))
+    return out
+
+
+def test_phrase_search_matches_naive_scan(spark):
+    docs = _docs(SF0001)
+    ref = _phrase_reference(docs)
+    rows = phrase_search(spark, SF0001).collect()
+    got = {
+        (r["query_id"], r["doc_id"]): (r["n_matches"], r["first_pos"])
+        for r in rows
+    }
+    assert got == ref
+    # non-vacuous: every phrase matches at least one document
+    assert {q for q, _ in got} == set(PHRASE_QUERIES)
+
+
+def test_phrase_search_respects_order(spark):
+    # "order fast" matches must NOT count "fast order" — cross-check by
+    # asserting the reference scan found no reversed-only doc that the
+    # operator also reports (the naive scan is order-aware; equality in
+    # the previous test implies this, so here we just pin that at least
+    # one doc contains the reversed bigram but not the phrase, i.e. the
+    # test corpus actually exercises order sensitivity)
+    docs = _docs(SF0001)
+    ref = _phrase_reference(docs)
+    reversed_only = [
+        d["doc_id"]
+        for d in docs
+        if " fast order " in " " + " ".join(_toks(d["text"])) + " "
+        and (0, d["doc_id"]) not in ref
+    ]
+    assert reversed_only, "corpus lost its order-sensitivity witness"
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_strip
+# ---------------------------------------------------------------------------
+
+
+def _boilerplate_reference(docs):
+    lines_by_doc = {}
+    df = defaultdict(set)  # (source, line) -> set of doc_ids
+    for d in docs:
+        tok = _toks(d["text"])
+        lines = [
+            " ".join(tok[i : i + BP_TOKENS])
+            for i in range(0, len(tok), BP_TOKENS)
+        ]
+        if lines:
+            lines_by_doc[d["doc_id"]] = (d["source"], lines)
+            for ln in lines:
+                df[(d["source"], ln)].add(d["doc_id"])
+    out = {}
+    for doc_id, (source, lines) in lines_by_doc.items():
+        kept = [ln for ln in lines if len(df[(source, ln)]) < BP_MIN_DF]
+        out[doc_id] = (
+            len(lines),
+            len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+    return out
+
+
+def test_boilerplate_strip_matches_python_reference(spark):
+    docs = _docs(SF0001)
+    ref = _boilerplate_reference(docs)
+    rows = boilerplate_strip(spark, SF0001).collect()
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"], r["kept_md5"]) for r in rows
+    }
+    assert got == ref
+    # non-vacuous both ways: some doc lost a line (the strip fires) and
+    # most docs kept everything (it doesn't over-fire). Intra-source
+    # exact-duplicate docs correctly lose ALL lines (every line has
+    # df >= 2), so k == 0 rows are legitimate.
+    assert any(k < n for n, k, _ in got.values())
+    assert sum(1 for n, k, _ in got.values() if k == n) > len(got) * 0.9
+
+
+def test_boilerplate_keeps_unique_lines_intact(spark):
+    # a doc whose every line is unique within its source must be
+    # untouched (kept_frac == 1 and kept_md5 == md5 of all lines)
+    docs = _docs(SF0001)
+    ref = _boilerplate_reference(docs)
+    untouched = [d for d, (n, k, _) in ref.items() if n == k]
+    assert untouched  # the corpus mostly consists of these
+    rows = {
+        r["doc_id"]: r
+        for r in boilerplate_strip(spark, SF0001).collect()
+    }
+    for doc_id in untouched[:20]:
+        assert rows[doc_id]["kept_frac"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# hyperball_centrality
+# ---------------------------------------------------------------------------
+
+
+def _hb_hash(doc_id: int) -> int:
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+
+
+def _rho(w: int) -> int:
+    # leading zeros of the 54-bit remainder + 1, capped at 30
+    for r in range(1, 30):
+        if w >= 1 << (54 - r):
+            return r
+    return 30
+
+
+def _hb_reference(docs):
+    """Exact register simulation of HyperBall: same hash, same
+    registers, same integer estimator path decisions are NOT re-derived
+    here — instead we simulate the REGISTER state exactly and check the
+    monotone structural facts; exact estimate parity is the DuckDB
+    oracle's job."""
+    ids = [d["doc_id"] for d in docs]
+    n = len(ids)
+    redges = defaultdict(set)  # v -> in-neighbors u (u -> v edge)
+    for d in ids:
+        for dst in ((d * d + 1) % n, d % 37, (d * 13 + 3) % n):
+            if dst != d:
+                redges[dst].add(d)
+    regs = {}
+    for v in ids:
+        h = _hb_hash(v)
+        regs[v] = {h % 64: _rho(h // 64)}
+    states = [dict(regs)]
+    for _ in range(HB_ITERS):
+        nxt = {}
+        for v in ids:
+            merged = dict(states[-1][v])
+            for u in redges[v]:
+                for j, m in states[-1][u].items():
+                    if merged.get(j, 0) < m:
+                        merged[j] = m
+            nxt[v] = merged
+        states.append(nxt)
+    return states
+
+
+def test_hyperball_registers_match_exact_simulation(spark):
+    docs = _docs(SF0001)
+    states = _hb_reference(docs)
+    # the register tables are internal; check the OBSERVABLE nf columns
+    # are consistent with the exact simulation's ball structure:
+    # register-count(present) grows monotonically, and a node whose
+    # simulated final register set equals its initial one has nf4 == nf0
+    rows = {
+        r["doc_id"]: r
+        for r in hyperball_centrality(spark, SF0001).collect()
+    }
+    for d in list(rows)[:100]:
+        r = rows[d]
+        nfs = [r[f"nf{t}"] for t in range(HB_ITERS + 1)]
+        # ball estimates never shrink in the registered output
+        # (registers only grow; LC estimator is monotone in present)
+        assert all(b >= a for a, b in zip(nfs, nfs[1:])), (d, nfs)
+        if states[-1][d] == states[0][d]:
+            assert r["nf4"] == r["nf0"]
+    # iharm consistency: recompute from the published nf columns
+    for d, r in rows.items():
+        harm = sum(
+            max(r[f"nf{t}"] - r[f"nf{t-1}"], 0) * HB_SCALE // t
+            for t in range(1, HB_ITERS + 1)
+        )
+        assert harm == r["iharm"]
+
+
+def test_hyperball_hubs_rank_highest(spark):
+    # the mod-37 generator makes doc_ids 0..36 in-degree hubs: their
+    # mean harmonic centrality must dominate the non-hub mean by a wide
+    # margin, and the single most-central node must be a hub
+    rows = hyperball_centrality(spark, SF0001).collect()
+    hub = [r["iharm"] for r in rows if r["doc_id"] < 37]
+    rest = [r["iharm"] for r in rows if r["doc_id"] >= 37]
+    assert sum(hub) / len(hub) > 3 * sum(rest) / len(rest)
+    assert max(rows, key=lambda r: r["iharm"])["doc_id"] < 37
+
+
+# ---------------------------------------------------------------------------
+# triangle_count
+# ---------------------------------------------------------------------------
+
+
+def _triangle_reference(docs):
+    ids = [d["doc_id"] for d in docs]
+    n = len(ids)
+    adj = defaultdict(set)
+    for d in ids:
+        for dst in ((d * d + 1) % n, d % 37, (d * 13 + 3) % n):
+            if dst != d:
+                adj[d].add(dst)
+                adj[dst].add(d)
+    tri = defaultdict(int)
+    for v in ids:
+        for a in adj[v]:
+            if a <= v:
+                continue
+            for b in adj[v]:
+                if b <= a:
+                    continue
+                if b in adj[a]:
+                    tri[v] += 1
+                    tri[a] += 1
+                    tri[b] += 1
+    return adj, tri
+
+
+def test_triangle_count_matches_brute_force(spark):
+    from seo_crawler_spark.operators.graph import TRI_SCALE, triangle_count
+
+    docs = _docs(SF0001)
+    adj, tri = _triangle_reference(docs)
+    rows = {r["doc_id"]: r for r in triangle_count(spark, SF0001).collect()}
+    assert set(rows) == {v for v in adj if adj[v]}
+    for v, r in rows.items():
+        assert r["degree"] == len(adj[v])
+        assert r["n_tri"] == tri.get(v, 0)
+        d = len(adj[v])
+        want = (
+            (2 * tri.get(v, 0) * TRI_SCALE) // (d * (d - 1)) if d >= 2 else 0
+        )
+        assert r["icc"] == want
+    # non-vacuous: the generator graph actually closes triangles
+    assert sum(tri.values()) > 0
