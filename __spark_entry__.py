@@ -18,6 +18,7 @@ from seo_crawler_spark.operators import curation as CU
 from seo_crawler_spark.operators import dedup as D
 from seo_crawler_spark.operators import dust as DU
 from seo_crawler_spark.operators import graph as G
+from seo_crawler_spark.operators import linalg as LA
 from seo_crawler_spark.operators import multimodal as MM
 from seo_crawler_spark.operators import retrieval as RT
 from seo_crawler_spark.operators import sampling as SA
@@ -96,6 +97,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip": CS.boilerplate_strip,
         "hyperball_centrality": G.hyperball_centrality,
         "triangle_count": G.triangle_count,
+        "label_propagation": G.label_propagation,
+        "kcore_decomposition": G.kcore_decomposition,
+        "pca_power_projection": LA.pca_power_projection,
+        "random_projection": LA.random_projection,
+        "scalar_quantization": LA.scalar_quantization,
         # new in round 4 session 12 — must sit inside the 50-row window
         # (displaces analytics_detection / recrawl_schedule /
         # crawl_snapshot_diff — green driver rows in r3, two-scale green
@@ -382,6 +388,11 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_strip": CS.boilerplate_strip_sql(),
         "hyperball_centrality": G.hyperball_sql(),
         "triangle_count": G.triangle_count_sql(),
+        "label_propagation": G.label_propagation_sql(),
+        "kcore_decomposition": G.kcore_sql(),
+        "pca_power_projection": LA.pca_power_projection_sql(),
+        "random_projection": LA.random_projection_sql(),
+        "scalar_quantization": LA.scalar_quantization_sql(),
         "decontaminate_bm25": RT.decontaminate_bm25_sql(),
         "dsir_select": SA.dsir_select_sql(),
         "stratified_sample": SA.stratified_sample_sql(),

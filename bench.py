@@ -280,6 +280,11 @@ HEADLINE = [
     "hyperball_centrality",
     "phrase_search",
     "boilerplate_strip",
+    "label_propagation",
+    "kcore_decomposition",
+    "pca_power_projection",
+    "random_projection",
+    "triangle_count",
 ]
 
 

@@ -1527,3 +1527,262 @@ SELECT d.v AS doc_id, d.deg AS degree,
 FROM deg d LEFT JOIN per_node p ON d.v = p.v
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# label propagation — community detection
+# ---------------------------------------------------------------------------
+
+LPA_ITERS = 4
+
+
+def label_propagation(
+    spark: SparkSession, sf_dir: str, iters: int = LPA_ITERS
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) over the undirected link graph — the cheap community
+    pass a crawl pipeline runs to group template families / topic
+    clusters / link neighborhoods before per-community budgeting
+    (complements :func:`connected_components`, which only finds
+    disconnected islands, and :func:`triangle_count`'s density signal).
+
+    Determinism (vanilla LPA is famously order-dependent): SYNCHRONOUS
+    rounds from labels = doc_id, new label = the neighbor label with
+    the highest vote count, ties broken by SMALLEST label — stated as
+    one integer struct-max, so every engine and every partitioning
+    agrees. Isolated nodes keep their own label.
+
+    Scale shape per round: one labels⋈edges equi-join (each edge ships
+    one label), one map-side-combined (node, label) vote count, one
+    (node) struct-max agg — no windows over the corpus, no label lists
+    materialized per node. Per-round lineage checkpoints (the pagerank
+    discipline). Output adds the community size via one more map-side
+    agg + a label-keyed join."""
+    docs = load(spark, "documents", sf_dir).select("doc_id")
+    n = docs.count()
+    e = _edges(docs, n)
+    sym = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("lbl"))
+    for _ in range(iters):
+        votes = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("v"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        picked = (
+            votes.groupBy("v")
+            .agg(
+                F.max(F.struct(F.col("cnt"), (-F.col("lbl")).alias("nl"))).alias(
+                    "best"
+                )
+            )
+            .select(F.col("v").alias("doc_id"), (-F.col("best.nl")).alias("lbl"))
+        )
+        labels = (
+            docs.join(picked, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("lbl", F.col("doc_id")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("csize"))
+    return (
+        labels.join(sizes, "lbl")
+        .select("doc_id", F.col("lbl").alias("label"), "csize")
+        .orderBy("doc_id")
+    )
+
+
+def label_propagation_sql(iters: int = LPA_ITERS) -> str:
+    gens = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {frag} AS dst FROM documents"
+        for _, frag in _GEN_EXPRS
+    )
+    steps = []
+    prev = "l0"
+    for t in range(1, iters + 1):
+        steps.append(
+            f"l{t} AS MATERIALIZED (SELECT d.doc_id, "
+            f"coalesce(p.lbl, d.doc_id) AS lbl FROM documents d LEFT JOIN ("
+            f"SELECT v AS doc_id, lbl FROM ("
+            f"SELECT v, lbl, row_number() OVER ("
+            f"PARTITION BY v ORDER BY cnt DESC, lbl) AS rn FROM ("
+            f"SELECT e.dst AS v, l.lbl, count(*) AS cnt FROM e "
+            f"JOIN {prev} l ON e.src = l.doc_id GROUP BY e.dst, l.lbl)) "
+            f"WHERE rn = 1) p ON d.doc_id = p.doc_id)"
+        )
+        prev = f"l{t}"
+    return f"""
+WITH n AS (SELECT count(*) AS c FROM documents),
+e0 AS ({gens}),
+ed AS (SELECT * FROM e0 WHERE src <> dst),
+e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM ed UNION ALL SELECT dst AS src, src AS dst FROM ed)
+),
+l0 AS (SELECT doc_id, doc_id AS lbl FROM documents),
+{', '.join(steps)},
+sizes AS (SELECT lbl, count(*) AS csize FROM {prev} GROUP BY lbl)
+SELECT l.doc_id, l.lbl AS label, s.csize
+FROM {prev} l JOIN sizes s USING (lbl)
+ORDER BY l.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (bounded peel rounds)
+# ---------------------------------------------------------------------------
+
+KCORE_K = 4
+KCORE_ROUNDS = 8
+
+
+def kcore_decomposition(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+) -> DataFrame:
+    """k-core membership over the undirected link graph: iteratively
+    peel nodes of degree < k; what survives is the k-core — the dense
+    backbone (link-farm cores, navigational hubs; Seidman 1983, and the
+    standard web-graph peeling analysis of Alvarez-Hamelin et al.).
+    Crawl use: the 3-core is where template/link-farm families
+    concentrate; pages peeled in round 1 are the periphery.
+
+    BOUNDED-ROUND semantics, stated in the contract: exactly
+    ``rounds`` synchronous peel rounds in both engines — web-scale runs
+    bound peel depth the same way (a pathological chain can need O(V)
+    peels; bounding rounds caps cost and yields the well-defined
+    "degree >= k after R peels" set). At sf0.001 the bound covers the
+    true fixed point (converges in 4 rounds; pinned in tests); the
+    larger synthetic graphs contain a 2-nodes-per-round peel chain, so
+    their 8-round result is the documented bounded semantics, not the
+    limit k-core.
+
+    Scale shape per round: one degree agg over surviving edges
+    (map-side combined) + two semi-joins to drop edges touching peeled
+    nodes — no windows, no driver-side convergence collect in the
+    registered query (the audit loop in connected_components shows the
+    fingerprint alternative when rounds must be data-dependent).
+
+    Output: (doc_id, peel_round, in_core, final_deg) — peel_round = the
+    1-based round the node was removed (NULL-free: -1 if it survives),
+    final_deg = its degree inside the surviving core (0 if peeled)."""
+    docs = load(spark, "documents", sf_dir).select("doc_id")
+    n = docs.count()
+    e = _edges(docs, n)
+    und = (
+        e.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # nodes that ever appear in an edge; isolated docs peel in round 1
+    peeled = None  # DataFrame (doc_id, peel_round)
+    cur = und
+    for r in range(1, rounds + 1):
+        deg = (
+            cur.select(F.col("a").alias("v"))
+            .unionByName(cur.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        # docs not incident to any surviving edge OR with deg < k peel
+        # this round (if not already peeled)
+        alive_prev = docs.join(
+            peeled.select("doc_id") if peeled is not None else docs.limit(0),
+            "doc_id",
+            "left_anti",
+        )
+        survivors = deg.filter(F.col("deg") >= k).select(F.col("v").alias("doc_id"))
+        drop = alive_prev.join(survivors, "doc_id", "left_anti").select(
+            "doc_id", F.lit(r).alias("peel_round")
+        )
+        peeled = (
+            drop
+            if peeled is None
+            else peeled.unionByName(drop)
+        ).localCheckpoint(eager=True)
+        cur = (
+            cur.join(survivors.select(F.col("doc_id").alias("a")), "a")
+            .join(survivors.select(F.col("doc_id").alias("b")), "b")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    fdeg = (
+        cur.select(F.col("a").alias("v"))
+        .unionByName(cur.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("final_deg"))
+    )
+    return (
+        docs.join(peeled, "doc_id", "left")
+        .join(fdeg.select(F.col("v").alias("doc_id"), "final_deg"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("peel_round", F.lit(-1)).cast("int").alias("peel_round"),
+            (F.col("peel_round").isNull()).alias("in_core"),
+            F.coalesce("final_deg", F.lit(0)).cast("long").alias("final_deg"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def kcore_sql(k: int = KCORE_K, rounds: int = KCORE_ROUNDS) -> str:
+    gens = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {frag} AS dst FROM documents"
+        for _, frag in _GEN_EXPRS
+    )
+    steps = []
+    prev_e = "und"
+    prev_p = None
+    for r in range(1, rounds + 1):
+        steps.append(
+            f"deg{r} AS MATERIALIZED (SELECT v, count(*) AS deg FROM ("
+            f"SELECT a AS v FROM {prev_e} UNION ALL SELECT b AS v FROM {prev_e}"
+            f") GROUP BY v)"
+        )
+        steps.append(
+            f"p{r} AS MATERIALIZED ("
+            + (f"SELECT * FROM {prev_p} UNION ALL " if prev_p else "")
+            + f"SELECT d.doc_id, {r} AS peel_round FROM documents d "
+            f"WHERE d.doc_id NOT IN (SELECT v FROM deg{r} WHERE deg >= {k})"
+            + (f" AND d.doc_id NOT IN (SELECT doc_id FROM {prev_p})" if prev_p else "")
+            + ")"
+        )
+        steps.append(
+            f"e{r} AS MATERIALIZED (SELECT a, b FROM {prev_e} "
+            f"WHERE a IN (SELECT v FROM deg{r} WHERE deg >= {k}) "
+            f"AND b IN (SELECT v FROM deg{r} WHERE deg >= {k}))"
+        )
+        prev_e = f"e{r}"
+        prev_p = f"p{r}"
+    return f"""
+WITH n AS (SELECT count(*) AS c FROM documents),
+e0 AS ({gens}),
+ed AS (SELECT * FROM e0 WHERE src <> dst),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM ed
+),
+{', '.join(steps)},
+fdeg AS (SELECT v, count(*) AS final_deg FROM (
+  SELECT a AS v FROM {prev_e} UNION ALL SELECT b AS v FROM {prev_e}
+) GROUP BY v)
+SELECT d.doc_id,
+       coalesce(p.peel_round, -1)::INT AS peel_round,
+       p.peel_round IS NULL AS in_core,
+       coalesce(f.final_deg, 0)::BIGINT AS final_deg
+FROM documents d
+LEFT JOIN {prev_p} p USING (doc_id)
+LEFT JOIN fdeg f ON d.doc_id = f.v
+ORDER BY d.doc_id
+"""

@@ -292,3 +292,278 @@ def test_triangle_count_matches_brute_force(spark):
         assert r["icc"] == want
     # non-vacuous: the generator graph actually closes triangles
     assert sum(tri.values()) > 0
+
+
+# ---------------------------------------------------------------------------
+# label_propagation
+# ---------------------------------------------------------------------------
+
+
+def _lpa_reference(docs, iters):
+    ids = [d["doc_id"] for d in docs]
+    n = len(ids)
+    adj = defaultdict(set)
+    for d in ids:
+        for dst in ((d * d + 1) % n, d % 37, (d * 13 + 3) % n):
+            if dst != d:
+                adj[d].add(dst)
+                adj[dst].add(d)
+    lbl = {v: v for v in ids}
+    for _ in range(iters):
+        nxt = {}
+        for v in ids:
+            votes = defaultdict(int)
+            for u in adj[v]:
+                votes[lbl[u]] += 1
+            if votes:
+                best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+                nxt[v] = best[0]
+            else:
+                nxt[v] = v
+        lbl = nxt
+    return lbl
+
+
+def test_label_propagation_matches_python_reference(spark):
+    from seo_crawler_spark.operators.graph import LPA_ITERS, label_propagation
+
+    docs = _docs(SF0001)
+    ref = _lpa_reference(docs, LPA_ITERS)
+    sizes = defaultdict(int)
+    for v in ref.values():
+        sizes[v] += 1
+    rows = label_propagation(spark, SF0001).collect()
+    got = {r["doc_id"]: (r["label"], r["csize"]) for r in rows}
+    assert got == {v: (l, sizes[l]) for v, l in ref.items()}
+    # non-vacuous: real communities formed (more than 1, fewer than n)
+    n_comm = len(set(ref.values()))
+    assert 1 < n_comm < len(ref)
+
+
+# ---------------------------------------------------------------------------
+# kcore_decomposition
+# ---------------------------------------------------------------------------
+
+
+def _kcore_reference(docs, k, rounds):
+    ids = [d["doc_id"] for d in docs]
+    n = len(ids)
+    adj = defaultdict(set)
+    for d in ids:
+        for dst in ((d * d + 1) % n, d % 37, (d * 13 + 3) % n):
+            if dst != d:
+                adj[d].add(dst)
+                adj[dst].add(d)
+    alive = set(ids)
+    peel = {}
+    for r in range(1, rounds + 1):
+        deg = {v: sum(1 for u in adj[v] if u in alive) for v in alive}
+        drop = {v for v in alive if deg.get(v, 0) < k}
+        for v in drop:
+            peel[v] = r
+        alive -= drop
+    fdeg = {v: sum(1 for u in adj[v] if u in alive) for v in alive}
+    return peel, alive, fdeg
+
+
+def test_kcore_matches_python_reference(spark):
+    from seo_crawler_spark.operators.graph import (
+        KCORE_K,
+        KCORE_ROUNDS,
+        kcore_decomposition,
+    )
+
+    docs = _docs(SF0001)
+    peel, alive, fdeg = _kcore_reference(docs, KCORE_K, KCORE_ROUNDS)
+    rows = kcore_decomposition(spark, SF0001).collect()
+    for r in rows:
+        d = r["doc_id"]
+        assert r["in_core"] == (d in alive)
+        assert r["peel_round"] == peel.get(d, -1)
+        assert r["final_deg"] == fdeg.get(d, 0)
+    # non-vacuous both ways + true fixed point within the bound at this
+    # scale: peeling stopped before the final round
+    assert alive and peel
+    assert max(peel.values()) < KCORE_ROUNDS
+
+
+# ---------------------------------------------------------------------------
+# pca_power_projection / random_projection
+# ---------------------------------------------------------------------------
+
+
+def _emb(sf_dir: str):
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    return t.to_pylist()
+
+
+def _pca_reference(rows, iters):
+    import math
+
+    from seo_crawler_spark.operators.linalg import (
+        DIM,
+        PCA_Q,
+        PCA_VSCALE,
+        _power_iterate,
+    )
+
+    qs = {
+        r["vec_id"]: [math.floor(float(x) * PCA_Q) for x in r["embedding"]]
+        for r in rows
+    }
+    n = len(qs)
+    a = [[0] * DIM for _ in range(DIM)]
+    b = [0] * DIM
+    for q in qs.values():
+        for i in range(DIM):
+            b[i] += q[i]
+            for j in range(DIM):
+                a[i][j] += q[i] * q[j]
+    m = [[n * a[i][j] - b[i] * b[j] for j in range(DIM)] for i in range(DIM)]
+    d = max(1, max(abs(x) for row in m for x in row) // PCA_VSCALE)
+    ms = [
+        [(1 if x >= 0 else -1) * (abs(x) // d) for x in row] for row in m
+    ]
+    v = _power_iterate(ms, iters)
+    bv = sum(b[i] * v[i] for i in range(DIM))
+    out = {}
+    for vid, q in qs.items():
+        ip = sum(q[i] * v[i] for i in range(DIM))
+        out[vid] = (ip, n * ip - bv)
+    return out, v, m
+
+
+def test_pca_projection_matches_python_reference(spark):
+    from seo_crawler_spark.operators.linalg import (
+        PCA_ITERS,
+        pca_power_projection,
+    )
+
+    rows = _emb(SF0001)
+    ref, v, m = _pca_reference(rows, PCA_ITERS)
+    got = {
+        r["vec_id"]: (r["ip"], r["icp"])
+        for r in pca_power_projection(spark, SF0001).collect()
+    }
+    assert got == ref
+    # exact invariant: centered projections sum to zero
+    assert sum(icp for _, icp in got.values()) == 0
+
+
+def test_pca_vector_tracks_numpy_eigenvector():
+    import numpy as np
+
+    from seo_crawler_spark.operators.linalg import PCA_ITERS
+
+    rows = _emb(SF0001)
+    _, v, m = _pca_reference(rows, PCA_ITERS)
+    vi = np.array(v, dtype=float)
+    evals, evecs = np.linalg.eigh(np.array(m, dtype=float))
+    cos = abs(vi @ evecs[:, -1]) / np.linalg.norm(vi)
+    # the synthetic space is near-isotropic (gap ~1.07) so 50 integer
+    # power rounds reach ~0.997 here; pin a margin below that
+    assert cos > 0.98
+    # and the eigenvalue bracket: Rayleigh quotient of v within 5% of
+    # the top eigenvalue
+    rq = (vi @ np.array(m, dtype=float) @ vi) / (vi @ vi)
+    assert rq > 0.95 * evals[-1]
+
+
+def test_random_projection_matches_python_reference(spark):
+    import math
+
+    from seo_crawler_spark.operators.linalg import (
+        DIM,
+        PCA_Q,
+        RP_K,
+        _jl_sign,
+        random_projection,
+    )
+
+    rows = _emb(SF0001)
+    signs = [[_jl_sign(k, d) for d in range(DIM)] for k in range(RP_K)]
+    ref = {}
+    for r in rows:
+        q = [math.floor(float(x) * PCA_Q) for x in r["embedding"]]
+        ref[r["vec_id"]] = tuple(
+            sum(q[d] * signs[k][d] for d in range(DIM)) for k in range(RP_K)
+        )
+    got = {
+        r["vec_id"]: tuple(r[f"y{k}"] for k in range(RP_K))
+        for r in random_projection(spark, SF0001).collect()
+    }
+    assert got == ref
+
+
+def test_random_projection_preserves_distances():
+    # JL property on the shipped data: with a ±1 sign matrix,
+    # E[||y||^2] = RP_K · ||q||^2 (cross terms vanish), so the
+    # K-normalized reduced squared distance stays within a broad factor
+    # of the original — the property the 16-dim LSH pre-pass relies on
+    import math
+
+    from seo_crawler_spark.operators.linalg import DIM, PCA_Q, RP_K, _jl_sign
+
+    rows = _emb(SF0001)[:60]
+    signs = [[_jl_sign(k, d) for d in range(DIM)] for k in range(RP_K)]
+    qs = [
+        [math.floor(float(x) * PCA_Q) for x in r["embedding"]] for r in rows
+    ]
+    ys = [
+        [sum(q[d] * signs[k][d] for d in range(DIM)) for k in range(RP_K)]
+        for q in qs
+    ]
+    ratios = []
+    for i in range(0, 50, 5):
+        for j in range(i + 1, 50, 7):
+            d2 = sum((a - b) ** 2 for a, b in zip(qs[i], qs[j]))
+            r2 = sum((a - b) ** 2 for a, b in zip(ys[i], ys[j]))
+            ratios.append(r2 / (RP_K * d2))
+    mean = sum(ratios) / len(ratios)
+    assert 0.6 < mean < 1.6
+    assert all(0.1 < r < 4.0 for r in ratios)
+
+
+# ---------------------------------------------------------------------------
+# scalar_quantization
+# ---------------------------------------------------------------------------
+
+
+def test_scalar_quantization_matches_python_reference(spark):
+    import math
+
+    from seo_crawler_spark.operators.linalg import (
+        DIM,
+        PCA_Q,
+        SQ_LEVELS,
+        scalar_quantization,
+    )
+
+    rows = _emb(SF0001)
+    qs = {
+        r["vec_id"]: [math.floor(float(x) * PCA_Q) for x in r["embedding"]]
+        for r in rows
+    }
+    mn = [min(q[d] for q in qs.values()) for d in range(DIM)]
+    mx = [max(q[d] for q in qs.values()) for d in range(DIM)]
+    ref = {}
+    for vid, q in qs.items():
+        errs = []
+        for d in range(DIM):
+            w = max(1, mx[d] - mn[d])
+            s = q[d] - mn[d]
+            c = (s * SQ_LEVELS) // w
+            r = (c * w) // SQ_LEVELS
+            errs.append(abs(s - r))
+        ref[vid] = (sum(errs), max(errs))
+    got = {
+        r["vec_id"]: (r["ierr_l1"], r["ierr_max"])
+        for r in scalar_quantization(spark, SF0001).collect()
+    }
+    assert got == ref
+    # the 8-bit grid must actually be coarse enough to produce error on
+    # this data (non-vacuous), and per-dim error is bounded by the cell
+    # width w/255
+    assert any(l1 > 0 for l1, _ in got.values())
+    max_cell = max(max(1, mx[d] - mn[d]) // SQ_LEVELS for d in range(DIM))
+    assert all(m <= max_cell + 1 for _, m in got.values())
