@@ -102,6 +102,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_power_projection": LA.pca_power_projection,
         "random_projection": LA.random_projection,
         "scalar_quantization": LA.scalar_quantization,
+        "heavy_hitters": SK.heavy_hitters,
+        "bm25f_topk": RT.bm25f_topk,
         # new in round 4 session 12 — must sit inside the 50-row window
         # (displaces analytics_detection / recrawl_schedule /
         # crawl_snapshot_diff — green driver rows in r3, two-scale green
@@ -393,6 +395,8 @@ def oracle_sql() -> dict[str, str]:
         "pca_power_projection": LA.pca_power_projection_sql(),
         "random_projection": LA.random_projection_sql(),
         "scalar_quantization": LA.scalar_quantization_sql(),
+        "heavy_hitters": SK.heavy_hitters_sql(),
+        "bm25f_topk": RT.bm25f_topk_sql(),
         "decontaminate_bm25": RT.decontaminate_bm25_sql(),
         "dsir_select": SA.dsir_select_sql(),
         "stratified_sample": SA.stratified_sample_sql(),

@@ -285,6 +285,9 @@ HEADLINE = [
     "pca_power_projection",
     "random_projection",
     "triangle_count",
+    "scalar_quantization",
+    "heavy_hitters",
+    "bm25f_topk",
 ]
 
 

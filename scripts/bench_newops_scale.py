@@ -60,6 +60,18 @@ QUERIES = [
     "dust_param_rules",
     "host_rank",
     "focused_crawl_priority",
+    # session 13
+    "phrase_search",
+    "boilerplate_strip",
+    "hyperball_centrality",
+    "triangle_count",
+    "label_propagation",
+    "kcore_decomposition",
+    "pca_power_projection",
+    "random_projection",
+    "scalar_quantization",
+    "heavy_hitters",
+    "bm25f_topk",
 ]
 
 

@@ -439,3 +439,227 @@ FROM starts WHERE hit = plen AND start >= 0
 GROUP BY query_id, doc_id
 ORDER BY query_id, doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25F — multi-field ranking (body + inbound anchor text)
+# ---------------------------------------------------------------------------
+
+# field weights / length normalizations (Robertson, Zaragoza & Taylor
+# 2004, "Simple BM25 extension to multiple weighted fields"; anchor
+# boost + lighter anchor length-normalization is standard web-search
+# practice)
+BM25F_WB = 1.0    # body weight
+BM25F_WA = 2.5    # anchor weight
+BM25F_BB = 0.75   # body length-normalization b
+BM25F_BA = 0.50   # anchor length-normalization b
+
+# queries mixing body-vocabulary terms with anchor-vocabulary terms so
+# the anchor field demonstrably moves rankings (anchors are the
+# synthesized per-edge texts of graph.anchor_text_agg)
+BM25F_QUERIES: dict[int, list[str]] = {
+    0: ["order", "details"],
+    1: ["next", "page"],
+    2: ["home", "scan"],
+    3: ["click", "here", "filter"],
+    4: ["read", "more", "spark"],
+}
+
+
+def bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k documents per query under BM25F over TWO fields: the page
+    body and the page's INBOUND ANCHOR TEXT (how the rest of the web
+    describes it — the signal classic web search weighs above body
+    text; the anchor field reuses anchor_text_agg's deterministic
+    per-edge anchors so the DuckDB twin builds the identical corpus).
+
+    Per-field weighted tf  wtf = Σ_f w_f · tf_f / B_f  with
+    B_f = (1−b_f) + b_f·len_f/avglen_f, saturated once across fields:
+    score = Σ_terms idf · wtf/(k1 + wtf) — term-frequency saturation is
+    shared across fields, the property that distinguishes BM25F from
+    naively summing per-field BM25s. df counts presence in EITHER
+    field.
+
+    Plan shape mirrors bm25_topk (one corpus-scale tf collapse per
+    field, broadcast literal query dim, two-phase salted top-k); the
+    anchor field adds one bounded edge-expansion (in-edges × anchor
+    tokens) and its own map-side tf/len aggs. Contributions are floored
+    onto the BM25_SCALE integer grid before the per-doc sum (the
+    bm25_topk determinism argument, same ln risk class)."""
+    from .graph import _ANCHOR_VOCAB, _edges
+
+    docs = load(spark, "documents", sf_dir)
+    n_docs = docs.count()
+
+    # body postings + lengths
+    ex_b = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf_b = ex_b.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tfb"))
+    dl_b = tf_b.groupBy("doc_id").agg(F.sum("tfb").alias("dlb"))
+
+    # anchor postings + lengths (in-edge anchors, tokenized)
+    v = len(_ANCHOR_VOCAB)
+    e = _edges(docs.select("doc_id"), n_docs)
+    anchor = F.element_at(
+        F.array(*[F.lit(a) for a in _ANCHOR_VOCAB]),
+        (F.pmod(F.col("src") + F.col("dst"), F.lit(v)) + 1).cast("int"),
+    )
+    ex_a = e.select(
+        F.col("dst").alias("doc_id"),
+        F.explode(F.split(anchor, " ")).alias("term"),
+    )
+    tf_a = ex_a.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tfa"))
+    dl_a = tf_a.groupBy("doc_id").agg(F.sum("tfa").alias("dla"))
+
+    # cross-field document frequency + corpus averages (driver scalars,
+    # the documented bm25 pattern)
+    pres = (
+        tf_b.select("doc_id", "term")
+        .unionByName(tf_a.select("doc_id", "term"))
+        .distinct()
+    )
+    df_t = pres.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgb = (dl_b.agg(F.sum("dlb")).collect()[0][0] or 0) / n_docs
+    avga = (dl_a.agg(F.sum("dla")).collect()[0][0] or 0) / n_docs
+
+    q = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25F_QUERIES.items() for t in ts],
+        "query_id int, term string",
+    )
+    # per-(doc, term) weighted tf across fields — full outer on the two
+    # posting sets so anchor-only terms (body tf 0) still score
+    joined = (
+        tf_b.join(tf_a, ["doc_id", "term"], "full_outer")
+        .join(F.broadcast(q), "term")
+        .join(dl_b, "doc_id", "left")
+        .join(dl_a, "doc_id", "left")
+        .join(df_t, "term")
+    )
+    bb = F.lit(1.0 - BM25F_BB) + F.lit(BM25F_BB) * (
+        F.coalesce("dlb", F.lit(0)) / F.lit(avgb)
+    )
+    ba = F.lit(1.0 - BM25F_BA) + F.lit(BM25F_BA) * (
+        F.coalesce("dla", F.lit(0)) / F.lit(max(avga, 1e-9))
+    )
+    wtf = (
+        F.lit(BM25F_WB) * F.coalesce("tfb", F.lit(0)) / bb
+        + F.lit(BM25F_WA) * F.coalesce("tfa", F.lit(0)) / ba
+    )
+    idf = F.log(
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    contrib = joined.select(
+        "query_id",
+        "doc_id",
+        F.floor(idf * wtf / (F.lit(BM25_K1) + wtf) * BM25_SCALE)
+        .cast("long")
+        .alias("ic"),
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("ic").alias("iscore")
+    )
+    w1 = Window.partitionBy("query_id", "salt").orderBy(
+        F.col("iscore").desc(), F.col("doc_id")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("iscore").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(BM25_SALTS)))
+        .withColumn("lr", F.row_number().over(w1))
+        .filter(F.col("lr") <= BM25_TOPK)
+        .withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            "iscore",
+            (F.col("iscore") / F.lit(float(BM25_SCALE))).alias("score"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def bm25f_topk_sql() -> str:
+    from .graph import _ANCHOR_VOCAB, _GEN_EXPRS
+
+    tok = TOKENS_SQL.format(c="text")
+    v = len(_ANCHOR_VOCAB)
+    vocab = ", ".join(f"'{a}'" for a in _ANCHOR_VOCAB)
+    gens = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {frag} AS dst FROM documents"
+        for _, frag in _GEN_EXPRS
+    )
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in BM25F_QUERIES.items() for t in ts
+    )
+    return f"""
+WITH n AS (SELECT count(*) AS c FROM documents),
+exb AS MATERIALIZED (
+  SELECT doc_id, unnest({tok}) AS term FROM documents
+),
+tfb AS (SELECT doc_id, term, count(*) AS tfb FROM exb GROUP BY doc_id, term),
+dlb AS (SELECT doc_id, sum(tfb)::BIGINT AS dlb FROM tfb GROUP BY doc_id),
+e0 AS ({gens}),
+e AS (SELECT * FROM e0 WHERE src <> dst),
+exa AS MATERIALIZED (
+  SELECT dst AS doc_id,
+         unnest(string_split(([{vocab}])[((src + dst) % {v}) + 1], ' ')) AS term
+  FROM e
+),
+tfa AS (SELECT doc_id, term, count(*) AS tfa FROM exa GROUP BY doc_id, term),
+dla AS (SELECT doc_id, sum(tfa)::BIGINT AS dla FROM tfa GROUP BY doc_id),
+pres AS (SELECT DISTINCT doc_id, term FROM (
+  SELECT doc_id, term FROM tfb UNION ALL SELECT doc_id, term FROM tfa)),
+df_t AS (SELECT term, count(*) AS df FROM pres GROUP BY term),
+avgs AS (
+  SELECT (SELECT coalesce(sum(dlb), 0) FROM dlb)::DOUBLE / (SELECT c FROM n) AS avgb,
+         greatest((SELECT coalesce(sum(dla), 0) FROM dla)::DOUBLE / (SELECT c FROM n), 1e-9) AS avga
+),
+q(query_id, term) AS (VALUES {qvals}),
+joined AS (
+  SELECT q.query_id, coalesce(b.doc_id, a.doc_id) AS doc_id,
+         coalesce(b.term, a.term) AS term,
+         coalesce(b.tfb, 0) AS tfb, coalesce(a.tfa, 0) AS tfa
+  FROM tfb b FULL OUTER JOIN tfa a USING (doc_id, term)
+  JOIN q ON q.term = coalesce(b.term, a.term)
+),
+contrib AS (
+  SELECT j.query_id, j.doc_id,
+         floor(
+           ln(((SELECT c FROM n)::DOUBLE - df_t.df + 0.5) / (df_t.df + 0.5) + 1.0)
+           * (({BM25F_WB} * j.tfb / ({1.0 - BM25F_BB} + {BM25F_BB} * coalesce(dlb.dlb, 0) / avgs.avgb)
+               + {BM25F_WA} * j.tfa / ({1.0 - BM25F_BA} + {BM25F_BA} * coalesce(dla.dla, 0) / avgs.avga))
+              / ({BM25_K1} + ({BM25F_WB} * j.tfb / ({1.0 - BM25F_BB} + {BM25F_BB} * coalesce(dlb.dlb, 0) / avgs.avgb)
+                 + {BM25F_WA} * j.tfa / ({1.0 - BM25F_BA} + {BM25F_BA} * coalesce(dla.dla, 0) / avgs.avga))))
+           * {BM25_SCALE}
+         )::BIGINT AS ic
+  FROM joined j
+  JOIN df_t ON j.term = df_t.term
+  LEFT JOIN dlb ON j.doc_id = dlb.doc_id
+  LEFT JOIN dla ON j.doc_id = dla.doc_id
+  CROSS JOIN avgs
+),
+scored AS (
+  SELECT query_id, doc_id, sum(ic)::BIGINT AS iscore
+  FROM contrib GROUP BY query_id, doc_id
+),
+phase1 AS (
+  SELECT query_id, doc_id, iscore,
+         row_number() OVER (
+           PARTITION BY query_id, doc_id % {BM25_SALTS}
+           ORDER BY iscore DESC, doc_id) AS lr
+  FROM scored
+),
+phase2 AS (
+  SELECT query_id, doc_id, iscore,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY iscore DESC, doc_id) AS rank
+  FROM phase1 WHERE lr <= {BM25_TOPK}
+)
+SELECT query_id, rank, doc_id, iscore, iscore / {BM25_SCALE}.0 AS score
+FROM phase2 WHERE rank <= {BM25_TOPK}
+ORDER BY query_id, rank
+"""

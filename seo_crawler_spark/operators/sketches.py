@@ -487,3 +487,96 @@ SELECT p.q, p.rank, p.bin,
 FROM pick p JOIN exact e USING (q)
 ORDER BY p.q
 """
+
+
+# ---------------------------------------------------------------------------
+# heavy hitters — two-pass Misra-Gries candidate pruning + exact verify
+# ---------------------------------------------------------------------------
+
+HH_K = 30  # report terms with freq > N/(HH_K+1); MG keeps HH_K counters
+
+
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT frequent terms (freq > N/(k+1)) via the canonical two-pass
+    distributed heavy-hitters plan (Misra & Gries 1982; the MapReduce
+    formulation in Cormode's frequent-items surveys): pass 1 runs an
+    MG summary with k counters INSIDE each partition and emits only its
+    ≤ k surviving candidate terms; pass 2 exactly counts candidates
+    only. Soundness is the pigeonhole argument: a term with global
+    count > N/(k+1) must exceed n_p/(k+1) in at least one partition
+    (else its global count ≤ Σ n_p/(k+1) = N/(k+1)), and per-partition
+    MG retains every term with local count > n_p/(k+1) — so the
+    candidate union is a superset of the answer and pass 2's exact
+    filter makes the OUTPUT exact. The point at 100 TB: the full
+    (term, count) aggregate over a web vocabulary (10^9+ types) never
+    materializes — pass 1 ships ≤ k rows per partition, pass 2
+    aggregates only the ≤ k·P candidate terms.
+
+    The MG loop is per-partition Python over Arrow batches
+    (mapInPandas + a dict of ≤ k counters — the extraction-UDF tier,
+    not per-row spark udf); counts in pass 2 are exact integers and the
+    threshold is stated as freq·(k+1) > N, so the DuckDB oracle (a
+    plain HAVING over the exact counts — the MG stage is invisible to
+    correctness, it is pure pruning) is bit-identical."""
+    import pandas as pd
+
+    docs = load(spark, "documents", sf_dir)
+    sc = docs.sparkSession.sparkContext
+    toks = (
+        docs.repartition(sc.defaultParallelism)
+        .select(tokens(F.col("text")).alias("tok"))
+        .localCheckpoint(eager=True)
+    )
+    terms = toks.select(F.explode("tok").alias("term"))
+
+    def mg(batches):
+        # batched Frequent/MG: merge the batch's exact value_counts
+        # (C-speed, no per-row Python), then while the table exceeds k
+        # counters subtract the minimum from ALL and drop zeros — each
+        # subtraction of m hits >= k+1 counters, so total decrement
+        # mass per item <= n_p/(k+1): any item with local count above
+        # that survives, the invariant the pigeonhole proof needs
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for t, c in pdf["term"].value_counts().items():
+                counters[t] = counters.get(t, 0) + int(c)
+            while len(counters) > HH_K:
+                m = min(counters.values())
+                counters = {
+                    t: c - m for t, c in counters.items() if c > m
+                }
+        yield pd.DataFrame({"term": list(counters.keys())})
+
+    cand = (
+        terms.mapInPandas(mg, schema="term string")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = terms.count()
+    return (
+        terms.join(F.broadcast(cand), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") * (HH_K + 1) > n)
+        .select(
+            "term",
+            "freq",
+            F.expr(f"(freq * 10000) div {n}").alias("share_bp"),
+        )
+        .orderBy(F.col("freq").desc(), "term")
+    )
+
+
+def heavy_hitters_sql(k: int = HH_K) -> str:
+    tok = TOKENS_SQL.format(c="text")
+    return f"""
+WITH t AS MATERIALIZED (
+  SELECT unnest({tok}) AS term FROM documents
+),
+n AS (SELECT count(*) AS c FROM t)
+SELECT term, count(*) AS freq,
+       (count(*) * 10000) // (SELECT c FROM n) AS share_bp
+FROM t GROUP BY term
+HAVING count(*) * {k + 1} > (SELECT c FROM n)
+ORDER BY freq DESC, term
+"""

@@ -567,3 +567,144 @@ def test_scalar_quantization_matches_python_reference(spark):
     assert any(l1 > 0 for l1, _ in got.values())
     max_cell = max(max(1, mx[d] - mn[d]) // SQ_LEVELS for d in range(DIM))
     assert all(m <= max_cell + 1 for _, m in got.values())
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_exact_vs_python_counts(spark):
+    from collections import Counter
+
+    from seo_crawler_spark.operators.sketches import HH_K, heavy_hitters
+
+    docs = _docs(SF0001)
+    counts = Counter()
+    for d in docs:
+        counts.update(_toks(d["text"]))
+    n = sum(counts.values())
+    ref = {
+        t: (c, (c * 10000) // n)
+        for t, c in counts.items()
+        if c * (HH_K + 1) > n
+    }
+    got = {
+        r["term"]: (r["freq"], r["share_bp"])
+        for r in heavy_hitters(spark, SF0001).collect()
+    }
+    assert got == ref
+    # discriminative: a strict, non-empty subset of the vocabulary
+    assert 0 < len(got) < len(counts)
+
+
+def test_mg_batch_shrink_keeps_local_heavies():
+    # unit check of the pass-1 invariant on an adversarial stream:
+    # after batched MG with k counters, every item with count >
+    # n/(k+1) must survive — regardless of batch boundaries
+    import pandas as pd
+
+    k = 5
+    stream = (
+        ["heavy"] * 40 + ["semi"] * 12
+        + [f"noise{i}" for i in range(40)]
+        + ["heavy"] * 10
+    )
+    n = len(stream)
+
+    counters = {}
+    for lo in range(0, n, 7):  # awkward batch size on purpose
+        batch = pd.Series(stream[lo : lo + 7])
+        for t, c in batch.value_counts().items():
+            counters[t] = counters.get(t, 0) + int(c)
+        while len(counters) > k:
+            m = min(counters.values())
+            counters = {t: c - m for t, c in counters.items() if c > m}
+    from collections import Counter
+
+    true = Counter(stream)
+    for t, c in true.items():
+        if c * (k + 1) > n:
+            assert t in counters, (t, c, n, counters)
+
+
+# ---------------------------------------------------------------------------
+# bm25f_topk
+# ---------------------------------------------------------------------------
+
+
+def _bm25f_reference(docs):
+    import math
+    from collections import Counter
+
+    from seo_crawler_spark.operators.retrieval import (
+        BM25_K1,
+        BM25_SCALE,
+        BM25F_BA,
+        BM25F_BB,
+        BM25F_QUERIES,
+        BM25F_WA,
+        BM25F_WB,
+    )
+    from seo_crawler_spark.operators.graph import _ANCHOR_VOCAB
+
+    n = len(docs)
+    tfb = {d["doc_id"]: Counter(_toks(d["text"])) for d in docs}
+    tfa = defaultdict(Counter)
+    v = len(_ANCHOR_VOCAB)
+    for d in range(n):
+        for dst in ((d * d + 1) % n, d % 37, (d * 13 + 3) % n):
+            if dst != d:
+                for t in _ANCHOR_VOCAB[(d + dst) % v].split(" "):
+                    tfa[dst][t] += 1
+    dlb = {i: sum(c.values()) for i, c in tfb.items()}
+    dla = {i: sum(c.values()) for i, c in tfa.items()}
+    avgb = sum(dlb.values()) / n
+    avga = max(sum(dla.values()) / n, 1e-9)
+    df = Counter()
+    for i in range(n):
+        for t in set(tfb.get(i, ())) | set(tfa.get(i, ())):
+            df[t] += 1
+    out = {}
+    for qid, terms in BM25F_QUERIES.items():
+        scores = {}
+        for i in range(n):
+            s = 0
+            for t in terms:
+                b = tfb.get(i, {}).get(t, 0)
+                a = tfa.get(i, {}).get(t, 0)
+                if not b and not a:
+                    continue
+                bb = (1 - BM25F_BB) + BM25F_BB * dlb.get(i, 0) / avgb
+                ba = (1 - BM25F_BA) + BM25F_BA * dla.get(i, 0) / avga
+                wtf = BM25F_WB * b / bb + BM25F_WA * a / ba
+                idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+                s += math.floor(idf * wtf / (BM25_K1 + wtf) * BM25_SCALE)
+            if s:
+                scores[i] = s
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        out[qid] = [(r + 1, d, s) for r, (d, s) in enumerate(ranked)]
+    return out
+
+
+def test_bm25f_matches_python_reference(spark):
+    from seo_crawler_spark.operators.retrieval import bm25f_topk
+
+    docs = _docs(SF0001)
+    ref = _bm25f_reference(docs)
+    rows = bm25f_topk(spark, SF0001).collect()
+    got = defaultdict(list)
+    for r in rows:
+        got[r["query_id"]].append((r["rank"], r["doc_id"], r["iscore"]))
+    assert dict(got) == ref
+
+
+def test_bm25f_anchor_field_moves_rankings(spark):
+    # query 1 ("next page") is pure anchor vocabulary — absent from
+    # every body — so its result set exists ONLY because of the anchor
+    # field; a body-only BM25 would return nothing for it
+    from seo_crawler_spark.operators.retrieval import bm25f_topk
+
+    rows = [r for r in bm25f_topk(spark, SF0001).collect() if r["query_id"] == 1]
+    assert len(rows) == 10
+    assert all(r["iscore"] > 0 for r in rows)
