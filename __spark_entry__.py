@@ -104,6 +104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scalar_quantization": LA.scalar_quantization,
         "heavy_hitters": SK.heavy_hitters,
         "bm25f_topk": RT.bm25f_topk,
+        "snippet_extraction": RT.snippet_extraction,
+        "rank_correlation": G.rank_correlation,
         # new in round 4 session 12 — must sit inside the 50-row window
         # (displaces analytics_detection / recrawl_schedule /
         # crawl_snapshot_diff — green driver rows in r3, two-scale green
@@ -397,6 +399,8 @@ def oracle_sql() -> dict[str, str]:
         "scalar_quantization": LA.scalar_quantization_sql(),
         "heavy_hitters": SK.heavy_hitters_sql(),
         "bm25f_topk": RT.bm25f_topk_sql(),
+        "snippet_extraction": RT.snippet_extraction_sql(),
+        "rank_correlation": G.rank_correlation_sql(),
         "decontaminate_bm25": RT.decontaminate_bm25_sql(),
         "dsir_select": SA.dsir_select_sql(),
         "stratified_sample": SA.stratified_sample_sql(),

@@ -288,6 +288,8 @@ HEADLINE = [
     "scalar_quantization",
     "heavy_hitters",
     "bm25f_topk",
+    "snippet_extraction",
+    "rank_correlation",
 ]
 
 

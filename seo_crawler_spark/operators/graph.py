@@ -1786,3 +1786,88 @@ LEFT JOIN {prev_p} p USING (doc_id)
 LEFT JOIN fdeg f ON d.doc_id = f.v
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation between two crawl-priority rankers
+# ---------------------------------------------------------------------------
+
+
+def rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host Spearman rank correlation between the two registered
+    frontier-priority signals — converged PageRank vs online OPIC — the
+    evaluation a crawl operator runs before swapping rankers ("does the
+    cheap online score order my hosts' pages like the expensive
+    converged one?"). High ρ on a host ⇒ OPIC is a safe drop-in there;
+    low ρ hosts are where the cash-diffusion approximation diverges.
+
+    REUSES both registered operators verbatim (their unrolled integer
+    fixed-point loops), then: one doc_id join, one source join, ranks
+    within each host by (score desc, doc_id) — a window with per-HOST
+    bounded fan-in, never a global sort — and the exact integer
+    Σd² folds map-side per host. ρ = 1 − 6Σd²/(n(n²−1)) is the one
+    division, same-int/same-int in both engines (ties broken by
+    doc_id, stated in the ORDER — the classifier-AUC midrank approach
+    is unnecessary here because the tie-break makes ranks total).
+    """
+    from pyspark.sql import Window
+
+    pr = pagerank(spark, sf_dir).select("doc_id", "score")
+    op = opic_priority(spark, sf_dir).select("doc_id", "priority")
+    src = load(spark, "documents", sf_dir).select("doc_id", "source")
+    j = src.join(pr, "doc_id").join(op, "doc_id")
+    wp = Window.partitionBy("source").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    wo = Window.partitionBy("source").orderBy(
+        F.desc("priority"), F.asc("doc_id")
+    )
+    ranked = j.select(
+        "source",
+        F.row_number().over(wp).alias("rp"),
+        F.row_number().over(wo).alias("ro"),
+    )
+    d2 = (F.col("rp") - F.col("ro")).cast("long")
+    g = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d2 * d2).alias("isum_d2"),
+    )
+    return g.select(
+        "source",
+        "n",
+        "isum_d2",
+        F.round(
+            F.lit(1.0)
+            - 6.0
+            * F.col("isum_d2")
+            / (F.col("n").cast("double") * (F.col("n") * F.col("n") - 1)),
+            6,
+        ).alias("rho"),
+    ).orderBy("source")
+
+
+def rank_correlation_sql() -> str:
+    return f"""
+WITH pr AS MATERIALIZED (SELECT doc_id, score FROM ({pagerank_sql()})),
+op AS MATERIALIZED (SELECT doc_id, priority FROM ({opic_priority_sql()})),
+j AS (
+  SELECT d.source, pr.score, op.priority, d.doc_id
+  FROM documents d JOIN pr USING (doc_id) JOIN op USING (doc_id)
+),
+ranked AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY score DESC, doc_id) AS rp,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY priority DESC, doc_id) AS ro
+  FROM j
+),
+g AS (
+  SELECT source, count(*) AS n,
+         sum(((rp - ro)::BIGINT) * ((rp - ro)::BIGINT)) AS isum_d2
+  FROM ranked GROUP BY source
+)
+SELECT source, n, isum_d2,
+       round(1.0 - 6.0 * isum_d2 / (n::DOUBLE * (n * n - 1)), 6) AS rho
+FROM g ORDER BY source
+"""

@@ -663,3 +663,66 @@ SELECT query_id, rank, doc_id, iscore, iscore / {BM25_SCALE}.0 AS score
 FROM phase2 WHERE rank <= {BM25_TOPK}
 ORDER BY query_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# snippet (KWIC) extraction for phrase matches
+# ---------------------------------------------------------------------------
+
+SNIP_CTX = 3  # context tokens on each side of the matched phrase
+
+
+def snippet_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context snippets for every phrase match — the search
+    SERVING step after ranking (reference counterpart: the links-table
+    search box highlights its substring match; an index-backed engine
+    renders the hit window instead of re-scanning the page). REUSES the
+    registered phrase_search operator for the match set (same single
+    posting shuffle), then one doc_id equi-join back to the token
+    arrays and a ROW-LOCAL slice — the snippet never exists as a
+    corpus-wide intermediate, only for matching (query, doc) pairs.
+
+    Window arithmetic is 1-based-slice in both engines with identical
+    clamping at the document edges (Spark `slice` and DuckDB
+    `arr[a:b]` both truncate at the array end; the left edge is
+    greatest(1, ·) explicitly)."""
+    matches = phrase_search(spark, sf_dir)
+    plen_by_q = spark.createDataFrame(
+        [(qid, len(p.split())) for qid, p in PHRASE_QUERIES.items()],
+        "query_id int, plen int",
+    )
+    docs = load(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
+    s1 = F.greatest(F.lit(1), F.col("first_pos") + 1 - SNIP_CTX)
+    ln = (F.col("first_pos") + 1 + F.col("plen") + SNIP_CTX) - s1
+    return (
+        matches.join(F.broadcast(plen_by_q), "query_id")
+        .join(toks, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            "n_matches",
+            "first_pos",
+            F.concat_ws(" ", F.slice("tok", s1, ln)).alias("snippet"),
+        )
+        .orderBy("query_id", "doc_id")
+    )
+
+
+def snippet_extraction_sql() -> str:
+    tok = TOKENS_SQL.format(c="text")
+    inner = phrase_search_sql().strip().rstrip()
+    return f"""
+WITH m AS MATERIALIZED ({inner}),
+pl(query_id, plen) AS (VALUES {', '.join(
+        f"({qid}, {len(p.split())})" for qid, p in PHRASE_QUERIES.items()
+    )}),
+tk AS (SELECT doc_id, {tok} AS tok FROM documents)
+SELECT m.query_id, m.doc_id, m.n_matches, m.first_pos,
+       array_to_string(
+         tk.tok[greatest(1, m.first_pos + 1 - {SNIP_CTX}) :
+                m.first_pos + pl.plen + {SNIP_CTX}],
+         ' ') AS snippet
+FROM m JOIN pl USING (query_id) JOIN tk USING (doc_id)
+ORDER BY m.query_id, m.doc_id
+"""

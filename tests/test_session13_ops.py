@@ -708,3 +708,66 @@ def test_bm25f_anchor_field_moves_rankings(spark):
     rows = [r for r in bm25f_topk(spark, SF0001).collect() if r["query_id"] == 1]
     assert len(rows) == 10
     assert all(r["iscore"] > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# snippet_extraction / rank_correlation
+# ---------------------------------------------------------------------------
+
+
+def test_snippet_extraction_windows(spark):
+    from seo_crawler_spark.operators.retrieval import (
+        SNIP_CTX,
+        snippet_extraction,
+    )
+
+    docs = {d["doc_id"]: _toks(d["text"]) for d in _docs(SF0001)}
+    ref_matches = _phrase_reference(_docs(SF0001))
+    rows = snippet_extraction(spark, SF0001).collect()
+    assert {(r["query_id"], r["doc_id"]) for r in rows} == set(ref_matches)
+    for r in rows:
+        tok = docs[r["doc_id"]]
+        plen = len(PHRASE_QUERIES[r["query_id"]].split())
+        fp = r["first_pos"]
+        lo = max(0, fp - SNIP_CTX)
+        hi = min(len(tok), fp + plen + SNIP_CTX)
+        assert r["snippet"] == " ".join(tok[lo:hi])
+        # the snippet embeds the matched phrase itself
+        assert PHRASE_QUERIES[r["query_id"]] in r["snippet"]
+
+
+def test_rank_correlation_matches_python_reference(spark):
+    from seo_crawler_spark.operators.graph import rank_correlation
+
+    rows = rank_correlation(spark, SF0001).collect()
+    # python reference: recompute Spearman from the two registered
+    # rankers' own outputs (their correctness is pinned elsewhere)
+    from seo_crawler_spark.operators.graph import opic_priority, pagerank
+
+    pr = {r["doc_id"]: r["score"] for r in pagerank(spark, SF0001).collect()}
+    op = {
+        r["doc_id"]: r["priority"]
+        for r in opic_priority(spark, SF0001).collect()
+    }
+    src = {d["doc_id"]: d["source"] for d in _docs(SF0001)}
+    by_src = defaultdict(list)
+    for d in pr:
+        by_src[src[d]].append(d)
+    ref = {}
+    for s, ids in by_src.items():
+        rp = {
+            d: i + 1
+            for i, d in enumerate(sorted(ids, key=lambda d: (-pr[d], d)))
+        }
+        ro = {
+            d: i + 1
+            for i, d in enumerate(sorted(ids, key=lambda d: (-op[d], d)))
+        }
+        n = len(ids)
+        sd2 = sum((rp[d] - ro[d]) ** 2 for d in ids)
+        ref[s] = (n, sd2, round(1.0 - 6.0 * sd2 / (n * (n * n - 1)), 6))
+    got = {r["source"]: (r["n"], r["isum_d2"], r["rho"]) for r in rows}
+    assert got == ref
+    # non-vacuous: the two rankers agree strongly but not perfectly
+    assert any(sd2 > 0 for _, sd2, _ in got.values())
+    assert all(rho > 0.5 for _, _, rho in got.values())
