@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_topk": RT.bm25f_topk,
         "snippet_extraction": RT.snippet_extraction,
         "rank_correlation": G.rank_correlation,
+        "effective_diameter": G.effective_diameter,
         # new in round 4 session 12 — must sit inside the 50-row window
         # (displaces analytics_detection / recrawl_schedule /
         # crawl_snapshot_diff — green driver rows in r3, two-scale green
@@ -401,6 +402,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25f_topk": RT.bm25f_topk_sql(),
         "snippet_extraction": RT.snippet_extraction_sql(),
         "rank_correlation": G.rank_correlation_sql(),
+        "effective_diameter": G.effective_diameter_sql(),
         "decontaminate_bm25": RT.decontaminate_bm25_sql(),
         "dsir_select": SA.dsir_select_sql(),
         "stratified_sample": SA.stratified_sample_sql(),

@@ -290,6 +290,7 @@ HEADLINE = [
     "bm25f_topk",
     "snippet_extraction",
     "rank_correlation",
+    "effective_diameter",
 ]
 
 

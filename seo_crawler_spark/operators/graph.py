@@ -1871,3 +1871,73 @@ SELECT source, n, isum_d2,
        round(1.0 - 6.0 * isum_d2 / (n::DOUBLE * (n * n - 1)), 6) AS rho
 FROM g ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# effective diameter from the HyperBall neighborhood function
+# ---------------------------------------------------------------------------
+
+EFF_DIAM_PCT = 90  # the classic "90% effective diameter"
+
+
+def effective_diameter(
+    spark: SparkSession, sf_dir: str, iters: int = HB_ITERS
+) -> DataFrame:
+    """Corpus-level neighborhood function and 90% effective diameter —
+    the web-graph connectivity audit (Boldi & Vigna run exactly this on
+    top of HyperBall; Leskovec et al.'s "graphs over time" popularized
+    the 90% definition): N(t) = Σ_v |B_in(v,t)| counts reachable pairs
+    within t hops; the effective diameter is the smallest t whose N(t)
+    covers EFF_DIAM_PCT% of N(T). A shrinking effective diameter over
+    crawl snapshots means the frontier is entering the dense core;
+    pages outside it are the disconnected periphery.
+
+    REUSES the registered hyperball_centrality operator verbatim (per
+    iteration: one edge equi-join + one register max-merge, 64
+    rows/node state) and adds ONE |V|-row aggregate per hop — the
+    whole audit costs one extra dimension-sized pass. Integer-exact:
+    the coverage verdict is stated as 100·N(t) >= pct·N(T)."""
+    hb = hyperball_centrality(spark, sf_dir, iters=iters)
+    sums = hb.agg(
+        *[
+            F.sum(f"nf{t}").cast("long").alias(f"s{t}")
+            for t in range(iters + 1)
+        ]
+    )
+    rows = []
+    for t in range(iters + 1):
+        rows.append(
+            F.struct(
+                F.lit(t).alias("t"),
+                F.col(f"s{t}").alias("inf_total"),
+                F.expr(f"(s{t} * 10000) div s{iters}").alias("coverage_bp"),
+                (
+                    F.lit(100) * F.col(f"s{t}")
+                    >= F.lit(EFF_DIAM_PCT) * F.col(f"s{iters}")
+                ).alias("covers"),
+            )
+        )
+    return (
+        sums.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.t", "r.inf_total", "r.coverage_bp", "r.covers")
+        .orderBy("t")
+    )
+
+
+def effective_diameter_sql(iters: int = HB_ITERS) -> str:
+    inner = hyperball_sql(iters)
+    sums = ", ".join(
+        f"sum(nf{t})::BIGINT AS s{t}" for t in range(iters + 1)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {t} AS t, s{t} AS inf_total, "
+        f"(s{t} * 10000) // s{iters} AS coverage_bp, "
+        f"100 * s{t} >= {EFF_DIAM_PCT} * s{iters} AS covers FROM sums"
+        for t in range(iters + 1)
+    )
+    return f"""
+WITH hb AS MATERIALIZED ({inner}),
+sums AS (SELECT {sums} FROM hb)
+SELECT t, inf_total, coverage_bp, covers FROM ({rows})
+ORDER BY t
+"""

@@ -771,3 +771,25 @@ def test_rank_correlation_matches_python_reference(spark):
     # non-vacuous: the two rankers agree strongly but not perfectly
     assert any(sd2 > 0 for _, sd2, _ in got.values())
     assert all(rho > 0.5 for _, _, rho in got.values())
+
+
+def test_effective_diameter_curve(spark):
+    from seo_crawler_spark.operators.graph import (
+        HB_ITERS,
+        effective_diameter,
+        hyperball_centrality,
+    )
+
+    rows = effective_diameter(spark, SF0001).collect()
+    assert [r["t"] for r in rows] == list(range(HB_ITERS + 1))
+    totals = [r["inf_total"] for r in rows]
+    # N(t) is monotone non-decreasing and equals the per-node sums of
+    # the registered hyperball operator
+    assert all(b >= a for a, b in zip(totals, totals[1:]))
+    hb = hyperball_centrality(spark, SF0001).collect()
+    for t in range(HB_ITERS + 1):
+        assert totals[t] == sum(r[f"nf{t}"] for r in hb)
+    # coverage hits 100% at the horizon by construction, and the curve
+    # is non-trivial (not already covered at t=0)
+    assert rows[-1]["covers"] and rows[-1]["coverage_bp"] == 10000
+    assert not rows[0]["covers"]
