@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippet_extraction": RT.snippet_extraction,
         "rank_correlation": G.rank_correlation,
         "effective_diameter": G.effective_diameter,
+        "pagerank_warm_start": G.pagerank_warm_start,
+        "search_serve": RT.search_serve,
         # new in round 4 session 12 — must sit inside the 50-row window
         # (displaces analytics_detection / recrawl_schedule /
         # crawl_snapshot_diff — green driver rows in r3, two-scale green
@@ -403,6 +405,8 @@ def oracle_sql() -> dict[str, str]:
         "snippet_extraction": RT.snippet_extraction_sql(),
         "rank_correlation": G.rank_correlation_sql(),
         "effective_diameter": G.effective_diameter_sql(),
+        "pagerank_warm_start": G.pagerank_warm_start_sql(),
+        "search_serve": RT.search_serve_sql(),
         "decontaminate_bm25": RT.decontaminate_bm25_sql(),
         "dsir_select": SA.dsir_select_sql(),
         "stratified_sample": SA.stratified_sample_sql(),

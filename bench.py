@@ -291,6 +291,8 @@ HEADLINE = [
     "snippet_extraction",
     "rank_correlation",
     "effective_diameter",
+    "pagerank_warm_start",
+    "search_serve",
 ]
 
 

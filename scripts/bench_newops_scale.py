@@ -72,6 +72,11 @@ QUERIES = [
     "scalar_quantization",
     "heavy_hitters",
     "bm25f_topk",
+    "snippet_extraction",
+    "rank_correlation",
+    "effective_diameter",
+    "pagerank_warm_start",
+    "search_serve",
 ]
 
 

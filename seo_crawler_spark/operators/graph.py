@@ -1941,3 +1941,151 @@ sums AS (SELECT {sums} FROM hb)
 SELECT t, inf_total, coverage_bp, covers FROM ({rows})
 ORDER BY t
 """
+
+
+# ---------------------------------------------------------------------------
+# warm-start (incremental) PageRank after a graph delta
+# ---------------------------------------------------------------------------
+
+WARM_ITERS = 2  # refresh budget after a wave lands
+
+
+def pagerank_warm_start(
+    spark: SparkSession, sf_dir: str, warm_iters: int = WARM_ITERS
+) -> DataFrame:
+    """Incremental PageRank maintenance — the question every
+    per-wave-recomputing crawler eventually asks: after a wave adds a
+    small edge delta, do NOT rerun the full iteration count; seed the
+    loop with yesterday's scores and run a short refresh (the classic
+    warm-start/restart argument: power iteration converges from any
+    start, and yesterday's vector is already near the new fixed point
+    when the delta is small — Langville & Meyer's "updating PageRank"
+    analysis). The operator measures the claim rather than assuming
+    it: per page, |warm_k − full| vs |cold_k − full| where full is the
+    converged rank on the post-delta graph, warm_k seeds from the
+    pre-delta ranks, cold_k seeds uniform, both run k = WARM_ITERS
+    iterations.
+
+    Delta model: the three standard generators are the pre-wave graph;
+    pages with doc_id % 10 == 0 gain one out-link to (7·d + 11) mod n — a wave touching 10% of pages. On shipped data
+    the warm gap is ~5-6× smaller (pinned in tests): the measured
+    license to run 1-2 refresh iterations per wave instead of a full
+    recompute — at 10^10 pages that is the difference between a
+    maintenance pass and a daily batch job.
+
+    Same integer fixed-point discipline as pagerank (bit-identical
+    unrolled-CTE oracle); per-iteration lineage checkpoints; the four
+    rank vectors are doc_id-keyed equi-joins at the end."""
+    docs = load(spark, "documents", sf_dir).select("doc_id")
+    n = docs.count()
+    e_old = _edges(docs, n)
+    delta = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") * 7 + 11) % n).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    e_new = e_old.unionByName(delta)
+
+    def loop(e: DataFrame, iters: int, seed: DataFrame) -> DataFrame:
+        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        e2 = e.join(outdeg, "src").localCheckpoint(eager=True)
+        score = seed
+        for _ in range(iters):
+            contrib = (
+                e2.join(score, e2.src == score.doc_id)
+                .select(
+                    "dst",
+                    F.expr(
+                        f"(score * {DAMP_NUM}) div ({DAMP_DEN} * outdeg)"
+                    ).alias("c"),
+                )
+                .groupBy("dst")
+                .agg(F.sum("c").alias("m"))
+            )
+            score = (
+                docs.join(contrib, docs.doc_id == contrib.dst, "left")
+                .select(
+                    "doc_id",
+                    (
+                        F.lit(BASE).cast("long") + F.coalesce("m", F.lit(0))
+                    ).alias("score"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return score
+
+    uniform = docs.select(
+        "doc_id", F.lit(SCALE).cast("long").alias("score")
+    )
+    old = loop(e_old, ITERS, uniform)
+    full = loop(e_new, ITERS, uniform)
+    warm = loop(e_new, warm_iters, old)
+    cold = loop(e_new, warm_iters, uniform)
+    return (
+        full.select("doc_id", F.col("score").alias("full"))
+        .join(warm.select("doc_id", F.col("score").alias("warm")), "doc_id")
+        .join(cold.select("doc_id", F.col("score").alias("cold")), "doc_id")
+        .select(
+            "doc_id",
+            "full",
+            "warm",
+            "cold",
+            F.abs(F.col("warm") - F.col("full")).alias("warm_gap"),
+            F.abs(F.col("cold") - F.col("full")).alias("cold_gap"),
+        )
+        .withColumn(
+            "warm_closer", F.col("warm_gap") <= F.col("cold_gap")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def pagerank_warm_start_sql(warm_iters: int = WARM_ITERS) -> str:
+    gens = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {frag} AS dst FROM documents"
+        for _, frag in _GEN_EXPRS
+    )
+
+    def loop_ctes(tag: str, e: str, iters: int, seed: str) -> list[str]:
+        steps = [
+            f"od_{tag} AS (SELECT src, count(*) AS outdeg FROM {e} GROUP BY src)"
+        ]
+        prev = seed
+        for k in range(1, iters + 1):
+            steps.append(
+                f"{tag}{k} AS MATERIALIZED (SELECT d.doc_id, "
+                f"({BASE} + coalesce(x.m, 0))::BIGINT AS score "
+                f"FROM documents d LEFT JOIN ("
+                f"SELECT e.dst, sum((s.score * {DAMP_NUM}) "
+                f"// ({DAMP_DEN} * od.outdeg)) AS m "
+                f"FROM {e} e JOIN {prev} s ON e.src = s.doc_id "
+                f"JOIN od_{tag} od ON e.src = od.src GROUP BY e.dst"
+                f") x ON d.doc_id = x.dst)"
+            )
+            prev = f"{tag}{k}"
+        return steps
+
+    ctes = (
+        loop_ctes("o", "eo", ITERS, "u0")
+        + loop_ctes("f", "en", ITERS, "u0")
+        + loop_ctes("w", "en", warm_iters, f"o{ITERS}")
+        + loop_ctes("c", "en", warm_iters, "u0")
+    )
+    return f"""
+WITH n AS (SELECT count(*) AS c FROM documents),
+e0 AS ({gens}),
+eo AS MATERIALIZED (SELECT * FROM e0 WHERE src <> dst),
+dl AS (SELECT doc_id AS src, (doc_id * 7 + 11) % (SELECT c FROM n) AS dst
+       FROM documents WHERE doc_id % 10 = 0),
+en AS MATERIALIZED (
+  SELECT * FROM eo UNION ALL SELECT * FROM dl WHERE src <> dst),
+u0 AS (SELECT doc_id, {SCALE}::BIGINT AS score FROM documents),
+{', '.join(ctes)}
+SELECT f.doc_id, f.score AS full, w.score AS warm, c.score AS cold,
+       abs(w.score - f.score) AS warm_gap,
+       abs(c.score - f.score) AS cold_gap,
+       abs(w.score - f.score) <= abs(c.score - f.score) AS warm_closer
+FROM f{ITERS} f
+JOIN w{warm_iters} w USING (doc_id)
+JOIN c{warm_iters} c USING (doc_id)
+ORDER BY f.doc_id
+"""

@@ -726,3 +726,96 @@ SELECT m.query_id, m.doc_id, m.n_matches, m.first_pos,
 FROM m JOIN pl USING (query_id) JOIN tk USING (doc_id)
 ORDER BY m.query_id, m.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# end-to-end search serving: BM25F top-k + hit snippets
+# ---------------------------------------------------------------------------
+
+SERVE_K = 3  # results per query
+
+
+def search_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete serving path for one query batch: BM25F ranking
+    (body + anchor fields) → top SERVE_K per query → keyword-in-context
+    snippet at the document's FIRST body hit of any query term —
+    falling back to the document lead when the match is anchor-only
+    (the hit is in how others link to the page, not its body: exactly
+    when real engines show the lead). Composes the registered bm25f
+    ranking with the snippet windowing discipline — index-backed
+    serving end to end, no page re-scan.
+
+    Extra cost beyond bm25f_topk: one postings pass FILTERED to query
+    terms (broadcast probe — never shuffled corpus-wide), one min-pos
+    agg over hits of the k·|queries| result docs, one token-array join
+    + row-local slice."""
+    ranked = bm25f_topk(spark, sf_dir).filter(F.col("rank") <= SERVE_K)
+    docs = load(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
+    q = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25F_QUERIES.items() for t in ts],
+        "query_id int, term string",
+    )
+    postings = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "term")
+    )
+    first_hit = (
+        postings.join(F.broadcast(q), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.min("pos").alias("fp"))
+    )
+    s1 = F.greatest(F.lit(1), F.col("fp") + 1 - SNIP_CTX)
+    ln = (F.col("fp") + 1 + 1 + SNIP_CTX) - s1
+    return (
+        ranked.join(first_hit, ["query_id", "doc_id"], "left")
+        .join(toks, "doc_id")
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            "iscore",
+            F.when(
+                F.col("fp").isNotNull(),
+                F.concat_ws(" ", F.slice("tok", s1, ln)),
+            )
+            .otherwise(
+                F.concat_ws(" ", F.slice("tok", F.lit(1), F.lit(2 * SNIP_CTX + 1)))
+            )
+            .alias("snippet"),
+            F.col("fp").isNull().alias("anchor_only"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def search_serve_sql() -> str:
+    tok = TOKENS_SQL.format(c="text")
+    inner = bm25f_topk_sql().strip()
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in BM25F_QUERIES.items() for t in ts
+    )
+    c = SNIP_CTX
+    return f"""
+WITH ranked AS MATERIALIZED (
+  SELECT * FROM ({inner}) WHERE rank <= {SERVE_K}
+),
+tk AS (SELECT doc_id, {tok} AS tok FROM documents),
+p AS (
+  SELECT doc_id, generate_subscripts(tok, 1) - 1 AS pos, unnest(tok) AS term
+  FROM tk
+),
+q(query_id, term) AS (VALUES {qvals}),
+fh AS (
+  SELECT q.query_id, p.doc_id, min(p.pos) AS fp
+  FROM p JOIN q USING (term) GROUP BY q.query_id, p.doc_id
+)
+SELECT r.query_id, r.rank, r.doc_id, r.iscore,
+       CASE WHEN fh.fp IS NOT NULL THEN
+         array_to_string(tk.tok[greatest(1, fh.fp + 1 - {c}) : fh.fp + 1 + {c}], ' ')
+       ELSE array_to_string(tk.tok[1 : {2 * c + 1}], ' ') END AS snippet,
+       fh.fp IS NULL AS anchor_only
+FROM ranked r
+LEFT JOIN fh ON r.query_id = fh.query_id AND r.doc_id = fh.doc_id
+JOIN tk ON r.doc_id = tk.doc_id
+ORDER BY r.query_id, r.rank
+"""

@@ -793,3 +793,91 @@ def test_effective_diameter_curve(spark):
     # is non-trivial (not already covered at t=0)
     assert rows[-1]["covers"] and rows[-1]["coverage_bp"] == 10000
     assert not rows[0]["covers"]
+
+
+def test_pagerank_warm_start_converges_faster(spark):
+    from seo_crawler_spark.operators.graph import (
+        BASE,
+        DAMP_DEN,
+        DAMP_NUM,
+        ITERS,
+        SCALE,
+        WARM_ITERS,
+        pagerank_warm_start,
+    )
+
+    n = len(_docs(SF0001))
+
+    def pr(e, iters, seed=None):
+        out = defaultdict(int)
+        for s, _ in e:
+            out[s] += 1
+        score = list(seed) if seed else [SCALE] * n
+        for _ in range(iters):
+            contrib = [0] * n
+            for s, d in e:
+                contrib[d] += (score[s] * DAMP_NUM) // (DAMP_DEN * out[s])
+            score = [BASE + c for c in contrib]
+        return score
+
+    base = [
+        (d, g)
+        for d in range(n)
+        for g in ((d * d + 1) % n, d % 37, (d * 13 + 3) % n)
+        if g != d
+    ]
+    delta = [
+        (d, (d * 7 + 11) % n)
+        for d in range(n)
+        if d % 10 == 0 and (d * 7 + 11) % n != d
+    ]
+    full = pr(base + delta, ITERS)
+    old = pr(base, ITERS)
+    warm = pr(base + delta, WARM_ITERS, seed=old)
+    cold = pr(base + delta, WARM_ITERS)
+
+    rows = {r["doc_id"]: r for r in pagerank_warm_start(spark, SF0001).collect()}
+    for d in range(n):
+        r = rows[d]
+        assert (r["full"], r["warm"], r["cold"]) == (full[d], warm[d], cold[d])
+    # the operator's claim, measured: total warm gap well under half
+    # the cold gap, and warm closer on a large majority of pages
+    gw = sum(r["warm_gap"] for r in rows.values())
+    gc = sum(r["cold_gap"] for r in rows.values())
+    assert gw * 2 < gc
+    assert sum(r["warm_closer"] for r in rows.values()) > 0.8 * n
+
+
+def test_search_serve_end_to_end(spark):
+    from seo_crawler_spark.operators.retrieval import (
+        BM25F_QUERIES,
+        SERVE_K,
+        SNIP_CTX,
+        bm25f_topk,
+        search_serve,
+    )
+
+    rows = search_serve(spark, SF0001).collect()
+    top = {
+        (r["query_id"], r["doc_id"]): r["rank"]
+        for r in bm25f_topk(spark, SF0001).collect()
+        if r["rank"] <= SERVE_K
+    }
+    assert {(r["query_id"], r["doc_id"]) for r in rows} == set(top)
+    docs = {d["doc_id"]: _toks(d["text"]) for d in _docs(SF0001)}
+    hit = 0
+    for r in rows:
+        tok = docs[r["doc_id"]]
+        terms = set(BM25F_QUERIES[r["query_id"]])
+        if r["anchor_only"]:
+            # anchor-only result: no body term anywhere, lead shown
+            assert not terms & set(tok)
+            assert r["snippet"] == " ".join(tok[: 2 * SNIP_CTX + 1])
+        else:
+            hit += 1
+            fp = next(i for i, t in enumerate(tok) if t in terms)
+            lo = max(0, fp - SNIP_CTX)
+            assert r["snippet"] == " ".join(tok[lo : fp + 1 + SNIP_CTX])
+            assert terms & set(r["snippet"].split())
+    # both serving paths exercised on shipped data
+    assert hit and hit < len(rows)
