@@ -293,6 +293,7 @@ HEADLINE = [
     "effective_diameter",
     "pagerank_warm_start",
     "search_serve",
+    "ndcg_eval",
 ]
 
 

@@ -77,6 +77,7 @@ QUERIES = [
     "effective_diameter",
     "pagerank_warm_start",
     "search_serve",
+    "ndcg_eval",
 ]
 
 

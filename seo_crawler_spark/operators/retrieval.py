@@ -33,6 +33,8 @@ integer ratios. Ties break on doc_id in both phases and both engines.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -818,4 +820,188 @@ FROM ranked r
 LEFT JOIN fh ON r.query_id = fh.query_id AND r.doc_id = fh.doc_id
 JOIN tk ON r.doc_id = tk.doc_id
 ORDER BY r.query_id, r.rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# nDCG@k evaluation of the ranking against containment qrels
+# ---------------------------------------------------------------------------
+
+NDCG_K = BM25_TOPK
+# integer DCG weights: W[r] = round(1e6 / log2(r+1)) — precomputed so
+# neither engine evaluates a log at query time (the sketches.py
+# ln-table discipline); both engines consume the same literals
+NDCG_W = [round(1_000_000 / math.log2(r + 1)) for r in range(1, NDCG_K + 1)]
+
+
+def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the BM25F ranking against DETERMINISTIC containment
+    qrels (rel 2 = ALL query terms present across body ∪ inbound
+    anchors, rel 1 = any term present, 0 otherwise) — the offline ranking-quality
+    readout (Järvelin & Kekäläinen 2002) a search pipeline runs before
+    shipping a ranker change; pairs with rank_correlation (ranker
+    agreement) and classifier_pr_auc (filter quality) to complete the
+    evaluation family.
+
+    Exactness: DCG weights are precomputed integer literals (no log at
+    query time), per-rank gains are exact int64, and IDCG needs NO sort
+    — with two relevance grades it is a closed form of the two counts
+    (n₂ twos fill ranks 1..min(k,n₂), ones fill the rest), so the ideal
+    ranking never materializes. One broadcast-probed containment agg +
+    the registered bm25f ranking; the final ndcg is the one same-int
+    division.
+    """
+    docs = load(spark, "documents", sf_dir)
+    n_docs = docs.count()
+    from .graph import _ANCHOR_VOCAB, _edges
+
+    q = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25F_QUERIES.items() for t in ts],
+        "query_id int, term string",
+    )
+    qsize = {qid: len(ts) for qid, ts in BM25F_QUERIES.items()}
+    qs = spark.createDataFrame(
+        list(qsize.items()), "query_id int, n_terms int"
+    )
+    body = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens(F.col("text")))).alias("term"),
+    )
+    v = len(_ANCHOR_VOCAB)
+    e = _edges(docs.select("doc_id"), n_docs)
+    anchor = F.element_at(
+        F.array(*[F.lit(a) for a in _ANCHOR_VOCAB]),
+        (F.pmod(F.col("src") + F.col("dst"), F.lit(v)) + 1).cast("int"),
+    )
+    anch = e.select(
+        F.col("dst").alias("doc_id"),
+        F.explode(F.split(anchor, " ")).alias("term"),
+    )
+    pres = body.unionByName(anch).distinct()
+    rel = (
+        pres.join(F.broadcast(q), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count_distinct("term").alias("nm"))
+        .join(F.broadcast(qs), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.when(F.col("nm") == F.col("n_terms"), F.lit(2))
+            .otherwise(F.lit(1))
+            .alias("rel"),
+        )
+        .localCheckpoint(eager=True)  # feeds both the DCG join and IDCG counts
+    )
+    warr = F.array(*[F.lit(w).cast("long") for w in NDCG_W])
+    dcg = (
+        bm25f_topk(spark, sf_dir)
+        .join(rel, ["query_id", "doc_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.coalesce("rel", F.lit(0)).cast("long")
+                * F.element_at(warr, F.col("rank"))
+            ).alias("idcg_num")
+        )
+        .withColumnRenamed("idcg_num", "dcg_x")
+    )
+    counts = rel.groupBy("query_id").agg(
+        F.sum((F.col("rel") == 2).cast("long")).alias("n2"),
+        F.sum((F.col("rel") == 1).cast("long")).alias("n1"),
+    )
+    # closed-form IDCG from (n2, n1): prefix sums of the weight table
+    pref = [0]
+    for w in NDCG_W:
+        pref.append(pref[-1] + w)
+    parr = F.array(*[F.lit(p).cast("long") for p in pref])  # pref[i] = Σ W[1..i]
+    k = NDCG_K
+    two_fill = F.least(F.col("n2"), F.lit(k))
+    one_fill = F.least(F.col("n1"), F.lit(k) - two_fill)
+    idcg = 2 * F.element_at(parr, (two_fill + 1).cast("int")) + (
+        F.element_at(parr, (two_fill + one_fill + 1).cast("int"))
+        - F.element_at(parr, (two_fill + 1).cast("int"))
+    )
+    return (
+        counts.join(dcg, "query_id")
+        .select(
+            "query_id",
+            "n2",
+            "n1",
+            F.col("dcg_x"),
+            idcg.alias("idcg_x"),
+            F.round(F.col("dcg_x") / idcg, 6).alias("ndcg"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def ndcg_eval_sql() -> str:
+    from .graph import _ANCHOR_VOCAB, _GEN_EXPRS
+
+    tok = TOKENS_SQL.format(c="text")
+    v = len(_ANCHOR_VOCAB)
+    vocab = ", ".join(f"'{a}'" for a in _ANCHOR_VOCAB)
+    gens = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {frag} AS dst FROM documents"
+        for _, frag in _GEN_EXPRS
+    )
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, ts in BM25F_QUERIES.items() for t in ts
+    )
+    qsizes = ", ".join(
+        f"({qid}, {len(ts)})" for qid, ts in BM25F_QUERIES.items()
+    )
+    wvals = ", ".join(f"({r + 1}, {w})" for r, w in enumerate(NDCG_W))
+    pref = [0]
+    for w in NDCG_W:
+        pref.append(pref[-1] + w)
+    pvals = ", ".join(f"({i}, {p})" for i, p in enumerate(pref))
+    k = NDCG_K
+    return f"""
+WITH n AS (SELECT count(*) AS c FROM documents),
+q(query_id, term) AS (VALUES {qvals}),
+qs(query_id, n_terms) AS (VALUES {qsizes}),
+wt(rank, w) AS (VALUES {wvals}),
+pf(i, p) AS (VALUES {pvals}),
+e0 AS ({gens}),
+e AS (SELECT * FROM e0 WHERE src <> dst),
+pres AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(list_distinct({tok})) AS term FROM documents
+    UNION ALL
+    SELECT dst AS doc_id,
+           unnest(string_split(([{vocab}])[((src + dst) % {v}) + 1], ' ')) AS term
+    FROM e)
+),
+relp AS MATERIALIZED (
+  SELECT m.query_id, m.doc_id,
+         CASE WHEN m.nm = qs.n_terms THEN 2 ELSE 1 END AS rel
+  FROM (SELECT q.query_id, p.doc_id, count(DISTINCT p.term) AS nm
+        FROM pres p JOIN q USING (term) GROUP BY q.query_id, p.doc_id) m
+  JOIN qs USING (query_id)
+),
+ranked AS ({bm25f_topk_sql()}),
+dcg AS (
+  SELECT r.query_id,
+         sum(coalesce(x.rel, 0)::BIGINT * wt.w)::BIGINT AS dcg_x
+  FROM ranked r
+  LEFT JOIN relp x ON r.query_id = x.query_id AND r.doc_id = x.doc_id
+  JOIN wt ON wt.rank = r.rank
+  GROUP BY r.query_id
+),
+counts AS (
+  SELECT query_id, sum((rel = 2)::BIGINT) AS n2, sum((rel = 1)::BIGINT) AS n1
+  FROM relp GROUP BY query_id
+),
+idcg AS (
+  SELECT c.query_id, c.n2, c.n1,
+         (2 * p2.p + (p21.p - p2.p))::BIGINT AS idcg_x
+  FROM counts c
+  JOIN pf p2 ON p2.i = least(c.n2, {k})
+  JOIN pf p21 ON p21.i = least(c.n2, {k}) + least(c.n1, {k} - least(c.n2, {k}))
+)
+SELECT i.query_id, i.n2, i.n1, d.dcg_x, i.idcg_x,
+       round(d.dcg_x / i.idcg_x, 6) AS ndcg
+FROM idcg i JOIN dcg d USING (query_id)
+ORDER BY i.query_id
 """

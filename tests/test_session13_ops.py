@@ -881,3 +881,62 @@ def test_search_serve_end_to_end(spark):
             assert terms & set(r["snippet"].split())
     # both serving paths exercised on shipped data
     assert hit and hit < len(rows)
+
+
+def test_ndcg_eval_matches_python_reference(spark):
+    from seo_crawler_spark.operators.retrieval import (
+        BM25F_QUERIES,
+        NDCG_K,
+        NDCG_W,
+        ndcg_eval,
+    )
+    from seo_crawler_spark.operators.graph import _ANCHOR_VOCAB
+
+    docs = _docs(SF0001)
+    n = len(docs)
+    pres = defaultdict(set)  # doc -> terms (body ∪ inbound anchors)
+    for d in docs:
+        pres[d["doc_id"]].update(_toks(d["text"]))
+    v = len(_ANCHOR_VOCAB)
+    for d in range(n):
+        for dst in ((d * d + 1) % n, d % 37, (d * 13 + 3) % n):
+            if dst != d:
+                pres[dst].update(_ANCHOR_VOCAB[(d + dst) % v].split(" "))
+    ref_rel = {}
+    for qid, terms in BM25F_QUERIES.items():
+        for doc, ts in pres.items():
+            m = len(set(terms) & ts)
+            if m:
+                ref_rel[(qid, doc)] = 2 if m == len(terms) else 1
+    # dcg from the (independently python-verified) bm25f reference
+    ranked = _bm25f_reference(docs)
+    rows = {r["query_id"]: r for r in ndcg_eval(spark, SF0001).collect()}
+    pref = [0]
+    for w in NDCG_W:
+        pref.append(pref[-1] + w)
+    for qid in BM25F_QUERIES:
+        n2 = sum(
+            1 for (q, _), r in ref_rel.items() if q == qid and r == 2
+        )
+        n1 = sum(
+            1 for (q, _), r in ref_rel.items() if q == qid and r == 1
+        )
+        dcg = sum(
+            ref_rel.get((qid, d), 0) * NDCG_W[rank - 1]
+            for rank, d, _ in ranked[qid]
+        )
+        tf = min(n2, NDCG_K)
+        of = min(n1, NDCG_K - tf)
+        idcg = 2 * pref[tf] + (pref[tf + of] - pref[tf])
+        r = rows[qid]
+        assert (r["n2"], r["n1"], r["dcg_x"], r["idcg_x"]) == (
+            n2,
+            n1,
+            dcg,
+            idcg,
+        )
+        assert r["ndcg"] == round(dcg / idcg, 6)
+    # discriminative on shipped data: not every query is perfect, and
+    # nothing collapses
+    vals = [r["ndcg"] for r in rows.values()]
+    assert any(x < 1.0 for x in vals) and all(x > 0.9 for x in vals)
