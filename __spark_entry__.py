@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_warm_start": G.pagerank_warm_start,
         "search_serve": RT.search_serve,
         "ndcg_eval": RT.ndcg_eval,
+        "dust_apply": DU.dust_apply,
         # new in round 4 session 12 — must sit inside the 50-row window
         # (displaces analytics_detection / recrawl_schedule /
         # crawl_snapshot_diff — green driver rows in r3, two-scale green
@@ -415,6 +416,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_warm_start": G.pagerank_warm_start_sql(),
         "search_serve": RT.search_serve_sql(),
         "ndcg_eval": RT.ndcg_eval_sql(),
+        "dust_apply": DU.dust_apply_sql(),
         "decontaminate_bm25": RT.decontaminate_bm25_sql(),
         "dsir_select": SA.dsir_select_sql(),
         "stratified_sample": SA.stratified_sample_sql(),

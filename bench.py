@@ -294,6 +294,7 @@ HEADLINE = [
     "pagerank_warm_start",
     "search_serve",
     "ndcg_eval",
+    "dust_apply",
 ]
 
 

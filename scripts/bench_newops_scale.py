@@ -78,6 +78,7 @@ QUERIES = [
     "pagerank_warm_start",
     "search_serve",
     "ndcg_eval",
+    "dust_apply",
 ]
 
 

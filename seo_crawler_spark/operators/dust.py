@@ -206,3 +206,76 @@ SELECT param,
         AND sum(n_urls - 1) >= {DUST_MIN_SUPPORT}) AS safe
 FROM groups GROUP BY param ORDER BY param
 """
+
+
+def dust_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the MINED safe rules — close the mine→apply loop: strip
+    every parameter `dust_param_rules` certified safe from every crawl
+    URL, group aliases under their canonical form, and report per
+    canonical URL how many fetches the rules collapse plus the soundness
+    witness (n_contents must be 1 under safe rules — the rule-safety
+    definition, re-checked on the applied result rather than assumed).
+    This is the canonicalization table a frontier consults before
+    enqueueing (the evidence-driven upgrade of the reference's
+    hard-coded clean_url; functions/urls.py:75 cites it).
+
+    The safe-parameter set is a |params|-row driver constant (the
+    trained-quantizer pattern: a learned rule table IS a model); the
+    apply pass itself is ROW-LOCAL key construction + ONE
+    (canonical-url) aggregate with exact distinct counts — no joins
+    against the rule frame in the hot path."""
+    rules = dust_param_rules(spark, sf_dir).collect()
+    safe = {r["param"] for r in rules if r["safe"]}
+    kept = [p for p in _PARAMS if p not in safe]
+    urls = _urls(load(spark, "documents", sf_dir).select("doc_id", "text"))
+    canon = F.concat(
+        F.col("base"),
+        F.lit("?"),
+        F.concat_ws(
+            "&",
+            *[F.concat(F.lit(f"{p}="), F.col(p)) for p in kept],
+        ),
+    )
+    return (
+        urls.select(canon.alias("curl"), "url", "content")
+        .groupBy("curl")
+        .agg(
+            F.countDistinct("url").alias("n_aliases"),
+            F.countDistinct("content").alias("n_contents"),
+        )
+        .select(
+            "curl",
+            "n_aliases",
+            "n_contents",
+            (F.col("n_aliases") - 1).alias("saved_fetches"),
+            (F.col("n_contents") == 1).alias("clean"),
+        )
+        .orderBy("curl")
+    )
+
+
+def dust_apply_sql() -> str:
+    rules = dust_param_rules_sql()
+    # the safe set is data-dependent; mirror the driver-constant pattern
+    # with scalar subqueries per parameter (|params| of them)
+    keep_frags = []
+    for p in _PARAMS:
+        keep_frags.append(
+            f"CASE WHEN (SELECT safe FROM rules WHERE param = '{p}') "
+            f"THEN NULL ELSE '{p}=' || {p} END"
+        )
+    return f"""
+WITH u2 AS MATERIALIZED ({_URLS_SQL}),
+rules AS MATERIALIZED ({rules}),
+canon AS (
+  SELECT base || '?' || concat_ws('&', {', '.join(keep_frags)}) AS curl,
+         url, content
+  FROM u2
+)
+SELECT curl,
+       count(DISTINCT url) AS n_aliases,
+       count(DISTINCT content) AS n_contents,
+       (count(DISTINCT url) - 1)::BIGINT AS saved_fetches,
+       count(DISTINCT content) = 1 AS clean
+FROM canon GROUP BY curl ORDER BY curl
+"""

@@ -940,3 +940,26 @@ def test_ndcg_eval_matches_python_reference(spark):
     # nothing collapses
     vals = [r["ndcg"] for r in rows.values()]
     assert any(x < 1.0 for x in vals) and all(x > 0.9 for x in vals)
+
+
+def test_dust_apply_collapses_safe_aliases_cleanly(spark):
+    from seo_crawler_spark.operators.dust import (
+        DUST_VARIANTS,
+        dust_apply,
+        dust_param_rules,
+    )
+
+    rules = {r["param"]: r for r in dust_param_rules(spark, SF0001).collect()}
+    safe = {p for p, r in rules.items() if r["safe"]}
+    assert safe == {"ref", "sess"}  # the synthesized alias scheme
+    rows = dust_apply(spark, SF0001).collect()
+    n_docs = len(_docs(SF0001))
+    # every canonical group is content-clean (the safety re-check), the
+    # variants collapse fully (3 aliases -> 1 canonical per doc), and
+    # the unsafe id param kept docs separate
+    assert all(r["clean"] for r in rows)
+    assert len(rows) == n_docs
+    assert all(r["n_aliases"] == DUST_VARIANTS for r in rows)
+    assert sum(r["saved_fetches"] for r in rows) == n_docs * (
+        DUST_VARIANTS - 1
+    )
