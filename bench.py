@@ -295,6 +295,7 @@ HEADLINE = [
     "search_serve",
     "ndcg_eval",
     "dust_apply",
+    "salsa_scores",
 ]
 
 

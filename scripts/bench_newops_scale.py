@@ -79,6 +79,7 @@ QUERIES = [
     "search_serve",
     "ndcg_eval",
     "dust_apply",
+    "salsa_scores",
 ]
 
 
