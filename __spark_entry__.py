@@ -22,6 +22,7 @@ from seo_crawler_spark.operators import linalg as LA
 from seo_crawler_spark.operators import multimodal as MM
 from seo_crawler_spark.operators import retrieval as RT
 from seo_crawler_spark.operators import sampling as SA
+from seo_crawler_spark.operators import sharding as SH
 from seo_crawler_spark.operators import simsearch as S
 from seo_crawler_spark.operators import sketches as SK
 from seo_crawler_spark.operators import temporal as TP
@@ -101,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # artifacts and judge-verifiable via scripts/driver_sim.py)
         # new in round 4 session 14 — same window discipline
         "salsa_scores": G.salsa_scores,
+        "shard_balance_audit": SH.shard_balance_audit,
         "phrase_search": RT.phrase_search,
         "boilerplate_strip": CS.boilerplate_strip,
         "hyperball_centrality": G.hyperball_centrality,
@@ -416,6 +418,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_correlation": G.rank_correlation_sql(),
         "effective_diameter": G.effective_diameter_sql(),
         "salsa_scores": G.salsa_sql(),
+        "shard_balance_audit": SH.shard_balance_sql(),
         "pagerank_warm_start": G.pagerank_warm_start_sql(),
         "search_serve": RT.search_serve_sql(),
         "ndcg_eval": RT.ndcg_eval_sql(),

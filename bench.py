@@ -296,6 +296,7 @@ HEADLINE = [
     "ndcg_eval",
     "dust_apply",
     "salsa_scores",
+    "shard_balance_audit",
 ]
 
 

@@ -80,6 +80,7 @@ QUERIES = [
     "ndcg_eval",
     "dust_apply",
     "salsa_scores",
+    "shard_balance_audit",
 ]
 
 

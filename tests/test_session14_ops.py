@@ -88,3 +88,80 @@ def test_salsa_mass_conserved_and_degree_proportional(spark):
     top10 = sorted(rows.values(), key=lambda r: r["rnk"])[:10]
     med_indeg = sorted(indeg.get(i, 0) for i in ids)[n // 2]
     assert all(indeg[r["doc_id"]] > 3 * med_indeg for r in top10)
+
+
+# ---------------------------------------------------------------------------
+# shard_balance_audit
+# ---------------------------------------------------------------------------
+
+
+def _md5int(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_shard_balance_matches_python_reference(spark):
+    from seo_crawler_spark.operators.sharding import (
+        N_SHARDS,
+        SHARD_SALT,
+        shard_balance_audit,
+    )
+
+    t = pq.read_table(
+        f"{SF0001}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    ).to_pylist()
+    agg = defaultdict(lambda: [0, 0, set()])
+    for d in t:
+        hd = _md5int(f"shard:{d['doc_id']}")
+        keys = {
+            "doc_hash": hd % N_SHARDS,
+            "host": _md5int(f"shard:{d['source']}") % N_SHARDS,
+            "host_salted": _md5int(
+                f"shard:{d['source']}:{hd % SHARD_SALT}"
+            )
+            % N_SHARDS,
+        }
+        for strat, sh in keys.items():
+            a = agg[(strat, sh)]
+            a[0] += 1
+            a[1] += d["n_chars"]
+            a[2].add(d["source"])
+    rows = shard_balance_audit(spark, SF0001).collect()
+    assert len(rows) == len(agg)
+    tot_docs = len(t)
+    for r in rows:
+        nd, nb, hosts = agg[(r["strategy"], r["shard"])]
+        assert (r["n_docs"], r["n_bytes"], r["n_hosts"]) == (
+            nd,
+            nb,
+            len(hosts),
+        )
+        assert r["load_pm"] == nd * N_SHARDS * 1000 // tot_docs
+
+
+def test_shard_balance_tradeoff_is_visible(spark):
+    from seo_crawler_spark.operators.sharding import (
+        SHARD_SALT,
+        shard_balance_audit,
+    )
+
+    rows = shard_balance_audit(spark, SF0001).collect()
+    by = defaultdict(list)
+    for r in rows:
+        by[r["strategy"]].append(r)
+    max_load = {s: max(r["load_pm"] for r in v) for s, v in by.items()}
+    # host placement runs hot; salting recovers most of the gap
+    assert max_load["host"] >= 1500
+    assert max_load["doc_hash"] <= 1300
+    assert max_load["host_salted"] < max_load["host"]
+    # locality: host keeps each shard to a few hosts, doc_hash scatters
+    # all 20 hosts to every shard, salted sits between
+    max_hosts = {s: max(r["n_hosts"] for r in v) for s, v in by.items()}
+    assert max_hosts["doc_hash"] == 20
+    assert max_hosts["host"] <= 6
+    # each host touches at most SHARD_SALT shards under salting: total
+    # (shard, host) incidences across salted rows is bounded
+    salted_incidence = sum(r["n_hosts"] for r in by["host_salted"])
+    assert salted_incidence <= 20 * SHARD_SALT
