@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in round 4 session 14 — same window discipline
         "salsa_scores": G.salsa_scores,
         "shard_balance_audit": SH.shard_balance_audit,
+        "linkpred_resource_alloc": G.linkpred_resource_alloc,
         "phrase_search": RT.phrase_search,
         "boilerplate_strip": CS.boilerplate_strip,
         "hyperball_centrality": G.hyperball_centrality,
@@ -419,6 +420,7 @@ def oracle_sql() -> dict[str, str]:
         "effective_diameter": G.effective_diameter_sql(),
         "salsa_scores": G.salsa_sql(),
         "shard_balance_audit": SH.shard_balance_sql(),
+        "linkpred_resource_alloc": G.linkpred_sql(),
         "pagerank_warm_start": G.pagerank_warm_start_sql(),
         "search_serve": RT.search_serve_sql(),
         "ndcg_eval": RT.ndcg_eval_sql(),

@@ -297,6 +297,7 @@ HEADLINE = [
     "dust_apply",
     "salsa_scores",
     "shard_balance_audit",
+    "linkpred_resource_alloc",
 ]
 
 

@@ -81,6 +81,7 @@ QUERIES = [
     "dust_apply",
     "salsa_scores",
     "shard_balance_audit",
+    "linkpred_resource_alloc",
 ]
 
 

@@ -165,3 +165,59 @@ def test_shard_balance_tradeoff_is_visible(spark):
     # (shard, host) incidences across salted rows is bounded
     salted_incidence = sum(r["n_hosts"] for r in by["host_salted"])
     assert salted_incidence <= 20 * SHARD_SALT
+
+
+# ---------------------------------------------------------------------------
+# linkpred_resource_alloc
+# ---------------------------------------------------------------------------
+
+
+def _und_graph(ids):
+    und = defaultdict(set)
+    for s, d in _gen_edges(ids):
+        und[s].add(d)
+        und[d].add(s)
+    return und
+
+
+def _ra_reference(ids, cap, k):
+    und = _und_graph(ids)
+    deg = {z: len(nb) for z, nb in und.items()}
+    score = defaultdict(int)
+    common = defaultdict(int)
+    for z, nb in und.items():
+        if deg[z] > cap:
+            continue
+        nb = sorted(nb)
+        for i, u in enumerate(nb):
+            for v in nb[i + 1 :]:
+                score[(u, v)] += SCALE // deg[z]
+                common[(u, v)] += 1
+    rows = [
+        (u, v, s, common[(u, v)])
+        for (u, v), s in score.items()
+        if v not in und[u]
+    ]
+    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+    return rows[:k]
+
+
+def test_linkpred_matches_python_reference(spark):
+    from seo_crawler_spark.operators.graph import (
+        RA_MAX_DEG,
+        RA_TOPK,
+        linkpred_resource_alloc,
+    )
+
+    ids = _doc_ids(SF0001)
+    # the cap is INACTIVE at this scale — tests pin exact RA
+    und = _und_graph(ids)
+    assert max(len(nb) for nb in und.values()) <= RA_MAX_DEG
+    ref = _ra_reference(ids, RA_MAX_DEG, RA_TOPK)
+    rows = linkpred_resource_alloc(spark, SF0001).collect()
+    got = [(r["u"], r["v"], r["ra_score"], r["n_common"]) for r in rows]
+    assert got == ref
+    # every prediction is a genuine non-edge with ≥1 common neighbor
+    for u, v, s, c in got:
+        assert v not in und[u] and c >= 1 and s > 0
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
