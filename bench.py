@@ -298,6 +298,7 @@ HEADLINE = [
     "salsa_scores",
     "shard_balance_audit",
     "linkpred_resource_alloc",
+    "bowtie_structure",
 ]
 
 

@@ -82,6 +82,7 @@ QUERIES = [
     "salsa_scores",
     "shard_balance_audit",
     "linkpred_resource_alloc",
+    "bowtie_structure",
 ]
 
 

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.text import MD5INT_SQL, md5int
 from ..sources.tables import load
 
 SCALE = 1_000_000
@@ -2329,4 +2330,145 @@ top AS (
 SELECT u, v, ra_score, n_common,
        row_number() OVER (ORDER BY ra_score DESC, u ASC, v ASC) AS rnk
 FROM top ORDER BY rnk
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bow-tie web structure (Broder et al., WWW 2000)
+# ---------------------------------------------------------------------------
+
+BT_HOPS = 8
+BT_DEAD_MOD = 10  # pages with md5 % BT_DEAD_MOD == BT_DEAD_RES yield no out-links
+BT_DEAD_RES = 7
+
+
+def bowtie_structure(
+    spark: SparkSession, sf_dir: str, max_hops: int = BT_HOPS
+) -> DataFrame:
+    """Broder bow-tie classification (Broder et al. 2000, "Graph
+    structure in the Web"): every page lands in CORE (reaches AND is
+    reached by the central component), IN (feeds the core but is not
+    reached back), OUT (reached from the core, never returns), or
+    TENDRIL (neither) — the macro-structure readout that tells a
+    crawler where its seeds sit (seeds deep in OUT never discover IN)
+    and how much of the web a core-seeded crawl can ever cover.
+
+    Crawl-reality edge model: pages whose md5 lands in the
+    BT_DEAD_RES class (~10%) contribute NO out-links — fetch
+    failures, media documents, robots-blocked pages — exactly the
+    dead-end mass a real crawl has and the reason OUT/TENDRIL exist
+    at all (an out-degree-3-everywhere generator graph has no sinks
+    and collapses to CORE+IN; measured before this model was chosen).
+    Both engines derive the identical dead set from md5, so the graph
+    is bit-identical cross-engine.
+
+    The central component is approximated by bounded forward/backward
+    BFS from the max-indegree pivot (ties → smallest id) — the
+    standard bounded probe; CORE here = {reaches pivot ∧ reached by
+    pivot within BT_HOPS}, a horizon-bounded SCC estimate like
+    kcore's bounded peel, documented rather than hidden. The pivot is
+    a 1-ROW FRAME seeding the BFS (orderBy+limit — no driver
+    collect). Both BFS directions are delta-frontier loops
+    (seed_distance_bfs discipline: per hop, join only the new
+    frontier, anti-join visited, checkpoint — O(reachable), not
+    O(V·hops))."""
+    docs = load(spark, "documents", sf_dir).select("doc_id")
+    n = docs.count()
+    dead = F.pmod(
+        md5int(F.concat(F.lit("dead:"), F.col("src").cast("string"))),
+        F.lit(BT_DEAD_MOD),
+    ) == F.lit(BT_DEAD_RES)
+    e = _edges(docs, n).filter(~dead).localCheckpoint(eager=True)
+    pivot = (
+        e.groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("dst"))
+        .limit(1)
+        .select(F.col("dst").alias("doc_id"))
+    )
+
+    def _bfs(src_col: str, dst_col: str) -> DataFrame:
+        visited = pivot.select("doc_id", F.lit(0).alias("dist"))
+        frontier = visited.select("doc_id")
+        for hop in range(1, max_hops + 1):
+            nxt = (
+                frontier.join(e, frontier.doc_id == e[src_col])
+                .select(F.col(dst_col).alias("doc_id"))
+                .distinct()
+                .join(visited.select("doc_id"), "doc_id", "left_anti")
+                .select("doc_id", F.lit(hop).alias("dist"))
+                .localCheckpoint(eager=True)
+            )
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt.select("doc_id")
+        return visited
+
+    fwd = _bfs("src", "dst").withColumnRenamed("dist", "fwd_dist")
+    bwd = _bfs("dst", "src").withColumnRenamed("dist", "bwd_dist")
+    out = (
+        docs.join(fwd, "doc_id", "left")
+        .join(bwd, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("fwd_dist", F.lit(-1)).cast("int").alias("fwd_dist"),
+            F.coalesce("bwd_dist", F.lit(-1)).cast("int").alias("bwd_dist"),
+        )
+        .withColumn(
+            "cls",
+            F.when(
+                (F.col("fwd_dist") >= 0) & (F.col("bwd_dist") >= 0), "CORE"
+            )
+            .when(F.col("fwd_dist") >= 0, "OUT")
+            .when(F.col("bwd_dist") >= 0, "IN")
+            .otherwise("TENDRIL"),
+        )
+        .orderBy("doc_id")
+    )
+    return out
+
+
+def bowtie_sql(max_hops: int = BT_HOPS) -> str:
+    gens = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {frag} AS dst FROM documents"
+        for _, frag in _GEN_EXPRS
+    )
+    deadsql = MD5INT_SQL.format(c="'dead:' || CAST(src AS VARCHAR)")
+
+    def steps(tag: str, src: str, dst: str) -> list[str]:
+        out = []
+        prev = f"{tag}0"
+        for k in range(1, max_hops + 1):
+            out.append(
+                f"{tag}{k} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL "
+                f"SELECT f.doc_id, {k} AS dist FROM ("
+                f"SELECT DISTINCT e.{dst} AS doc_id FROM e "
+                f"JOIN {prev} p ON e.{src} = p.doc_id WHERE p.dist = {k - 1}"
+                f") f WHERE f.doc_id NOT IN (SELECT doc_id FROM {prev}))"
+            )
+            prev = f"{tag}{k}"
+        return out
+
+    return f"""
+WITH n AS (SELECT count(*) AS c FROM documents),
+e0 AS ({gens}),
+e AS MATERIALIZED (
+  SELECT * FROM e0
+  WHERE src <> dst AND {deadsql} % {BT_DEAD_MOD} <> {BT_DEAD_RES}),
+piv AS (SELECT dst AS doc_id FROM (
+  SELECT dst, count(*) AS c FROM e GROUP BY dst
+  ORDER BY c DESC, dst ASC LIMIT 1)),
+f0 AS (SELECT doc_id, 0 AS dist FROM piv),
+b0 AS (SELECT doc_id, 0 AS dist FROM piv),
+{', '.join(steps('f', 'src', 'dst') + steps('b', 'dst', 'src'))}
+SELECT d.doc_id,
+       coalesce(f.dist, -1)::INT AS fwd_dist,
+       coalesce(b.dist, -1)::INT AS bwd_dist,
+       CASE WHEN f.dist IS NOT NULL AND b.dist IS NOT NULL THEN 'CORE'
+            WHEN f.dist IS NOT NULL THEN 'OUT'
+            WHEN b.dist IS NOT NULL THEN 'IN'
+            ELSE 'TENDRIL' END AS cls
+FROM documents d
+LEFT JOIN f{max_hops} f ON d.doc_id = f.doc_id
+LEFT JOIN b{max_hops} b ON d.doc_id = b.doc_id
+ORDER BY d.doc_id
 """

@@ -221,3 +221,76 @@ def test_linkpred_matches_python_reference(spark):
     for u, v, s, c in got:
         assert v not in und[u] and c >= 1 and s > 0
     assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+
+
+# ---------------------------------------------------------------------------
+# bowtie_structure
+# ---------------------------------------------------------------------------
+
+
+def _bowtie_reference(ids, max_hops):
+    from collections import deque
+
+    n = len(ids)
+    dead = {
+        i for i in ids if _md5int(f"dead:{i}") % 10 == 7
+    }
+    fwd, bwd, indeg = defaultdict(list), defaultdict(list), defaultdict(int)
+    for s in ids:
+        if s in dead:
+            continue
+        for d in ((s * s + 1) % n, s % 37, (s * 13 + 3) % n):
+            if d != s:
+                fwd[s].append(d)
+                bwd[d].append(s)
+                indeg[d] += 1
+    pivot = min(ids, key=lambda i: (-indeg.get(i, 0), i))
+
+    def bfs(adj):
+        dist = {pivot: 0}
+        q = deque([pivot])
+        while q:
+            u = q.popleft()
+            if dist[u] >= max_hops:
+                continue
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        return dist
+
+    fd, bd = bfs(fwd), bfs(bwd)
+    out = {}
+    for i in ids:
+        f, b = fd.get(i, -1), bd.get(i, -1)
+        cls = (
+            "CORE"
+            if f >= 0 and b >= 0
+            else "OUT"
+            if f >= 0
+            else "IN"
+            if b >= 0
+            else "TENDRIL"
+        )
+        out[i] = (f, b, cls)
+    return out
+
+
+def test_bowtie_matches_python_reference(spark):
+    from seo_crawler_spark.operators.graph import BT_HOPS, bowtie_structure
+
+    ids = _doc_ids(SF0001)
+    ref = _bowtie_reference(ids, BT_HOPS)
+    rows = bowtie_structure(spark, SF0001).collect()
+    assert len(rows) == len(ids)
+    for r in rows:
+        assert (r["fwd_dist"], r["bwd_dist"], r["cls"]) == ref[r["doc_id"]]
+    # all four macro-components are populated — the discriminative
+    # property the dead-end edge model exists to produce
+    classes = {r["cls"] for r in rows}
+    assert classes == {"CORE", "IN", "OUT", "TENDRIL"}
+    # dead-end pages can never sit in CORE or IN-only-via-out-links:
+    # a page with no out-links cannot reach the pivot
+    for r in rows:
+        if _md5int(f"dead:{r['doc_id']}") % 10 == 7:
+            assert r["cls"] in ("OUT", "TENDRIL")
