@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_balance_audit": SH.shard_balance_audit,
         "linkpred_resource_alloc": G.linkpred_resource_alloc,
         "bowtie_structure": G.bowtie_structure,
+        "filter_agreement": CU.filter_agreement,
         "phrase_search": RT.phrase_search,
         "boilerplate_strip": CS.boilerplate_strip,
         "hyperball_centrality": G.hyperball_centrality,
@@ -423,6 +424,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_balance_audit": SH.shard_balance_sql(),
         "linkpred_resource_alloc": G.linkpred_sql(),
         "bowtie_structure": G.bowtie_sql(),
+        "filter_agreement": CU.filter_agreement_sql(),
         "pagerank_warm_start": G.pagerank_warm_start_sql(),
         "search_serve": RT.search_serve_sql(),
         "ndcg_eval": RT.ndcg_eval_sql(),

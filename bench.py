@@ -299,6 +299,7 @@ HEADLINE = [
     "shard_balance_audit",
     "linkpred_resource_alloc",
     "bowtie_structure",
+    "filter_agreement",
 ]
 
 

@@ -83,6 +83,7 @@ QUERIES = [
     "shard_balance_audit",
     "linkpred_resource_alloc",
     "bowtie_structure",
+    "filter_agreement",
 ]
 
 

@@ -867,3 +867,117 @@ SELECT vec_id, label, icos,
          AS is_outlier
 FROM scored ORDER BY vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# filter agreement — per-source Cohen's kappa between quality filters
+# ---------------------------------------------------------------------------
+
+KAPPA_SCALE = 1_000_000
+
+
+def filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Cohen's kappa (Cohen 1960) between the two
+    independent quality filters this pipeline runs: the rule-based
+    Gopher-shaped verdict (quality_filter_verdicts `keep`) and the
+    CCNet-style LM-perplexity filter (lm_perplexity_buckets, keep ⇔
+    bucket ≠ 'tail'). Raw agreement is inflated by class imbalance —
+    two filters that each keep ~80% agree ~68% of the time by chance
+    alone — and kappa subtracts exactly that chance floor PER SOURCE,
+    so the readout names the hosts where heuristic and LM quality
+    disagree (the docs one filter would ship and the other would burn
+    — the first place a curation owner looks before picking which
+    filter gates a training run).
+
+    kappa = (po − pe)/(1 − pe) stated entirely in integers:
+    kappa·10^6 = sign(num)·(|num|·10^6 div den) with
+    num = (n11+n00)·n − k1·p1 − k0·p0, den = n² − k1·p1 − k0·p0
+    (k/p = per-filter keep/drop marginals). The sign·abs-div idiom
+    keeps Spark `div` ≡ DuckDB `//` on the sources whose kappa is
+    NEGATIVE (worse than chance — they exist on shipped data and the
+    tests pin one). Degenerate sources (pe = 1) emit NULL, not a fake
+    0. Zero-token docs (NULL bucket) are excluded by both engines.
+
+    Plan shape: both member queries composed as-is (search_serve
+    pattern); one doc_id equi-join, ONE map-side confusion agg keyed
+    by source, kappa row-local on the 20-row aggregate. int64
+    headroom: num·10^6 ≤ n²·10^6 — exact to ~3M docs per source;
+    beyond that, audit on a per-source hash sample (same plan)."""
+    from .textstats import lm_perplexity_buckets
+
+    docs = load(spark, "documents", sf_dir).select("doc_id", "source")
+    a = quality_filter_verdicts(spark, sf_dir).select(
+        "doc_id", F.col("keep").cast("long").alias("ka")
+    )
+    b = (
+        lm_perplexity_buckets(spark, sf_dir)
+        .filter(F.col("bucket").isNotNull())
+        .select("doc_id", (F.col("bucket") != "tail").cast("long").alias("kb"))
+    )
+    j = docs.join(a, "doc_id").join(b, "doc_id")
+    g = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("ka") * F.col("kb")).alias("n11"),
+        F.sum(F.col("ka") * (1 - F.col("kb"))).alias("n10"),
+        F.sum((1 - F.col("ka")) * F.col("kb")).alias("n01"),
+        F.sum((1 - F.col("ka")) * (1 - F.col("kb"))).alias("n00"),
+    )
+    num = (
+        (F.col("n11") + F.col("n00")) * F.col("n")
+        - (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        - (F.col("n00") + F.col("n01")) * (F.col("n00") + F.col("n10"))
+    )
+    den = (
+        F.col("n") * F.col("n")
+        - (F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01"))
+        - (F.col("n00") + F.col("n01")) * (F.col("n00") + F.col("n10"))
+    )
+    return (
+        g.withColumn("__num", num)
+        .withColumn("__den", den)
+        .withColumn(
+            "kappa_ppm",
+            F.when(F.col("__den") == 0, F.lit(None).cast("long")).otherwise(
+                (
+                    F.signum("__num").cast("long")
+                    * F.expr(f"abs(__num * {KAPPA_SCALE}) div __den")
+                ).cast("long")
+            ),
+        )
+        .select("source", "n", "n11", "n10", "n01", "n00", "kappa_ppm")
+        .orderBy("source")
+    )
+
+
+def filter_agreement_sql() -> str:
+    from .textstats import lm_perplexity_buckets_sql
+
+    return f"""
+WITH a AS MATERIALIZED (
+  SELECT doc_id, keep::BIGINT AS ka FROM ({quality_filter_verdicts_sql()})),
+b AS MATERIALIZED (
+  SELECT doc_id, (bucket <> 'tail')::BIGINT AS kb
+  FROM ({lm_perplexity_buckets_sql()}) WHERE bucket IS NOT NULL),
+j AS (
+  SELECT d.source, a.ka, b.kb
+  FROM documents d JOIN a USING (doc_id) JOIN b USING (doc_id)),
+g AS (
+  SELECT source, count(*) AS n,
+         sum(ka * kb)::BIGINT AS n11,
+         sum(ka * (1 - kb))::BIGINT AS n10,
+         sum((1 - ka) * kb)::BIGINT AS n01,
+         sum((1 - ka) * (1 - kb))::BIGINT AS n00
+  FROM j GROUP BY source),
+k AS (
+  SELECT *,
+         (n11 + n00) * n - (n11 + n10) * (n11 + n01)
+           - (n00 + n01) * (n00 + n10) AS num,
+         n * n - (n11 + n10) * (n11 + n01)
+           - (n00 + n01) * (n00 + n10) AS den
+  FROM g)
+SELECT source, n, n11, n10, n01, n00,
+       CASE WHEN den = 0 THEN NULL
+            ELSE ((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+                 * (abs(num * {KAPPA_SCALE}) // den))::BIGINT END AS kappa_ppm
+FROM k ORDER BY source
+"""
