@@ -25,6 +25,7 @@ from seo_crawler_spark.operators import sampling as SA
 from seo_crawler_spark.operators import sharding as SH
 from seo_crawler_spark.operators import simsearch as S
 from seo_crawler_spark.operators import sketches as SK
+from seo_crawler_spark.operators import storage as ST
 from seo_crawler_spark.operators import temporal as TP
 from seo_crawler_spark.operators import textstats as TS
 from seo_crawler_spark.plans import crawl_queries as CQ
@@ -106,6 +107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkpred_resource_alloc": G.linkpred_resource_alloc,
         "bowtie_structure": G.bowtie_structure,
         "filter_agreement": CU.filter_agreement,
+        "storage_layout_audit": ST.storage_layout_audit,
         "phrase_search": RT.phrase_search,
         "boilerplate_strip": CS.boilerplate_strip,
         "hyperball_centrality": G.hyperball_centrality,
@@ -425,6 +427,7 @@ def oracle_sql() -> dict[str, str]:
         "linkpred_resource_alloc": G.linkpred_sql(),
         "bowtie_structure": G.bowtie_sql(),
         "filter_agreement": CU.filter_agreement_sql(),
+        "storage_layout_audit": ST.storage_layout_sql(),
         "pagerank_warm_start": G.pagerank_warm_start_sql(),
         "search_serve": RT.search_serve_sql(),
         "ndcg_eval": RT.ndcg_eval_sql(),

@@ -300,6 +300,7 @@ HEADLINE = [
     "linkpred_resource_alloc",
     "bowtie_structure",
     "filter_agreement",
+    "storage_layout_audit",
 ]
 
 

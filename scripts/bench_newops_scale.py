@@ -84,6 +84,7 @@ QUERIES = [
     "linkpred_resource_alloc",
     "bowtie_structure",
     "filter_agreement",
+    "storage_layout_audit",
 ]
 
 
