@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie_structure": G.bowtie_structure,
         "filter_agreement": CU.filter_agreement,
         "storage_layout_audit": ST.storage_layout_audit,
+        "hll_source_overlap": SK.hll_source_overlap,
         "phrase_search": RT.phrase_search,
         "boilerplate_strip": CS.boilerplate_strip,
         "hyperball_centrality": G.hyperball_centrality,
@@ -428,6 +429,7 @@ def oracle_sql() -> dict[str, str]:
         "bowtie_structure": G.bowtie_sql(),
         "filter_agreement": CU.filter_agreement_sql(),
         "storage_layout_audit": ST.storage_layout_sql(),
+        "hll_source_overlap": SK.hll_source_overlap_sql(),
         "pagerank_warm_start": G.pagerank_warm_start_sql(),
         "search_serve": RT.search_serve_sql(),
         "ndcg_eval": RT.ndcg_eval_sql(),

@@ -301,6 +301,7 @@ HEADLINE = [
     "bowtie_structure",
     "filter_agreement",
     "storage_layout_audit",
+    "hll_source_overlap",
 ]
 
 

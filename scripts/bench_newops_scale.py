@@ -85,6 +85,7 @@ QUERIES = [
     "bowtie_structure",
     "filter_agreement",
     "storage_layout_audit",
+    "hll_source_overlap",
 ]
 
 

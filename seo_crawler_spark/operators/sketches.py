@@ -580,3 +580,202 @@ FROM t GROUP BY term
 HAVING count(*) * {k + 1} > (SELECT c FROM n)
 ORDER BY freq DESC, term
 """
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra — pairwise source overlap via register-max union
+# ---------------------------------------------------------------------------
+
+
+def hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source content overlap from HLL sketches alone — the
+    set-ALGEBRA payoff of keeping mergeable register tables around:
+    union(A,B) is the register-wise max of the two sketches (no rescan
+    of either corpus), and |A∩B| follows by inclusion–exclusion
+    (est_a + est_b − est_union), giving an estimated shingle-Jaccard
+    per source pair. This is how a 100 TB pipeline shortlists
+    mirror/syndication candidates across thousands of sources WITHOUT
+    the quadratic content join — the |sources|²·m register join here
+    is dimension-sized, then mirror_hosts-style exact verification
+    runs only on the shortlisted pairs. (Same two-phase discipline as
+    every banded-LSH family member: cheap candidate stage, exact stage
+    on candidates only.)
+
+    Registers are DENSIFIED (absent register ⇒ rank 0 ⇒ the 2^CAP
+    term, exactly the encoding hll_finalize uses for zeros) so the
+    pair union is a plain `greatest` over an equi-join on register
+    index — every estimate then reuses the module's all-integer
+    estimator (2^30-grid harmonic sum, rational α, LC table), so the
+    DuckDB twin is bit-identical. est_intersect CAN be negative (two
+    13%-error sketches on near-disjoint sets) — it is reported signed
+    rather than clamped, and the exact intersection (posting-style
+    equi-join on shingle, sa < sb) rides along as the audit column the
+    production path would drop."""
+    d = load(spark, "documents", sf_dir)
+    regs = hll_registers(d).localCheckpoint(eager=True)
+    srcs = regs.select("source").distinct()
+    dense = (
+        srcs.select(
+            "source",
+            F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("j"),
+        )
+        .join(regs, ["source", "j"], "left")
+        .select("source", "j", F.coalesce("m", F.lit(0)).alias("m"))
+    )
+
+    def _estimate(grouped: DataFrame, keys: list[str]) -> DataFrame:
+        an, ad = HLL_ALPHA
+        per = grouped.groupBy(*keys).agg(
+            F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).alias("zeros"),
+            F.expr(f"sum(cast(1 as bigint) << ({HLL_CAP} - m))").alias(
+                "isum"
+            ),
+        )
+        calc = per.withColumn(
+            "raw",
+            F.expr(
+                f"(cast({an} as bigint) * {HLL_M * HLL_M}"
+                f" * {1 << HLL_CAP}) div ({ad} * isum)"
+            ),
+        )
+        use_lc = (F.col("raw") <= HLL_LC_LIMIT) & (F.col("zeros") > 0)
+        return calc.select(
+            *keys,
+            F.when(use_lc, F.expr(_lc_case_sql("zeros")))
+            .otherwise(F.col("raw"))
+            .cast("long")
+            .alias("est"),
+        )
+
+    singles = _estimate(dense, ["source"])
+    a = dense.select(
+        F.col("source").alias("src_a"), "j", F.col("m").alias("ma")
+    )
+    b = dense.select(
+        F.col("source").alias("src_b"), "j", F.col("m").alias("mb")
+    )
+    pair_regs = (
+        a.join(b, "j")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a", "src_b", "j", F.greatest("ma", "mb").alias("m")
+        )
+    )
+    unions = _estimate(pair_regs, ["src_a", "src_b"])
+
+    grams = (
+        d.select("source", tokens(F.col("text")).alias("tok"))
+        .select("source", F.explode(shingles(F.col("tok"))).alias("t"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    exact_pairs = (
+        grams.select(F.col("source").alias("src_a"), "t")
+        .join(grams.select(F.col("source").alias("src_b"), "t"), "t")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("exact_intersect"))
+    )
+    ea = singles.select(
+        F.col("source").alias("src_a"), F.col("est").alias("est_a")
+    )
+    eb = singles.select(
+        F.col("source").alias("src_b"), F.col("est").alias("est_b")
+    )
+    return (
+        unions.join(ea, "src_a")
+        .join(eb, "src_b")
+        .join(exact_pairs, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            "est_a",
+            "est_b",
+            F.col("est").alias("est_union"),
+            (F.col("est_a") + F.col("est_b") - F.col("est")).alias(
+                "est_intersect"
+            ),
+            F.coalesce("exact_intersect", F.lit(0)).alias(
+                "exact_intersect"
+            ),
+        )
+        .withColumn(
+            "jacc_est_pm",
+            F.expr(
+                "case when est_union > 0 then"
+                " (case when est_intersect < 0 then -1 else 1 end)"
+                " * (abs(est_intersect * 1000) div est_union)"
+                " else null end"
+            ).cast("long"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def hll_source_overlap_sql() -> str:
+    tok = TOKENS_SQL.format(c="text")
+    sh = shingles_sql("tok")
+    h = MD5INT_SQL.format(c="t")
+    an, ad = HLL_ALPHA
+
+    def est_sql(src_cte: str, keys: str) -> str:
+        return f"""
+  SELECT {keys},
+         (CASE WHEN raw <= {HLL_LC_LIMIT} AND zeros > 0
+               THEN {_lc_case_sql('zeros')}
+               ELSE raw END)::BIGINT AS est
+  FROM (
+    SELECT {keys}, zeros, isum,
+           ({an}::BIGINT * {HLL_M * HLL_M} * {1 << HLL_CAP})
+             // ({ad} * isum) AS raw
+    FROM (
+      SELECT {keys},
+             sum(CASE WHEN m = 0 THEN 1 ELSE 0 END)::BIGINT AS zeros,
+             sum(1::BIGINT << ({HLL_CAP} - m)) AS isum
+      FROM {src_cte} GROUP BY {keys}))"""
+
+    return f"""
+WITH toks AS (SELECT source, {tok} AS tok FROM documents),
+grams0 AS (
+  SELECT source, unnest(CASE WHEN len(tok) >= 3 THEN {sh}
+                        ELSE [] END) AS t
+  FROM toks),
+grams AS MATERIALIZED (SELECT DISTINCT source, t FROM grams0),
+q AS (
+  SELECT source, ({h}) % {HLL_M} AS j,
+         {_rho_sql(f'(({h}) // {HLL_M})')} AS rho
+  FROM grams0),
+regs AS (SELECT source, j, max(rho) AS m FROM q GROUP BY source, j),
+dense AS MATERIALIZED (
+  SELECT s.source, g.j, coalesce(r.m, 0) AS m
+  FROM (SELECT DISTINCT source FROM regs) s
+  CROSS JOIN (SELECT unnest(range({HLL_M})) AS j) g
+  LEFT JOIN regs r ON r.source = s.source AND r.j = g.j),
+singles AS MATERIALIZED ({est_sql('dense', 'source')}),
+pair_regs AS (
+  SELECT a.source AS src_a, b.source AS src_b, a.j,
+         greatest(a.m, b.m) AS m
+  FROM dense a JOIN dense b ON a.j = b.j AND a.source < b.source),
+unions AS ({est_sql('pair_regs', 'src_a, src_b')}),
+exact_pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         count(*) AS exact_intersect
+  FROM grams a JOIN grams b ON a.t = b.t AND a.source < b.source
+  GROUP BY 1, 2),
+joined AS (
+  SELECT u.src_a, u.src_b,
+         ea.est AS est_a, eb.est AS est_b, u.est AS est_union,
+         (ea.est + eb.est - u.est) AS est_intersect,
+         coalesce(x.exact_intersect, 0) AS exact_intersect
+  FROM unions u
+  JOIN singles ea ON ea.source = u.src_a
+  JOIN singles eb ON eb.source = u.src_b
+  LEFT JOIN exact_pairs x
+    ON x.src_a = u.src_a AND x.src_b = u.src_b)
+SELECT *,
+       (CASE WHEN est_union > 0 THEN
+          (CASE WHEN est_intersect < 0 THEN -1 ELSE 1 END)
+          * (abs(est_intersect * 1000) // est_union)
+        ELSE NULL END)::BIGINT AS jacc_est_pm
+FROM joined ORDER BY src_a, src_b
+"""
