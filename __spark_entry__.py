@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_agreement": CU.filter_agreement,
         "storage_layout_audit": ST.storage_layout_audit,
         "hll_source_overlap": SK.hll_source_overlap,
+        "random_walks": G.random_walks,
         "phrase_search": RT.phrase_search,
         "boilerplate_strip": CS.boilerplate_strip,
         "hyperball_centrality": G.hyperball_centrality,
@@ -430,6 +431,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_agreement": CU.filter_agreement_sql(),
         "storage_layout_audit": ST.storage_layout_sql(),
         "hll_source_overlap": SK.hll_source_overlap_sql(),
+        "random_walks": G.random_walks_sql(),
         "pagerank_warm_start": G.pagerank_warm_start_sql(),
         "search_serve": RT.search_serve_sql(),
         "ndcg_eval": RT.ndcg_eval_sql(),

@@ -302,6 +302,7 @@ HEADLINE = [
     "filter_agreement",
     "storage_layout_audit",
     "hll_source_overlap",
+    "random_walks",
 ]
 
 

@@ -86,6 +86,7 @@ QUERIES = [
     "filter_agreement",
     "storage_layout_audit",
     "hll_source_overlap",
+    "random_walks",
 ]
 
 

@@ -2472,3 +2472,121 @@ LEFT JOIN f{max_hops} f ON d.doc_id = f.doc_id
 LEFT JOIN b{max_hops} b ON d.doc_id = b.doc_id
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Random-walk corpus generation (DeepWalk / node2vec preprocessing)
+# ---------------------------------------------------------------------------
+
+WALK_LEN = 6
+
+
+def random_walks(
+    spark: SparkSession, sf_dir: str, length: int = WALK_LEN
+) -> DataFrame:
+    """Generate one fixed-length random walk per node over the link
+    graph — the corpus-construction step of DeepWalk (Perozzi et al.
+    KDD 2014) / node2vec (Grover & Leskovec KDD 2016): walks are the
+    "sentences" a skip-gram embedding trains on, and at web scale the
+    walk generation IS the heavy job (the embedding step consumes its
+    output). One walk per node per epoch here; more epochs = more salt
+    values, same plan.
+
+    Determinism (the repo's randomness discipline, cf. dsir's
+    md5-Gumbel draw): the step-t choice out of cur is the out-edge
+    whose per-source rank equals md5('walk:'‖start‖t‖cur) mod
+    outdeg(cur) — a hash-indexed uniform draw both engines compute
+    identically, salted by (start, t) so walks neither correlate
+    across starts nor cycle trivially. Dead-end nodes absorb (the
+    walk stays put) via the left-join coalesce — no row is dropped,
+    every output walk has exactly `length` steps.
+
+    Plan shape: the ranked edge table (row_number per src — a
+    partitioned window, bounded by out-degree) builds once and
+    checkpoints; each step is ONE equi-join of the 1-row-per-walk
+    frontier against it (the rank condition rides in the join), so a
+    length-L walk epoch is L joins over a frame that never exceeds
+    #walks rows — O(walks·L) total work, embarrassingly partitioned
+    on start. Per-step checkpoints keep iteration t from replanning
+    t-1 (the pagerank loop lesson)."""
+    docs = load(spark, "documents", sf_dir).select("doc_id")
+    n = docs.count()
+    e = _edges(docs, n)
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("src").orderBy("dst")
+    er = (
+        e.distinct()
+        .withColumn("rk", F.row_number().over(wr) - 1)
+        .withColumn(
+            "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    cur = docs.select(
+        F.col("doc_id").alias("start"),
+        F.col("doc_id").alias("cur"),
+        F.col("doc_id").cast("string").alias("path"),
+    )
+    for t in range(1, length + 1):
+        h = md5int(
+            F.concat(
+                F.lit("walk:"),
+                F.col("start").cast("string"),
+                F.lit(":"),
+                F.lit(str(t)),
+                F.lit(":"),
+                F.col("cur").cast("string"),
+            )
+        )
+        nxt = cur.join(
+            er,
+            (cur.cur == er.src) & (er.rk == h % er.outdeg),
+            "left",
+        ).select(
+            "start",
+            F.coalesce("dst", "cur").alias("cur"),
+            F.concat(
+                "path", F.lit("->"), F.coalesce("dst", "cur").cast("string")
+            ).alias("path"),
+        )
+        cur = nxt.localCheckpoint(eager=True)
+    return cur.select(
+        "start", F.col("cur").alias("end_node"), "path"
+    ).orderBy("start")
+
+
+def random_walks_sql(length: int = WALK_LEN) -> str:
+    gens = " UNION ALL ".join(
+        f"SELECT doc_id AS src, {frag} AS dst FROM documents"
+        for _, frag in _GEN_EXPRS
+    )
+    steps = []
+    prev = "w0"
+    for t in range(1, length + 1):
+        h = MD5INT_SQL.format(
+            c=f"'walk:' || CAST(w.start AS VARCHAR) || ':{t}:' "
+            f"|| CAST(w.cur AS VARCHAR)"
+        )
+        steps.append(
+            f"w{t} AS MATERIALIZED (SELECT w.start, "
+            f"coalesce(er.dst, w.cur) AS cur, "
+            f"w.path || '->' || CAST(coalesce(er.dst, w.cur) AS VARCHAR) AS path "
+            f"FROM {prev} w LEFT JOIN er "
+            f"ON er.src = w.cur AND er.rk = ({h}) % er.outdeg)"
+        )
+        prev = f"w{t}"
+    return f"""
+WITH n AS (SELECT count(*) AS c FROM documents),
+e0 AS ({gens}),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+er AS MATERIALIZED (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS rk,
+         count(*) OVER (PARTITION BY src) AS outdeg
+  FROM e),
+w0 AS (SELECT doc_id AS start, doc_id AS cur,
+              CAST(doc_id AS VARCHAR) AS path FROM documents),
+{', '.join(steps)}
+SELECT start, cur AS end_node, path FROM {prev} ORDER BY start
+"""

@@ -498,3 +498,42 @@ def test_hll_overlap_matches_python_reference(spark):
         errs.append(abs(estimate(ru) - exact_u) / exact_u)
     errs.sort()
     assert errs[len(errs) // 2] <= 0.26
+
+
+# ---------------------------------------------------------------------------
+# random_walks
+# ---------------------------------------------------------------------------
+
+
+def test_random_walks_match_python_reference(spark):
+    from seo_crawler_spark.operators.graph import WALK_LEN, random_walks
+
+    ids = _doc_ids(SF0001)
+    nbrs = defaultdict(set)
+    for s, d in _gen_edges(ids):
+        nbrs[s].add(d)
+    adj = {s: sorted(v) for s, v in nbrs.items()}
+
+    def walk(start):
+        cur = start
+        path = [start]
+        for t in range(1, WALK_LEN + 1):
+            out = adj.get(cur, [])
+            if out:
+                cur = out[_md5int(f"walk:{start}:{t}:{cur}") % len(out)]
+            path.append(cur)
+        return path
+
+    rows = random_walks(spark, SF0001).collect()
+    assert len(rows) == len(ids)
+    n_moved = 0
+    for r in rows:
+        ref = walk(r["start"])
+        assert r["path"] == "->".join(str(x) for x in ref)
+        assert r["end_node"] == ref[-1]
+        if len(set(ref)) > 1:
+            n_moved += 1
+    # the walk corpus is non-degenerate: virtually every walk moves,
+    # and different starts produce different trajectories
+    assert n_moved >= len(ids) - 5
+    assert len({r["path"] for r in rows}) == len(ids)
