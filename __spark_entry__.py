@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "storage_layout_audit": ST.storage_layout_audit,
         "hll_source_overlap": SK.hll_source_overlap,
         "random_walks": G.random_walks,
+        "walk_skipgram_pairs": G.walk_skipgram_pairs,
         "phrase_search": RT.phrase_search,
         "boilerplate_strip": CS.boilerplate_strip,
         "hyperball_centrality": G.hyperball_centrality,
@@ -432,6 +433,7 @@ def oracle_sql() -> dict[str, str]:
         "storage_layout_audit": ST.storage_layout_sql(),
         "hll_source_overlap": SK.hll_source_overlap_sql(),
         "random_walks": G.random_walks_sql(),
+        "walk_skipgram_pairs": G.walk_skipgram_sql(),
         "pagerank_warm_start": G.pagerank_warm_start_sql(),
         "search_serve": RT.search_serve_sql(),
         "ndcg_eval": RT.ndcg_eval_sql(),

@@ -303,6 +303,7 @@ HEADLINE = [
     "storage_layout_audit",
     "hll_source_overlap",
     "random_walks",
+    "walk_skipgram_pairs",
 ]
 
 

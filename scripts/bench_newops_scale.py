@@ -87,6 +87,7 @@ QUERIES = [
     "storage_layout_audit",
     "hll_source_overlap",
     "random_walks",
+    "walk_skipgram_pairs",
 ]
 
 

@@ -2590,3 +2590,71 @@ w0 AS (SELECT doc_id AS start, doc_id AS cur,
 {', '.join(steps)}
 SELECT start, cur AS end_node, path FROM {prev} ORDER BY start
 """
+
+
+SKIPGRAM_WINDOW = 2
+
+
+def walk_skipgram_pairs(
+    spark: SparkSession, sf_dir: str, window: int = SKIPGRAM_WINDOW
+) -> DataFrame:
+    """Skip-gram (center, context) pair extraction over the walk corpus
+    — the step between random_walks and the embedding trainer: DeepWalk
+    trains word2vec on walk windows, and at scale the pair/count table
+    is what actually feeds the trainer (pair counts ARE the sufficient
+    statistics for the skip-gram objective with negative sampling —
+    Levy & Goldberg 2014 make the #(w,c) co-occurrence table explicit).
+
+    Plan shape: the composed walk frame splits row-locally into
+    (start, pos, node) via posexplode, then pairs form by ONE
+    self-equi-join on the walk id with the |i−j| ≤ window band filter —
+    each walk contributes ≤ (L+1)·2w pairs, so the join output is
+    bounded by walks·L·2w rows regardless of graph shape — and ONE
+    map-side count agg collapses them to the pair table. No
+    corpus-quadratic stage: the band filter rides the walk-id join.
+
+    Output: (center, context, n_pairs) — symmetric pairs counted from
+    both directions, exactly what the reference-free python twin
+    counts."""
+    walks = random_walks(spark, sf_dir)
+    nodes = walks.select(
+        "start",
+        F.posexplode(F.split("path", "->")).alias("pos", "node"),
+    ).select("start", "pos", F.col("node").cast("long").alias("node"))
+    a = nodes.select(
+        "start", F.col("pos").alias("i"), F.col("node").alias("center")
+    )
+    b = nodes.select(
+        "start", F.col("pos").alias("j"), F.col("node").alias("context")
+    )
+    pairs = (
+        a.join(b, "start")
+        .filter(
+            (F.col("i") != F.col("j"))
+            & (F.abs(F.col("i") - F.col("j")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("center", "context")
+    )
+    return pairs
+
+
+def walk_skipgram_sql(window: int = SKIPGRAM_WINDOW) -> str:
+    return f"""
+WITH walks AS MATERIALIZED ({random_walks_sql()}),
+nodes AS (
+  -- equal-length unnests zip in DuckDB: position + value in one pass
+  SELECT start, unnest(range(0, len(l))) AS pos,
+         CAST(unnest(l) AS BIGINT) AS node
+  FROM (SELECT start, string_split(path, '->') AS l FROM walks)),
+pairs AS (
+  SELECT a.node AS center, b.node AS context
+  FROM nodes a JOIN nodes b
+    ON a.start = b.start
+   AND a.pos <> b.pos
+   AND abs(a.pos - b.pos) <= {window})
+SELECT center, context, count(*) AS n_pairs
+FROM pairs GROUP BY center, context
+ORDER BY center, context
+"""

@@ -537,3 +537,50 @@ def test_random_walks_match_python_reference(spark):
     # and different starts produce different trajectories
     assert n_moved >= len(ids) - 5
     assert len({r["path"] for r in rows}) == len(ids)
+
+
+# ---------------------------------------------------------------------------
+# walk_skipgram_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_skipgram_pairs_match_python_reference(spark):
+    from seo_crawler_spark.operators.graph import (
+        SKIPGRAM_WINDOW,
+        WALK_LEN,
+        walk_skipgram_pairs,
+    )
+
+    ids = _doc_ids(SF0001)
+    nbrs = defaultdict(set)
+    for s, d in _gen_edges(ids):
+        nbrs[s].add(d)
+    adj = {s: sorted(v) for s, v in nbrs.items()}
+    ref = defaultdict(int)
+    for start in ids:
+        cur = start
+        path = [start]
+        for t in range(1, WALK_LEN + 1):
+            out = adj.get(cur, [])
+            if out:
+                cur = out[_md5int(f"walk:{start}:{t}:{cur}") % len(out)]
+            path.append(cur)
+        for i, c in enumerate(path):
+            for j in range(
+                max(0, i - SKIPGRAM_WINDOW),
+                min(len(path), i + SKIPGRAM_WINDOW + 1),
+            ):
+                if j != i:
+                    ref[(c, path[j])] += 1
+    rows = walk_skipgram_pairs(spark, SF0001).collect()
+    got = {(r["center"], r["context"]): r["n_pairs"] for r in rows}
+    assert got == dict(ref)
+    # pair table is symmetric (both directions counted) and total mass
+    # equals walks · Σ window sizes
+    assert all(got.get((b, a)) == n for (a, b), n in got.items())
+    per_walk = sum(
+        min(len(range(WALK_LEN + 1)) - 1, i + SKIPGRAM_WINDOW)
+        - max(0, i - SKIPGRAM_WINDOW)
+        for i in range(WALK_LEN + 1)
+    )
+    assert sum(got.values()) == len(ids) * per_walk
