@@ -17,6 +17,7 @@ from seo_crawler_spark.operators import corpus_stats as CS
 from seo_crawler_spark.operators import curation as CU
 from seo_crawler_spark.operators import dedup as D
 from seo_crawler_spark.operators import dust as DU
+from seo_crawler_spark.operators import events_analytics as EA
 from seo_crawler_spark.operators import graph as G
 from seo_crawler_spark.operators import linalg as LA
 from seo_crawler_spark.operators import multimodal as MM
@@ -111,6 +112,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_source_overlap": SK.hll_source_overlap,
         "random_walks": G.random_walks,
         "walk_skipgram_pairs": G.walk_skipgram_pairs,
+        "funnel_analysis": EA.funnel_analysis,
+        "cohort_retention": EA.cohort_retention,
+        "event_transitions": EA.event_transitions,
         "phrase_search": RT.phrase_search,
         "boilerplate_strip": CS.boilerplate_strip,
         "hyperball_centrality": G.hyperball_centrality,
@@ -434,6 +438,9 @@ def oracle_sql() -> dict[str, str]:
         "hll_source_overlap": SK.hll_source_overlap_sql(),
         "random_walks": G.random_walks_sql(),
         "walk_skipgram_pairs": G.walk_skipgram_sql(),
+        "funnel_analysis": EA.funnel_sql(),
+        "cohort_retention": EA.cohort_sql(),
+        "event_transitions": EA.transitions_sql(),
         "pagerank_warm_start": G.pagerank_warm_start_sql(),
         "search_serve": RT.search_serve_sql(),
         "ndcg_eval": RT.ndcg_eval_sql(),

@@ -304,6 +304,9 @@ HEADLINE = [
     "hll_source_overlap",
     "random_walks",
     "walk_skipgram_pairs",
+    "funnel_analysis",
+    "cohort_retention",
+    "event_transitions",
 ]
 
 

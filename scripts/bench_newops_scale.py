@@ -88,6 +88,9 @@ QUERIES = [
     "hll_source_overlap",
     "random_walks",
     "walk_skipgram_pairs",
+    "funnel_analysis",
+    "cohort_retention",
+    "event_transitions",
 ]
 
 
