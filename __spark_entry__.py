@@ -23,6 +23,7 @@ from seo_crawler_spark.operators import linalg as LA
 from seo_crawler_spark.operators import multimodal as MM
 from seo_crawler_spark.operators import retrieval as RT
 from seo_crawler_spark.operators import sampling as SA
+from seo_crawler_spark.operators import scd as SC
 from seo_crawler_spark.operators import sharding as SH
 from seo_crawler_spark.operators import simsearch as S
 from seo_crawler_spark.operators import sketches as SK
@@ -115,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_analysis": EA.funnel_analysis,
         "cohort_retention": EA.cohort_retention,
         "event_transitions": EA.event_transitions,
+        "scd2_history": SC.scd2_history,
         "phrase_search": RT.phrase_search,
         "boilerplate_strip": CS.boilerplate_strip,
         "hyperball_centrality": G.hyperball_centrality,
@@ -441,6 +443,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_analysis": EA.funnel_sql(),
         "cohort_retention": EA.cohort_sql(),
         "event_transitions": EA.transitions_sql(),
+        "scd2_history": SC.scd2_sql(),
         "pagerank_warm_start": G.pagerank_warm_start_sql(),
         "search_serve": RT.search_serve_sql(),
         "ndcg_eval": RT.ndcg_eval_sql(),

@@ -307,6 +307,7 @@ HEADLINE = [
     "funnel_analysis",
     "cohort_retention",
     "event_transitions",
+    "scd2_history",
 ]
 
 

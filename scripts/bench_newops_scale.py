@@ -91,6 +91,7 @@ QUERIES = [
     "funnel_analysis",
     "cohort_retention",
     "event_transitions",
+    "scd2_history",
 ]
 
 

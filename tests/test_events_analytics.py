@@ -126,3 +126,61 @@ def test_transitions_match_python_reference(spark):
     for r in got:
         per_from[r["from_type"]] += r["prob_pm"]
     assert all(995 <= v <= 1000 for v in per_from.values())
+
+
+# ---------------------------------------------------------------------------
+# scd2_history (session-15, same file for the batch)
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_history_matches_python_reference(spark):
+    import hashlib
+
+    from seo_crawler_spark.operators.scd import SCD_UPD_MOD, scd2_history
+
+    def md5s(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    def md5i(s):
+        return int(md5s(s)[:15], 16)
+
+    docs = pq.read_table(
+        f"{SF0001}/documents.parquet", columns=["doc_id", "text"]
+    ).to_pylist()
+    n = len(docs)
+    ref = {}
+    for d in docs:
+        c = md5s(d["text"])
+        hm = md5i(f"chg:{d['doc_id']}") % SCD_UPD_MOD
+        k = d["doc_id"]
+        if hm < 2:
+            nc = md5s(f"batch2:{c}")
+            ref[(k, 1)] = ("update", c, 2, False)
+            ref[(k, 2)] = ("update", nc, None, True)
+        elif hm == 2:
+            ref[(k, 1)] = ("delete", c, 2, False)
+            nk = k + n
+            ref[(nk, 2)] = (
+                "insert", md5s(f"new2:{nk}"), None, True,
+            )
+        else:
+            ref[(k, 1)] = ("unchanged", c, None, True)
+    rows = scd2_history(spark, SF0001).collect()
+    assert len(rows) == len(ref)
+    for r in rows:
+        op, c, vt, cur = ref[(r["doc_id"], r["valid_from"])]
+        assert (r["op"], r["content"], r["valid_to"], r["is_current"]) == (
+            op, c, vt, cur,
+        )
+    # MERGE invariants: exactly one current version per live key; closed
+    # ranges only on update/delete; all four outcomes present
+    cur_by_key = defaultdict(int)
+    ops = set()
+    for r in rows:
+        ops.add(r["op"])
+        if r["is_current"]:
+            cur_by_key[r["doc_id"]] += 1
+    assert ops == {"insert", "update", "delete", "unchanged"}
+    assert all(v == 1 for v in cur_by_key.values())
+    deleted = {r["doc_id"] for r in rows if r["op"] == "delete"}
+    assert deleted and all(k not in cur_by_key for k in deleted)
