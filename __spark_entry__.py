@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": EA.cohort_retention,
         "event_transitions": EA.event_transitions,
         "scd2_history": SC.scd2_history,
+        "bootstrap_ci": SA.bootstrap_ci,
         "phrase_search": RT.phrase_search,
         "boilerplate_strip": CS.boilerplate_strip,
         "hyperball_centrality": G.hyperball_centrality,
@@ -444,6 +445,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": EA.cohort_sql(),
         "event_transitions": EA.transitions_sql(),
         "scd2_history": SC.scd2_sql(),
+        "bootstrap_ci": SA.bootstrap_ci_sql(),
         "pagerank_warm_start": G.pagerank_warm_start_sql(),
         "search_serve": RT.search_serve_sql(),
         "ndcg_eval": RT.ndcg_eval_sql(),

@@ -308,6 +308,7 @@ HEADLINE = [
     "cohort_retention",
     "event_transitions",
     "scd2_history",
+    "bootstrap_ci",
 ]
 
 

@@ -92,6 +92,7 @@ QUERIES = [
     "cohort_retention",
     "event_transitions",
     "scd2_history",
+    "bootstrap_ci",
 ]
 
 

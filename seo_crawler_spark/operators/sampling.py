@@ -396,3 +396,117 @@ FROM documents d JOIN rates r USING (lang)
 WHERE ({h} % 1000) < r.rate_1k
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap CI — distributed uncertainty for corpus metrics
+# ---------------------------------------------------------------------------
+
+BOOT_B = 200                 # bootstrap replicas
+BOOT_U_SCALE = 10_000_000    # uniform-draw grid
+# Poisson(1) CDF on the 1e7 grid (cum. probs × 1e7, k = 0..5; ≥6 capped)
+BOOT_POIS_CDF = (3678794, 7357589, 9196986, 9810118, 9963402, 9994058)
+BOOT_LO_RANK = 5             # 2.5th pct of 200 ranked replica means
+BOOT_HI_RANK = 196           # 97.5th pct
+
+
+def _pois_w(u: str) -> str:
+    """Shared CASE-chain: inverse-CDF of Poisson(1) from a 1e7-grid
+    uniform — identical text evaluated by both engines."""
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(BOOT_POIS_CDF)
+    )
+    return f"(CASE {branches} ELSE 6 END)"
+
+
+def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (the distributed bootstrap — Chamandy et al.,
+    Google 2012) over mean document length: classical resampling needs
+    a global sample-with-replacement per replica (a corpus shuffle per
+    replica); the Poisson trick replaces it with an independent
+    per-(row, replica) Poisson(1) weight, so ALL B replicas compute in
+    one pass — a bounded ×B row-local explode feeding ONE
+    map-side-combined aggregate to B rows. This is how a 100 TB
+    pipeline attaches error bars to its corpus-health metrics (mean
+    doc length, dedup rate, quality-score drift) without B passes.
+
+    Determinism: the Poisson draw is inverse-CDF over an md5 uniform
+    on a 1e7 grid (table literal in both engines — the sketches
+    ln-table discipline applied to e^{-1}); replica means are integer
+    per-mille divisions; the CI bounds are the rank-5 / rank-196
+    order statistics of the 200 replica means (ranked by
+    (mean, replica) so ties are deterministic). Output: all 200
+    ranked replica means with lo/hi markers — the full bootstrap
+    distribution, not just its endpoints."""
+    docs = load(spark, "documents", sf_dir).select("doc_id", "n_chars")
+    reps = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("rep"),
+    )
+    u = (
+        md5int(
+            F.concat(
+                F.lit("bs:"),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("rep").cast("string"),
+            )
+        )
+        % BOOT_U_SCALE
+    )
+    w = reps.withColumn("u", u).select(
+        "rep", "n_chars", F.expr(_pois_w("u")).alias("w")
+    )
+    g = w.groupBy("rep").agg(
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("n_chars")).alias("swx"),
+    )
+    means = g.select(
+        "rep",
+        F.when(
+            F.col("sw") > 0, F.expr("(swx * 1000) div sw")
+        ).alias("mean_x1000"),
+    )
+    from pyspark.sql import Window
+
+    wr = Window.orderBy("mean_x1000", "rep")  # 200-row frame
+    return (
+        means.withColumn("rnk", F.row_number().over(wr))
+        .withColumn(
+            "marker",
+            F.when(F.col("rnk") == BOOT_LO_RANK, "lo")
+            .when(F.col("rnk") == BOOT_HI_RANK, "hi"),
+        )
+        .select("rep", "mean_x1000", "rnk", "marker")
+        .orderBy("rnk")
+    )
+
+
+def bootstrap_ci_sql() -> str:
+    h = MD5INT_SQL.format(
+        c="'bs:' || CAST(doc_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)"
+    )
+    return f"""
+WITH reps AS (
+  SELECT doc_id, n_chars, unnest(range({BOOT_B})) AS rep FROM documents),
+w AS (
+  SELECT rep, n_chars, {_pois_w(f'(({h}) % {BOOT_U_SCALE})')} AS w
+  FROM reps),
+g AS (
+  SELECT rep, sum(w)::BIGINT AS sw,
+         sum(w * n_chars)::BIGINT AS swx
+  FROM w GROUP BY rep),
+means AS (
+  SELECT rep,
+         CASE WHEN sw > 0 THEN (swx * 1000) // sw END AS mean_x1000
+  FROM g),
+ranked AS (
+  SELECT rep, mean_x1000,
+         row_number() OVER (ORDER BY mean_x1000, rep) AS rnk
+  FROM means)
+SELECT rep, mean_x1000, rnk,
+       CASE WHEN rnk = {BOOT_LO_RANK} THEN 'lo'
+            WHEN rnk = {BOOT_HI_RANK} THEN 'hi' END AS marker
+FROM ranked ORDER BY rnk
+"""

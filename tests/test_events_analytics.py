@@ -184,3 +184,59 @@ def test_scd2_history_matches_python_reference(spark):
     assert all(v == 1 for v in cur_by_key.values())
     deleted = {r["doc_id"] for r in rows if r["op"] == "delete"}
     assert deleted and all(k not in cur_by_key for k in deleted)
+
+
+# ---------------------------------------------------------------------------
+# bootstrap_ci
+# ---------------------------------------------------------------------------
+
+
+def test_bootstrap_ci_matches_python_reference(spark):
+    import hashlib
+    import statistics
+
+    from seo_crawler_spark.operators.sampling import (
+        BOOT_B,
+        BOOT_HI_RANK,
+        BOOT_LO_RANK,
+        BOOT_POIS_CDF,
+        BOOT_U_SCALE,
+        bootstrap_ci,
+    )
+
+    def md5i(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    docs = pq.read_table(
+        f"{SF0001}/documents.parquet", columns=["doc_id", "n_chars"]
+    ).to_pylist()
+    means = []
+    for rep in range(BOOT_B):
+        sw = swx = 0
+        for d in docs:
+            u = md5i(f"bs:{d['doc_id']}:{rep}") % BOOT_U_SCALE
+            w = 6
+            for k, c in enumerate(BOOT_POIS_CDF):
+                if u < c:
+                    w = k
+                    break
+            sw += w
+            swx += w * d["n_chars"]
+        means.append((swx * 1000 // sw if sw > 0 else None, rep))
+    means.sort()
+    rows = bootstrap_ci(spark, SF0001).collect()
+    assert len(rows) == BOOT_B
+    for r in rows:
+        m, rep = means[r["rnk"] - 1]
+        assert (r["mean_x1000"], r["rep"]) == (m, rep)
+    # the interval brackets the true mean and has normal-theory width:
+    # sd(mean) ≈ s/√n (Poisson bootstrap inflates slightly); CI half
+    # width within [1, 4]·s/√n of the sample mean
+    lo = next(r["mean_x1000"] for r in rows if r["marker"] == "lo")
+    hi = next(r["mean_x1000"] for r in rows if r["marker"] == "hi")
+    xs = [d["n_chars"] for d in docs]
+    mean = sum(xs) * 1000 // len(xs)
+    assert lo < mean < hi
+    se = statistics.pstdev(xs) / (len(xs) ** 0.5) * 1000
+    half = (hi - lo) / 2
+    assert 1.0 * se <= half <= 4.0 * se
