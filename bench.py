@@ -309,6 +309,7 @@ HEADLINE = [
     "event_transitions",
     "scd2_history",
     "bootstrap_ci",
+    "error_rate_control",
 ]
 
 

@@ -93,6 +93,7 @@ QUERIES = [
     "event_transitions",
     "scd2_history",
     "bootstrap_ci",
+    "error_rate_control",
 ]
 
 

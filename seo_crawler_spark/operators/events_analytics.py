@@ -229,3 +229,126 @@ SELECT from_type, to_type, n,
        (n * 1000) // sum(n) OVER (PARTITION BY from_type) AS prob_pm
 FROM g ORDER BY from_type, to_type
 """
+
+
+# ---------------------------------------------------------------------------
+# EWMA control chart — statistical process control for pipeline health
+# ---------------------------------------------------------------------------
+
+DAY_S = 86_400
+# EWMA λ = 1/4 as the exact geometric weight table (λ(1-λ)^k scaled by
+# 4^(k+1) → integer numerators 1·4^k·3^0? stated directly: w_k numerator
+# = 3^k, denominator 4^(k+1), truncated at EWMA_DEPTH with the tail mass
+# folded into the oldest term so weights sum to exactly 1)
+EWMA_DEPTH = 12
+EWMA_SCALE = 1_000_000
+
+
+def _ewma_weights() -> list[int]:
+    """w_k·1e6 for k = 0..DEPTH-1: λ(1−λ)^k with λ=1/4, tail mass folded
+    into the last term — integers, Σ = EWMA_SCALE exactly."""
+    ws = []
+    acc = 0
+    for k in range(EWMA_DEPTH - 1):
+        w = (EWMA_SCALE * (3**k)) // (4 ** (k + 1))
+        ws.append(w)
+        acc += w
+    ws.append(EWMA_SCALE - acc)
+    return ws
+
+
+def error_rate_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart (Roberts 1959 / NIST e-handbook §6.3.2.4)
+    over the DAILY error-event rate — the statistical-process-control
+    readout a pipeline owner watches: is today's error rate drifting
+    beyond its own smoothed history, or is it binomial noise? A 100 TB
+    ingest emits exactly this per wave (fetch-error rate, parse-error
+    rate); the chart is what separates "page us" from "Poisson".
+
+    The EWMA recursion s_t = λx_t + (1−λ)s_{t−1} is SEQUENTIAL — a
+    per-row loop in the naive form. It unrolls exactly: s_t =
+    Σ_k λ(1−λ)^k x_{t−k}, a fixed-depth weighted window sum with
+    PRECOMPUTED integer weights (λ=1/4 ⇒ numerators 3^k/4^{k+1} on the
+    1e6 grid, tail mass folded so weights sum to exactly 1e6 — the
+    sketches ln-table discipline applied to geometric decay). So the
+    plan is ONE map-side daily aggregate (corpus-scale) + one
+    fixed-depth window over the ~30-row day frame. Control limits are
+    binomial 3σ around the prior-day EWMA, compared in SQUARED integer
+    form (no sqrt): alarm ⇔ n·(x−s)² > 9·s·(1e6−s) with x,s per-mille
+    rates on the 1e6 grid — both engines evaluate the identical
+    integer inequality. The shipped event stream is stationary, so
+    zero alarms IS the correct verdict here (pinned); the alarm branch
+    is pinned by an injected-spike corpus in tests (the classifier
+    separable-data precedent)."""
+    ev = load(spark, "events", sf_dir).select(
+        "event_type",
+        F.col("ts").cast("timestamp").cast("double").alias("e"),
+    )
+    return control_chart(ev)
+
+
+def control_chart(ev: DataFrame) -> DataFrame:
+    """Chart core over an (event_type, e) frame — split out so tests
+    can feed an injected-spike stream (the alarm branch never fires on
+    the stationary shipped data, by design)."""
+    day = F.floor((F.col("e") - _ANCHOR_EPOCH) / DAY_S).cast("long")
+    daily = (
+        ev.groupBy(day.alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("n_err"),
+        )
+        .withColumn(
+            "x", F.expr(f"(n_err * {EWMA_SCALE}) div n")
+        )
+    )
+    ws = _ewma_weights()
+    w = Window.orderBy("day")  # ~30-row frame
+    terms = [
+        (F.coalesce(F.lag("x", k).over(w), F.col("x")) * F.lit(wk))
+        for k, wk in enumerate(ws)
+    ]
+    s = sum(terms[1:], terms[0])
+    chart = daily.withColumn("__ewma_num", s).withColumn(
+        "ewma", F.expr(f"__ewma_num div {EWMA_SCALE}")
+    )
+    prior = F.lag("ewma").over(w)
+    alarm = F.when(
+        prior.isNull(), F.lit(False)
+    ).otherwise(
+        F.col("n") * (F.col("x") - prior) * (F.col("x") - prior)
+        > F.lit(9) * prior * (F.lit(EWMA_SCALE) - prior)
+    )
+    return chart.withColumn("alarm", alarm).select(
+        "day", "n", "n_err", "x", "ewma", "alarm"
+    ).orderBy("day")
+
+
+def error_rate_control_sql() -> str:
+    ws = _ewma_weights()
+    terms = " + ".join(
+        f"coalesce(lag(x, {k}) OVER (ORDER BY day), x) * {wk}"
+        for k, wk in enumerate(ws)
+    )
+    return f"""
+WITH daily AS (
+  SELECT CAST(floor((epoch(ts) - {_ANCHOR_EPOCH}) / {DAY_S}) AS BIGINT) AS day,
+         count(*) AS n,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_err
+  FROM events GROUP BY 1),
+rated AS (
+  SELECT day, n, n_err, (n_err * {EWMA_SCALE}) // n AS x FROM daily),
+sm AS (
+  SELECT day, n, n_err, x,
+         (({terms}) // {EWMA_SCALE})::BIGINT AS ewma
+  FROM rated),
+ch AS (
+  SELECT *, lag(ewma) OVER (ORDER BY day) AS prior FROM sm)
+SELECT day, n, n_err, x, ewma,
+       CASE WHEN prior IS NULL THEN FALSE
+            ELSE n * (x - prior) * (x - prior)
+                 > 9 * prior * ({EWMA_SCALE} - prior) END AS alarm
+FROM ch ORDER BY day
+"""

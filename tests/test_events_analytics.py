@@ -240,3 +240,87 @@ def test_bootstrap_ci_matches_python_reference(spark):
     se = statistics.pstdev(xs) / (len(xs) ** 0.5) * 1000
     half = (hi - lo) / 2
     assert 1.0 * se <= half <= 4.0 * se
+
+
+# ---------------------------------------------------------------------------
+# error_rate_control
+# ---------------------------------------------------------------------------
+
+
+def _ewma_python(xs):
+    from seo_crawler_spark.operators.events_analytics import (
+        EWMA_SCALE,
+        _ewma_weights,
+    )
+
+    ws = _ewma_weights()
+    out = []
+    for t in range(len(xs)):
+        num = sum(
+            wk * (xs[t - k] if t - k >= 0 else xs[t])
+            for k, wk in enumerate(ws)
+        )
+        out.append(num // EWMA_SCALE)
+    return out
+
+
+def test_error_rate_control_matches_python_reference(spark):
+    from seo_crawler_spark.operators.events_analytics import (
+        _ANCHOR_EPOCH,
+        DAY_S,
+        EWMA_SCALE,
+        error_rate_control,
+    )
+
+    evs = _events(SF0001)
+    daily = defaultdict(lambda: [0, 0])
+    for r in evs:
+        d = int((r["e"] - _ANCHOR_EPOCH) // DAY_S)
+        daily[d][0] += 1
+        daily[d][1] += r["event_type"] == "error"
+    days = sorted(daily)
+    xs = [daily[d][1] * EWMA_SCALE // daily[d][0] for d in days]
+    ew = _ewma_python(xs)
+    rows = error_rate_control(spark, SF0001).collect()
+    assert [r["day"] for r in rows] == days
+    for i, r in enumerate(rows):
+        assert (r["n"], r["n_err"], r["x"], r["ewma"]) == (
+            daily[days[i]][0], daily[days[i]][1], xs[i], ew[i],
+        )
+        if i == 0:
+            assert r["alarm"] is False
+        else:
+            n, x, prior = daily[days[i]][0], xs[i], ew[i - 1]
+            assert r["alarm"] == (
+                n * (x - prior) ** 2 > 9 * prior * (EWMA_SCALE - prior)
+            )
+    # stationary stream ⇒ in-control everywhere (the correct verdict)
+    assert not any(r["alarm"] for r in rows)
+
+
+def test_error_rate_control_fires_on_injected_spike(spark):
+    import datetime
+
+    from seo_crawler_spark.operators.events_analytics import (
+        _ANCHOR_EPOCH,
+        DAY_S,
+        control_chart,
+    )
+
+    # 20 days at 5% error rate, then a day at 60% — the chart must stay
+    # quiet through the stationary stretch and fire on the spike
+    rows = []
+    for d in range(21):
+        n_err = 120 if d == 20 else 10
+        for i in range(200):
+            rows.append(
+                (
+                    "error" if i < n_err else "view",
+                    float(_ANCHOR_EPOCH + d * DAY_S + i),
+                )
+            )
+    ev = spark.createDataFrame(rows, "event_type string, e double")
+    got = {r["day"]: r for r in control_chart(ev).collect()}
+    assert len(got) == 21
+    assert not any(got[d]["alarm"] for d in range(20))
+    assert got[20]["alarm"] is True
