@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_history": SC.scd2_history,
         "bootstrap_ci": SA.bootstrap_ci,
         "error_rate_control": EA.error_rate_control,
+        "topk_paths": EA.topk_paths,
         "phrase_search": RT.phrase_search,
         "boilerplate_strip": CS.boilerplate_strip,
         "hyperball_centrality": G.hyperball_centrality,
@@ -448,6 +449,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": SC.scd2_sql(),
         "bootstrap_ci": SA.bootstrap_ci_sql(),
         "error_rate_control": EA.error_rate_control_sql(),
+        "topk_paths": EA.topk_paths_sql(),
         "pagerank_warm_start": G.pagerank_warm_start_sql(),
         "search_serve": RT.search_serve_sql(),
         "ndcg_eval": RT.ndcg_eval_sql(),

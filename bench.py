@@ -310,6 +310,7 @@ HEADLINE = [
     "scd2_history",
     "bootstrap_ci",
     "error_rate_control",
+    "topk_paths",
 ]
 
 

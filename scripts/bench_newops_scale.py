@@ -94,6 +94,7 @@ QUERIES = [
     "scd2_history",
     "bootstrap_ci",
     "error_rate_control",
+    "topk_paths",
 ]
 
 

@@ -352,3 +352,60 @@ SELECT day, n, n_err, x, ewma,
                  > 9 * prior * ({EWMA_SCALE} - prior) END AS alarm
 FROM ch ORDER BY day
 """
+
+
+# ---------------------------------------------------------------------------
+# Frequent k-step paths — higher-order sequence mining
+# ---------------------------------------------------------------------------
+
+PATH_TOPK = 20
+
+
+def topk_paths(
+    spark: SparkSession, sf_dir: str, k: int = PATH_TOPK
+) -> DataFrame:
+    """Most frequent 3-step event paths — the higher-order complement
+    to event_transitions (order-1 Markov says error→view is common;
+    the trigram table says whether view→error→view loops dominate or
+    errors terminate sessions — the question funnel designers and
+    anomaly hunts actually ask). Sliding trigrams per user via two
+    ``lead``s over the user-partitioned window (bounded partitions),
+    ONE map-side count agg over ≤|types|³ keys, global top-k by
+    orderBy+limit with the rank window on the k-row result — the
+    per-group-top-k discipline used everywhere in this repo."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("e", "event_id")
+    tri = ev.select(
+        F.col("event_type").alias("t0"),
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+    ).filter(F.col("t1").isNotNull() & F.col("t2").isNotNull())
+    g = tri.groupBy(
+        F.concat_ws(">", "t0", "t1", "t2").alias("path")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    top = g.orderBy(F.desc("n"), F.asc("path")).limit(k)
+    wr = Window.orderBy(F.desc("n"), F.asc("path"))
+    return (
+        top.withColumn("rnk", F.row_number().over(wr))
+        .select("path", "n", "rnk")
+        .orderBy("rnk")
+    )
+
+
+def topk_paths_sql(k: int = PATH_TOPK) -> str:
+    return f"""
+WITH seq AS (
+  SELECT event_type AS t0,
+         lead(event_type, 1) OVER w AS t1,
+         lead(event_type, 2) OVER w AS t2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts), event_id)),
+g AS (
+  SELECT t0 || '>' || t1 || '>' || t2 AS path, count(*) AS n
+  FROM seq WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+  GROUP BY 1),
+top AS (
+  SELECT * FROM g ORDER BY n DESC, path ASC LIMIT {k})
+SELECT path, n, row_number() OVER (ORDER BY n DESC, path ASC) AS rnk
+FROM top ORDER BY rnk
+"""

@@ -324,3 +324,30 @@ def test_error_rate_control_fires_on_injected_spike(spark):
     assert len(got) == 21
     assert not any(got[d]["alarm"] for d in range(20))
     assert got[20]["alarm"] is True
+
+
+# ---------------------------------------------------------------------------
+# topk_paths
+# ---------------------------------------------------------------------------
+
+
+def test_topk_paths_match_python_reference(spark):
+    from seo_crawler_spark.operators.events_analytics import (
+        PATH_TOPK,
+        topk_paths,
+    )
+
+    evs = _events(SF0001)
+    by_user = defaultdict(list)
+    for r in evs:
+        by_user[r["user_id"]].append(r)
+    counts = defaultdict(int)
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r["e"], r["event_id"]))
+        types = [r["event_type"] for r in rows]
+        for a, b, c in zip(types, types[1:], types[2:]):
+            counts[f"{a}>{b}>{c}"] += 1
+    ref = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:PATH_TOPK]
+    got = topk_paths(spark, SF0001).collect()
+    assert [(r["path"], r["n"]) for r in got] == ref
+    assert [r["rnk"] for r in got] == list(range(1, len(got) + 1))
