@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci": SA.bootstrap_ci,
         "error_rate_control": EA.error_rate_control,
         "topk_paths": EA.topk_paths,
+        "pruning_audit": ST.pruning_audit,
         "phrase_search": RT.phrase_search,
         "boilerplate_strip": CS.boilerplate_strip,
         "hyperball_centrality": G.hyperball_centrality,
@@ -450,6 +451,7 @@ def oracle_sql() -> dict[str, str]:
         "bootstrap_ci": SA.bootstrap_ci_sql(),
         "error_rate_control": EA.error_rate_control_sql(),
         "topk_paths": EA.topk_paths_sql(),
+        "pruning_audit": ST.pruning_audit_sql(),
         "pagerank_warm_start": G.pagerank_warm_start_sql(),
         "search_serve": RT.search_serve_sql(),
         "ndcg_eval": RT.ndcg_eval_sql(),

