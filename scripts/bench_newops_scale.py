@@ -1,244 +1,147 @@
-# spark-crawl — PySpark-native URL-frontier scheduler & crawl analytics
+#!/usr/bin/env python
+"""10× input-scale evidence for the round-4 session-4 operators.
 
-This repo is a **brand-new PySpark-native analytics engine built from scratch**
-(not a port) with the query and data-processing capabilities of the reference SEO
-crawler LibreCrawl (swang62/seo-crawler): a URL-frontier and fetch scheduler —
-canonicalization + `xxhash64` dedup against a partitioned bloom-filter URL-seen
-state table, robots/politeness budgeting via salted repartition-by-host and
-window-ranked micro-batch waves — running over Iceberg-style snapshot tables of
-interleaved text+media documents (`doc_id`, ordered `spans` of
-kind/text/media_ref/offset), plus the reference's downstream analytics expressed
-as DataFrame operators and the operators a 100 TB training-data pipeline needs.
+Runs each new query at sf0.01 (500 docs / 500 vectors) and sf0.1
+(5,000 of each — 10× rows) on local[32], steady-state (median of 3
+after a warm-up run), and prints the time ratio. A ~linear operator
+should land well under 10×; sublinear constants (driver-side
+codebooks, merge tables, percentile collects) usually put it under ~3×
+at this scale.
 
-Design blueprint with file:line citations into the reference: `SURVEY.md`.
-Performance targets: `BASELINE.md`; scaling evidence: `BENCH/BASELINE.md`.
-Fixture schemas: `FIXTURES.md`.
+Usage: python scripts/bench_newops_scale.py [--reps 3]
+"""
 
-## Layout
+from __future__ import annotations
 
-```
-seo_crawler_spark/
-  session.py            SparkSession factory (AQE, Arrow, --py-files shipping)
-  schema.py             canonical StructTypes: pages/links/issues/frontier/spans
-  reference_model.py    pure-Python FIFO-BFS oracle (golden crawl-order fixtures)
-  functions/
-    urls.py             north-star canonicalization as column exprs (+ SQL twin)
-    html.py             single-pass html.parser extractor: page fields+spans+links
-    text.py             md5-derived hash/token/shingle primitives (Spark↔DuckDB)
-  operators/
-    frontier.py         CrawlEngine: one Spark job per BFS wave; (wave,seq) contract
-    ordering.py         scalable gap-free global rank (no single-partition windows)
-    seen.py             partitioned bloom-filter seen state + exact verify anti-join
-    cuckoo.py           deletable cuckoo-filter seen state (recrawl/TTL eviction)
-    politeness.py       per-host budget as salted window-rank gate
-    extract.py          mapInPandas extraction stage + link explosion
-    issues.py           issue rule engine (union of column exprs) + banded
-                        duplicate-content similarity join + E-E-A-T scoring
-    dedup.py            exact / ngram-Jaccard (posting lists) / MinHash-LSH /
-                        SimHash / winnowing fingerprints (MOSS) /
-                        embedding near-dup / decontamination
-    bpe.py              BPE tokenizer training + encode (greedy string-replace
-                        merges; one map-side count agg per iteration),
-                        vocab-coverage/OOV curve (two-phase frequency rank)
-    corpus_stats.py     substring-dup fraction + exact-substring removal
-                        (Lee et al. ExactSubstr), paragraph-level dedup,
-                        per-source boilerplate line strip (CCNet/RefinedWeb),
-                        content-defined-chunk dedup (gear/Rabin CDC),
-                        mirror-host detection (Bharat-Broder), crawl-order
-                        n-gram novelty, source TF-cosine similarity matrix,
-                        per-source rollups, exact per-language quantiles
-    graph.py            fixed-point PageRank (+ warm-start incremental
-                        maintenance) + TrustRank (seed-biased) + spam mass,
-                        dedup-cluster resolution, large-star/small-star
-                        connected components, anchor-text agg, HITS, OPIC,
-                        seed-distance BFS, co-citation, host-graph rank,
-                        HyperBall harmonic centrality + effective diameter,
-                        triangle counting / clustering coefficient,
-                        label-propagation communities, k-core peeling,
-                        Spearman ranker-agreement evaluation, SALSA,
-                        resource-allocation link prediction, Broder
-                        bow-tie macro-structure, DeepWalk walk corpus
-    simsearch.py        brute-force cosine top-k, hyperplane-LSH buckets, IVF ANN,
-                        IVF-PQ with exact re-rank (IVFADC+R),
-                        k-means quantizer training (exact fixed-point Lloyd's),
-                        cluster-balanced diversity sampling (per-cell quotas),
-                        margin-based bitext mining (Artetxe-Schwenk ratio)
-    classifier.py       trained quality classifier (CCNet/DCLM-style):
-                        distributed logistic regression on hashed BoW,
-                        integer fixed-point gradients + inference filter
-    textstats.py        language-ID, quality scores, token counts, fingerprints,
-                        tf-idf, repetition gates, PII scrub, interleaved spans,
-                        LM perplexity buckets (CCNet-style), caption pairs
-    sampling.py         stratified hash-mod mixing, temperature-scaled
-                        Poisson-bootstrap confidence intervals,
-                        mixture sampling, bottom-k uniform subsets,
-                        training-order shuffle (epoch permutation, shard windows)
-    curation.py         SemDeDup, sequence packing, quality verdict bundle,
-                        leakage-safe train/val split, end-to-end curation
-                        funnel, contrastive triplet mining (E5-style),
-                        per-source quality-filter kappa agreement
-    multimodal.py       binary media columns: stub decode, real feature
-                        plumbing, media-payload exact dedup
-    temporal.py         as-of and range temporal joins over events
-    events_analytics.py funnel completion, weekly cohort retention,
-                        first-order event-transition matrix, EWMA
-                        error-rate control chart (SPC)
-    dust.py             DUST URL-parameter rule mining + rule application
-    scd.py              SCD2 history maintenance (MERGE INTO as one
-                        full-outer join + bounded explode)
-    sitemap.py          sitemap/robots discovery source (recursive, budgeted)
-    linalg.py           exact-integer PCA power projection, JL random
-                        projection (64→16), int8 scalar quantization
-    retrieval.py        BM25 + BM25F (body+anchor) top-k, positional phrase
-                        search, KWIC snippets, end-to-end search serving,
-                        nDCG@10 eval, retrieval-based decontamination
-    sketches.py         integer HLL, count-min, histogram quantiles,
-                        exact heavy hitters (two-pass Misra-Gries),
-                        HLL set algebra (pairwise source overlap)
-    sharding.py         shard-placement balance-vs-locality audit
-    storage.py          columnar sort-key layout audit (distributed
-                        run counting) + row-group pruning audit
-  sources/
-    corpus.py           deterministic synthetic web (Zipf hosts, mega-host skew)
-    tables.py           testdata loaders
-    exports.py          CSV/JSON/XML sinks, status feed, graph viz projection
-  streaming/
-    events.py           tumbling windows, sessionization, watermarked streaming,
-                        applyInPandasWithState custom state
-    crawl_feed.py       live dashboard: readStream over the snapshot store's
-                        wave dirs (durable crawl state IS the stream source)
-    dedup_stream.py     streaming incremental dedup: foreachBatch micro-batches
-                        vs a growing base band index, retry-idempotent state
-  state/
-    snapshots.py        atomic per-wave snapshot commits (Iceberg semantics on
-                        Parquet: atomic manifest swap, resume isolation)
-```
+import sys
+import time
 
-`__spark_entry__.py` is the driver contract: `entry()` runs the flagship
-crawl slice; `queries()` holds 144 operator queries, every one checked
-against a DuckDB oracle (column names, row counts, order-insensitive
-value hashes). **The grading driver records CORRECTNESS rows for the
-first 50 `queries()` entries only (dict insertion order)** — discovered
-round 3; `queries()` therefore keeps never-ratified / recently-changed
-queries inside the first 50 and parks long-stable rows (multi-round
-green driver history) past position 50, where `scripts/driver_sim.py`
-and `tests/test_oracle_parity.py` still verify them every run.
-`bench.py` prints the one-line round benchmark;
-`scripts/bench_scaling.py` produces the N-vs-4N-executors evidence with
-real executor JVMs (local-cluster mode).
+sys.path.insert(0, "/root/repo")
 
-## Correctness model
+QUERIES = [
+    "ann_ivfpq_topk",
+    "lm_perplexity_buckets",
+    "caption_pairs",
+    "bpe_merges",
+    "bpe_encode",
+    "quality_classifier_train",
+    "quality_classifier_filter",
+    # session 7
+    "bm25_topk",
+    "dsir_select",
+    "classifier_pr_auc",
+    "crawl_budget_allocation",
+    "contrastive_triplets_hard",
+    "tokenizer_stats",
+    "decontaminate_bm25",
+    # session 8
+    "paragraph_dedup",
+    "winnowing_candidates",
+    "temperature_sample",
+    "trustrank_scores",
+    "ngram_novelty",
+    # session 9
+    "cdc_chunk_dedup",
+    "mirror_hosts",
+    "spam_mass",
+    # session 10
+    "bitext_mining",
+    "vocab_coverage",
+    "source_similarity",
+    # session 11
+    "seed_distance_bfs",
+    "opic_priority",
+    "centroid_outliers",
+    "hll_distinct",
+    "cms_frequency",
+    "length_quantile_sketch",
+    "cocitation_similarity",
+    # session 12
+    "dust_param_rules",
+    "host_rank",
+    "focused_crawl_priority",
+    # session 13
+    "phrase_search",
+    "boilerplate_strip",
+    "hyperball_centrality",
+    "triangle_count",
+    "label_propagation",
+    "kcore_decomposition",
+    "pca_power_projection",
+    "random_projection",
+    "scalar_quantization",
+    "heavy_hitters",
+    "bm25f_topk",
+    "snippet_extraction",
+    "rank_correlation",
+    "effective_diameter",
+    "pagerank_warm_start",
+    "search_serve",
+    "ndcg_eval",
+    "dust_apply",
+    "salsa_scores",
+    "shard_balance_audit",
+    "linkpred_resource_alloc",
+    "bowtie_structure",
+    "filter_agreement",
+    "storage_layout_audit",
+    "hll_source_overlap",
+    "random_walks",
+    "walk_skipgram_pairs",
+    "funnel_analysis",
+    "cohort_retention",
+    "event_transitions",
+    "scd2_history",
+    "bootstrap_ci",
+    "error_rate_control",
+    "topk_paths",
+    "pruning_audit",
+]
 
-1. **Golden crawl order / seen set**: `CrawlEngine` (Spark waves) must
-   reproduce the pure-Python `ReferenceModel` (FIFO deque semantics of
-   the reference) exactly — url-by-url order, depths, final seen set
-   (tests/test_frontier_engine.py).
-2. **Span-sequence equality**: extractor output matches the corpus
-   generator's ground-truth span sequence per document (input_hint
-   invariant).
-3. **DuckDB oracle**: every SQL-expressible operator runs on both
-   engines over the same parquet (tests/test_oracle_parity.py mirrors
-   the grading driver).
-4. **Resume**: kill after wave k → resume → byte-identical final tables
-   (tests/test_resume.py).
 
-## Scale design (10^10-URL frontier / 100 TB corpus)
+def main() -> int:
+    reps = 3
+    if "--reps" in sys.argv:
+        reps = int(sys.argv[sys.argv.index("--reps") + 1])
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
 
-- Frontier, seen, pages, links are hash/range-partitioned DataFrames;
-  no driver-side collections beyond per-wave counters.
-- Dedup adapts: exact anti-join while seen is small; bloom- or
-  cuckoo-prune (hash-only cogrouped probe, filter state co-partitioned
-  with candidates) in front of the exact verify once seen dwarfs the
-  per-wave candidate set. The cuckoo flavor deletes in O(1)/URL, which
-  `resume(recrawl_before_wave=k)` pairs with Iceberg-v2-style seen
-  tombstones for refresh crawling.
-- Mega-host skew: politeness ranking salts hosts into k sub-queues
-  (`pmod(xxhash64(url), k)`), budget ceil(B/k) each; AQE skew-join
-  handles the fetch join.
-- Global sequence assignment is range-partition + per-partition
-  row_number + driver-side offsets of partition counts — never a
-  single-partition window, never monotonically_increasing_id.
-- Wave snapshots are atomic (staged write → rename-aside for orphans →
-  os.replace manifest) — restart resumes from the last committed wave;
-  dot-prefixed staging/trash leftovers are swept on resume.
-- Long runs stay flat-cost per wave: the seen delta list folds into
-  one checkpointed base every `seen_fold_every` waves, and every
-  engine checkpoint goes through `ckpt.local_ckpt`, which drops the
-  size statistics `localCheckpoint` would otherwise inherit —
-  inherited stats compound multiplicatively through the loop's joins
-  and blow up Catalyst's join estimation (BigInteger arithmetic)
-  after ~16 waves (see PLANS.md).
+    import importlib.util
 
-## Pretraining data-prep recipe (operator chaining)
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    qs = m.queries()
 
-The curation operators compose into the standard crawl→training-data
-pipeline; each stage below is a registered oracle-checked query and a
-plain `(spark, sf_dir) → DataFrame` function you can chain:
+    from seo_crawler_spark.session import get_spark
 
-1. **Extract + gate**: crawl engine output (or the `documents` table) →
-   `quality_filter_verdicts` (Gopher-style keep/drop) and
-   `repetition_signals` / `pii_scrub` column gates.
-2. **Dedup**: `dedup_exact` → `paragraph_dedup` (first-occurrence
-   keep at paragraph granularity) → `dedup_minhash_lsh` (or
-   `dedup_incremental` against a standing base) → `dedup_clusters` →
-   `dedup_keep_best` (one canonical copy per near-dup cluster);
-   `exact_substring_trim` for within-corpus boilerplate;
-   `winnowing_candidates` (MOSS fingerprints — guaranteed detection
-   of shared runs ≥ w+k−1 tokens) for local-match candidates;
-   `semdedup` for the embedding-space pass; `media_dedup` for blobs;
-   `cluster_balanced_sample` for per-cluster diversity quotas.
-3. **Quality mixing**: `lm_perplexity_buckets` (head/middle/tail),
-   `quality_classifier_train`/`quality_classifier_filter` (trained
-   CCNet/DCLM-style discriminative filter, tuned with
-   `classifier_pr_auc`'s keep-fraction PR sweep + AUC),
-   `dsir_select` (DSIR importance resampling toward a target
-   distribution), `mixture_allocation` + `stratified_sample` for
-   per-language/source budgets, `temperature_sample` (p ∝ c^α
-   multilingual rebalance, rates derived from the corpus itself);
-   `decontaminate` against benchmark n-grams and `decontaminate_bm25`
-   for fuzzy (retrieval-scored) leakage.
-4. **Split + tokenize + pack + shuffle**: `leakage_safe_split`
-   (cluster-hashed holdout — near-dup twins never straddle train/val)
-   → `bpe_merges`/`bpe_encode` (tokenizer train/apply; per-language
-   fertility/compression via `tokenizer_stats`) →
-   `sequence_packing` (ctx-window bins) → `training_shuffle`
-   (epoch permutation, shard-local windows only).
-5. **Multimodal**: `interleaved_spans` → `caption_pairs` (media→text
-   alignment) → `multimodal_pipeline` (decode/resize plumbing).
-6. **Embedding-model data**: `contrastive_triplets` (anchor/positive
-   from verified near-dup pairs + deterministic random negatives;
-   `contrastive_triplets_hard` mines band-collided non-dup negatives).
-7. **Search / crawl scheduling**: `inverted_index` → `bm25_topk`
-   (two-phase salted top-k retrieval); `recrawl_schedule` +
-   `pagerank` → `crawl_budget_allocation` (value × freshness page
-   budgets per host); `trustrank_scores` (seed-biased PageRank —
-   spam demotion / source weighting).
+    spark = get_spark(
+        "newops-scale", master="local[32]", shuffle_partitions=32
+    )
+    spark.sparkContext.setLogLevel("ERROR")
 
-## Running
+    def run(name: str, sf_dir: str) -> float:
+        times = []
+        for i in range(reps + 1):
+            t0 = time.monotonic()
+            qs[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            if i:  # skip warm-up
+                times.append(time.monotonic() - t0)
+        times.sort()
+        return times[len(times) // 2]
 
-```bash
-python -m pytest tests/ -x -q        # correctness gate
-python bench.py                      # one-line JSON round benchmark
-python scripts/bench_scaling.py      # N vs 4N executor evidence
-python scripts/driver_sim.py         # grading-driver simulation
-```
+    print(f"{'query':26s} {'sf0.01 s':>9s} {'sf0.1 s':>9s} {'ratio':>6s}")
+    for name in only if only else QUERIES:
+        a = run(name, "/root/testdata/sf0.01")
+        b = run(name, "/root/testdata/sf0.1")
+        print(f"{name:26s} {a:9.2f} {b:9.2f} {b / a:5.1f}x")
+    return 0
 
-### Suite wall time
 
-~10-11 min for 216 tests on this host (it swings: identical runs of
-one test file measured 70s and 182s an hour apart — see the
-noisy-neighbor note in BENCH/BASELINE.md). The cost is structural,
-not waste: the heavy tests are END-TO-END engine crawls (interrupted
-vs uninterrupted parity, cuckoo-vs-exact equivalence, stream-vs-batch
-dashboards), each dozens of sequential waves whose critical path is
-serial driver-side planning of per-wave-unique plans (profiled: the
-py4j/planning thread plus JIT are the busy JVM threads; executor tasks
-are ~idle on toy data). Measured and rejected: AQE off (−6%),
-local[4]/shuffle=2 (−10%, knobs kept: SPARK_TEST_CPUS /
-SPARK_TEST_SHUFFLE / SPARK_TEST_AQE), whole-stage codegen off (±0),
-C1-only JIT (±0), constraint propagation off (±0 — 50.6s vs 55.9s on
-the slowest test, within host noise; knob kept as
-SPARK_TEST_NO_CONSTRAINTS). Taken: the four per-wave snapshot writes submit as
-concurrent Spark jobs (snapshot phase 0.77s → 0.47s/wave). Cutting
-further means fewer waves or shared crawls across tests — trading the
-end-to-end coverage the suite exists for.
+if __name__ == "__main__":
+    raise SystemExit(main())
