@@ -291,18 +291,25 @@ def control_chart(ev: DataFrame) -> DataFrame:
     """Chart core over an (event_type, e) frame — split out so tests
     can feed an injected-spike stream (the alarm branch never fires on
     the stationary shipped data, by design)."""
+    return chart_from_daily(daily_counts(ev))
+
+
+def daily_counts(ev: DataFrame) -> DataFrame:
+    """(day, n, n_err) partial counts — the ONLY corpus-scale stage,
+    and an associative SUM-mergeable state (the streaming twin folds
+    per-batch partials into it; streaming/control_stream.py)."""
     day = F.floor((F.col("e") - _ANCHOR_EPOCH) / DAY_S).cast("long")
-    daily = (
-        ev.groupBy(day.alias("day"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.when(F.col("event_type") == "error", 1).otherwise(0)
-            ).alias("n_err"),
-        )
-        .withColumn(
-            "x", F.expr(f"(n_err * {EWMA_SCALE}) div n")
-        )
+    return ev.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).alias("n_err"),
+    )
+
+
+def chart_from_daily(counts: DataFrame) -> DataFrame:
+    daily = counts.withColumn(
+        "x", F.expr(f"(n_err * {EWMA_SCALE}) div n")
     )
     ws = _ewma_weights()
     w = Window.orderBy("day")  # ~30-row frame
