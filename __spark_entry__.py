@@ -32,6 +32,7 @@ from seo_crawler_spark.operators import temporal as TP
 from seo_crawler_spark.operators import textstats as TS
 from seo_crawler_spark.plans import crawl_queries as CQ
 from seo_crawler_spark.plans import relational as R
+from seo_crawler_spark.streaming import control_stream as CST
 from seo_crawler_spark.streaming import dedup_stream as DS
 from seo_crawler_spark.streaming import events as E
 from seo_crawler_spark.streaming import sketch_stream as SS
@@ -121,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "error_rate_control": EA.error_rate_control,
         "topk_paths": EA.topk_paths,
         "pruning_audit": ST.pruning_audit,
+        "error_rate_control_stream": CST.error_rate_control_stream,
         "phrase_search": RT.phrase_search,
         "boilerplate_strip": CS.boilerplate_strip,
         "hyperball_centrality": G.hyperball_centrality,
@@ -452,6 +454,7 @@ def oracle_sql() -> dict[str, str]:
         "error_rate_control": EA.error_rate_control_sql(),
         "topk_paths": EA.topk_paths_sql(),
         "pruning_audit": ST.pruning_audit_sql(),
+        "error_rate_control_stream": EA.error_rate_control_sql(),
         "pagerank_warm_start": G.pagerank_warm_start_sql(),
         "search_serve": RT.search_serve_sql(),
         "ndcg_eval": RT.ndcg_eval_sql(),

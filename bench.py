@@ -312,6 +312,7 @@ HEADLINE = [
     "error_rate_control",
     "topk_paths",
     "pruning_audit",
+    "error_rate_control_stream",
 ]
 
 

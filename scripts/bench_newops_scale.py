@@ -96,6 +96,7 @@ QUERIES = [
     "error_rate_control",
     "topk_paths",
     "pruning_audit",
+    "error_rate_control_stream",
 ]
 
 
