@@ -53,6 +53,10 @@ _LAYOUTS = (
     ("by_lang", "lang", "lang"),
     ("by_source", "source", "source"),
     ("by_lang_source", "concat(lang, '|', source)", "lang || '|' || source"),
+    # Z-order over (lang, source): bit-interleaved dictionary codes
+    # (lang 3 bits, source 5 bits) — the multi-predicate layout; see
+    # pruning_audit's readout for why it exists
+    ("zorder_ls", "lpad(cast((((CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1 WHEN 'es' THEN 2 WHEN 'fr' THEN 3 ELSE 4 END) % 2) * 2 + (cast(substring(source, 4) as bigint) % 2) * 1 + (((CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1 WHEN 'es' THEN 2 WHEN 'fr' THEN 3 ELSE 4 END) div 2) % 2) * 8 + ((cast(substring(source, 4) as bigint) div 2) % 2) * 4 + (((CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1 WHEN 'es' THEN 2 WHEN 'fr' THEN 3 ELSE 4 END) div 4) % 2) * 32 + ((cast(substring(source, 4) as bigint) div 4) % 2) * 16 + ((cast(substring(source, 4) as bigint) div 8) % 2) * 64 + ((cast(substring(source, 4) as bigint) div 16) % 2) * 256) as string), 4, '0')", "lpad(CAST((((CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1 WHEN 'es' THEN 2 WHEN 'fr' THEN 3 ELSE 4 END) % 2) * 2 + (CAST(substr(source, 4) AS BIGINT) % 2) * 1 + (((CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1 WHEN 'es' THEN 2 WHEN 'fr' THEN 3 ELSE 4 END) // 2) % 2) * 8 + ((CAST(substr(source, 4) AS BIGINT) // 2) % 2) * 4 + (((CASE lang WHEN 'de' THEN 0 WHEN 'en' THEN 1 WHEN 'es' THEN 2 WHEN 'fr' THEN 3 ELSE 4 END) // 4) % 2) * 32 + ((CAST(substr(source, 4) AS BIGINT) // 4) % 2) * 16 + ((CAST(substr(source, 4) AS BIGINT) // 8) % 2) * 64 + ((CAST(substr(source, 4) AS BIGINT) // 16) % 2) * 256) AS VARCHAR), 4, '0')"),
 )
 _COLUMNS = ("lang", "source", "n_chars")
 

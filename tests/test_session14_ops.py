@@ -379,6 +379,17 @@ def _runs(vals):
     return r
 
 
+
+def _zcode(lang, source):
+    lc = {"de": 0, "en": 1, "es": 2, "fr": 3, "zh": 4}[lang]
+    sc = int(source[3:])
+    return (
+        (lc % 2) * 2 + (sc % 2)
+        + ((lc // 2) % 2) * 8 + ((sc // 2) % 2) * 4
+        + ((lc // 4) % 2) * 32 + ((sc // 4) % 2) * 16
+        + ((sc // 8) % 2) * 64 + ((sc // 16) % 2) * 256
+    )
+
 def test_storage_layout_matches_python_reference(spark):
     from seo_crawler_spark.operators.storage import (
         ARRIVAL_BLOCK,
@@ -398,6 +409,10 @@ def test_storage_layout_matches_python_reference(spark):
         "by_source": lambda d: (d["source"], d["doc_id"]),
         "by_lang_source": lambda d: (
             f"{d['lang']}|{d['source']}",
+            d["doc_id"],
+        ),
+        "zorder_ls": lambda d: (
+            f"{_zcode(d['lang'], d['source']):04d}",
             d["doc_id"],
         ),
     }
@@ -609,6 +624,10 @@ def test_pruning_audit_matches_python_reference(spark):
             f"{d['lang']}|{d['source']}",
             d["doc_id"],
         ),
+        "zorder_ls": lambda d: (
+            f"{_zcode(d['lang'], d['source']):04d}",
+            d["doc_id"],
+        ),
     }
     preds = {
         "lang_eq_zh": ("lang", lambda lo, hi: lo <= "zh" <= hi),
@@ -645,3 +664,9 @@ def test_pruning_audit_matches_python_reference(spark):
     assert m[("by_source", "source_eq_src7")]["skip_pm"] >= 500
     for lay in keyfns:
         assert m[(lay, "nchars_gt_490")]["skip_pm"] == 0
+    # z-order's whole point: BOTH predicates prune (each 1-D sort
+    # prunes only its own column)
+    assert m[("zorder_ls", "lang_eq_zh")]["skipped"] > 0
+    assert m[("zorder_ls", "source_eq_src7")]["skipped"] > 0
+    assert m[("by_lang", "source_eq_src7")]["skipped"] == 0
+    assert m[("by_source", "lang_eq_zh")]["skipped"] == 0
