@@ -346,6 +346,17 @@ def main() -> int:
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             runs.append(time.monotonic() - t0)
             spark.catalog.clearCache()  # some plans cache intermediates
+            # localCheckpoint blocks are NOT released by clearCache and
+            # accumulate across the suite (measured: steady > cold by
+            # 5-8x on checkpoint-heavy queries once ~80 queries of
+            # blocks pile up — storage-memory eviction churn). Each rep
+            # fully materialized via the noop write, so dropping every
+            # persisted RDD here is safe and models the real deployment
+            # (one job per query, not one JVM hoarding 84 jobs' state).
+            for rdd in list(
+                spark.sparkContext._jsc.getPersistentRDDs().values()
+            ):
+                rdd.unpersist(False)
         cold[name] = round(runs[0], 3)
         timings[name] = round(_median(runs[1:]), 3)
         cvs[name] = _cv(runs[1:])

@@ -133,6 +133,11 @@ def main() -> int:
             ).save()
             if i:  # skip warm-up
                 times.append(time.monotonic() - t0)
+            # drop checkpoint blocks between reps (bench.py rationale)
+            for rdd in list(
+                spark.sparkContext._jsc.getPersistentRDDs().values()
+            ):
+                rdd.unpersist(False)
         times.sort()
         return times[len(times) // 2]
 

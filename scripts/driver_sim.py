@@ -96,6 +96,12 @@ def main() -> int:
         sdf = q(spark, SF_ORACLE)
         scols = [c.lower() for c in sdf.columns]
         srows = [tuple(r) for r in sdf.collect()]
+        # drop checkpoint blocks between queries: 145 sequential plans
+        # would otherwise hoard every query's localCheckpoint state
+        for rdd in list(
+            spark.sparkContext._jsc.getPersistentRDDs().values()
+        ):
+            rdd.unpersist(False)
         if name not in oracles:
             print(f"{name}: rows={len(srows)} (rows-only, no oracle)")
             report[name] = {"rows": len(srows), "match": None}
