@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_paths": EA.topk_paths,
         "pruning_audit": ST.pruning_audit,
         "error_rate_control_stream": CST.error_rate_control_stream,
+        "bigram_lm_heldout": TS.bigram_lm_heldout,
         "phrase_search": RT.phrase_search,
         "boilerplate_strip": CS.boilerplate_strip,
         "hyperball_centrality": G.hyperball_centrality,
@@ -455,6 +456,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_paths": EA.topk_paths_sql(),
         "pruning_audit": ST.pruning_audit_sql(),
         "error_rate_control_stream": EA.error_rate_control_sql(),
+        "bigram_lm_heldout": TS.bigram_lm_sql(),
         "pagerank_warm_start": G.pagerank_warm_start_sql(),
         "search_serve": RT.search_serve_sql(),
         "ndcg_eval": RT.ndcg_eval_sql(),

@@ -313,6 +313,7 @@ HEADLINE = [
     "topk_paths",
     "pruning_audit",
     "error_rate_control_stream",
+    "bigram_lm_heldout",
 ]
 
 

@@ -97,6 +97,7 @@ QUERIES = [
     "topk_paths",
     "pruning_audit",
     "error_rate_control_stream",
+    "bigram_lm_heldout",
 ]
 
 

@@ -8,7 +8,7 @@ expressions (codegen, no Python) with DuckDB oracle twins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -859,4 +859,154 @@ SELECT doc_id,
        p.best.cap_head AS cap_head
 FROM pairs
 ORDER BY doc_id, media_offset
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM with stupid backoff — held-out perplexity (Brants et al. 2007)
+# ---------------------------------------------------------------------------
+
+SB_ALPHA = 0.4      # stupid-backoff weight (Brants et al.'s constant)
+SB_TRAIN_MOD = 10   # md5 % 10 < 8 → train split (80/20)
+
+
+def bigram_lm_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out bigram perplexity under STUPID BACKOFF (Brants, Popat,
+    Xu, Och & Dean, EMNLP 2007) — the LM scoring variant chosen here
+    for exactly the reason Google chose it at web scale: Kneser-Ney's
+    continuation counts need a second global pass and careful
+    normalization, while stupid backoff is two count tables and a
+    constant, "inexpensive to calculate in a distributed environment
+    while approaching the quality of Kneser-Ney smoothing as the
+    amount of training data increases" (their abstract). This is the
+    bigram upgrade of lm_perplexity_buckets' unigram score, with the
+    missing methodological piece added: the LM trains on an md5-split
+    80% and scores the HELD-OUT 20% (scoring training text flatters
+    the model; the held-out number is the one a data-quality gate can
+    act on — leakage_safe_split's argument applied to the LM itself).
+
+    Score per held-out token: first token → add-one unigram
+    (c1+1)/(T+V); seen bigram → c2(w1,t)/c1(w1); else → α·(c1+1)/(T+V)
+    with α = 0.4 (backoff also covers prev-token-unseen; both engines
+    take the identical branch because the counts are identical
+    integers, and each branch's probability is the same two-integer
+    division in both engines → the log2 grid floor can differ only in
+    the lm_perplexity_buckets ulp class). Unseen bigrams are RARE on
+    the shared-vocab corpus (2-3 per shipped scale) but nonzero —
+    pinned in tests, not assumed.
+
+    Plan shape: ONE train-token count agg (c1: |vocab| rows) + ONE
+    train-bigram count agg (c2: ≤|vocab|² rows) — both broadcast
+    dimensions; the held-out stream takes the per-doc lag window
+    (bounded partitions) and three broadcast joins; per-doc NLL is a
+    map-side integer sum. T,V are the 2-scalar driver constant the
+    unigram op already uses."""
+    d = load(spark, "documents", sf_dir)
+    tokd = d.select(
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "t"),
+    ).withColumn(
+        "train",
+        md5int(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+        % SB_TRAIN_MOD
+        < 8,
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seq = tokd.withColumn("w1", F.lag("t").over(w))
+    c1 = (
+        seq.filter("train")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .localCheckpoint(eager=True)
+    )
+    tot = c1.agg(F.sum("c1").alias("n"), F.count(F.lit(1)).alias("v")).collect()[0]
+    denom = float(tot["n"] + tot["v"])  # 2-scalar driver constant
+    c2 = (
+        seq.filter(F.col("train") & F.col("w1").isNotNull())
+        .groupBy("w1", "t")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=True)
+    )
+    held = (
+        seq.filter(~F.col("train"))
+        .join(F.broadcast(c1), "t", "left")
+        .join(
+            F.broadcast(c1.select(F.col("t").alias("w1"), F.col("c1").alias("c1p"))),
+            "w1",
+            "left",
+        )
+        .join(F.broadcast(c2), ["w1", "t"], "left")
+    )
+    uni = (F.coalesce("c1", F.lit(0)) + 1).cast("double") / F.lit(denom)
+    p = (
+        F.when(F.col("w1").isNull(), uni)
+        .when(
+            F.col("c2").isNotNull(),
+            F.col("c2").cast("double") / F.col("c1p").cast("double"),
+        )
+        .otherwise(F.lit(SB_ALPHA) * uni)
+    )
+    is_backoff = (
+        F.col("w1").isNotNull() & F.col("c2").isNull()
+    ).cast("long")
+    scored = held.select(
+        "doc_id",
+        F.floor(F.log2(p) * LM_LOG_SCALE).cast("long").alias("ilp"),
+        is_backoff.alias("bk"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            (-F.sum("ilp")).alias("inll"),
+            F.sum("bk").alias("backoff_hits"),
+        )
+        .withColumn("irate", F.expr("inll div n_tok"))
+        .select("doc_id", "n_tok", "inll", "irate", "backoff_hits")
+        .orderBy("doc_id")
+    )
+
+
+def bigram_lm_sql() -> str:
+    tok = TOKENS_SQL.format(c="text")
+    h = MD5INT_SQL.format(c="'split:' || CAST(doc_id AS VARCHAR)")
+    s = LM_LOG_SCALE
+    return f"""
+WITH tokd AS MATERIALIZED (
+  SELECT doc_id,
+         ({h}) % {SB_TRAIN_MOD} < 8 AS train,
+         unnest({tok}) AS t,
+         generate_subscripts({tok}, 1) AS pos
+  FROM documents),
+seq AS MATERIALIZED (
+  SELECT doc_id, train, t, pos,
+         lag(t) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+  FROM tokd),
+c1 AS (SELECT t, count(*) AS c1 FROM seq WHERE train GROUP BY t),
+tot AS (SELECT sum(c1) AS n, count(*) AS v FROM c1),
+c2 AS (SELECT w1, t, count(*) AS c2 FROM seq
+       WHERE train AND w1 IS NOT NULL GROUP BY w1, t),
+held AS (
+  SELECT q.doc_id, q.w1, a.c1, b.c1 AS c1p, x.c2
+  FROM seq q
+  LEFT JOIN c1 a ON q.t = a.t
+  LEFT JOIN c1 b ON q.w1 = b.t
+  LEFT JOIN c2 x ON q.w1 = x.w1 AND q.t = x.t
+  WHERE NOT q.train),
+scored AS (
+  SELECT doc_id,
+         floor(log2(
+           CASE WHEN w1 IS NULL
+                THEN (coalesce(c1, 0) + 1)::DOUBLE / (SELECT n + v FROM tot)
+                WHEN c2 IS NOT NULL
+                THEN c2::DOUBLE / c1p::DOUBLE
+                ELSE {SB_ALPHA} * ((coalesce(c1, 0) + 1)::DOUBLE
+                                   / (SELECT n + v FROM tot)) END
+         ) * {s})::BIGINT AS ilp,
+         (w1 IS NOT NULL AND c2 IS NULL)::BIGINT AS bk
+  FROM held)
+SELECT doc_id, count(*) AS n_tok, (-sum(ilp))::BIGINT AS inll,
+       ((-sum(ilp))::BIGINT // count(*))::BIGINT AS irate,
+       sum(bk)::BIGINT AS backoff_hits
+FROM scored GROUP BY doc_id ORDER BY doc_id
 """
