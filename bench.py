@@ -23,6 +23,7 @@ os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SF_DIR = os.environ["SPARK_GRAFT_SF_DIR"]
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 FRONTIER_N = int(os.environ.get("BENCH_FRONTIER_N", 2_000_000))
+FULL_DUMP_NAME = os.environ.get("BENCH_FULL_NAME", "bench_r05_full.json")
 
 
 def _median(xs: list[float]) -> float:
@@ -377,7 +378,7 @@ def main() -> int:
 
     fb = frontier_bench(spark)
     total = round(sum(timings.values()) + fb["frontier_sec"], 3)
-    out = {
+    full = {
         "metric": "headline_suite_plus_frontier_sched",
         "value": total,
         "unit": "sec",
@@ -393,7 +394,30 @@ def main() -> int:
         "loadavg_before": round(load_before[0], 2),
         "loadavg_after": round(os.getloadavg()[0], 2),
     }
-    print(json.dumps(out))
+    # full per-query dump goes to a FILE; stdout stays small enough for
+    # the driver's tail capture (round-4's one-line dump of 84 queries
+    # × cold+cv dicts overflowed it and BENCH_r04.json landed unparsed)
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH", FULL_DUMP_NAME)
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    top10 = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    line = {
+        "metric": full["metric"],
+        "value": total,
+        "unit": "sec",
+        "sf": full["sf"],
+        "cpus": full["cpus"],
+        "n_queries": len(timings),
+        "queries": top10,  # top-10 heaviest; full set in `full_dump`
+        **fb,
+        "loadavg_before": full["loadavg_before"],
+        "loadavg_after": full["loadavg_after"],
+        "full_dump": f"BENCH/{FULL_DUMP_NAME}",
+    }
+    print(json.dumps(line))
     spark.stop()
     return 0
 

@@ -79,13 +79,20 @@ def local_ckpt(df: DataFrame) -> DataFrame:
         # Spark Connect: no py4j handles; stats-free rebuild unavailable.
         return df.localCheckpoint(eager=True)
     jdf = df._jdf.localCheckpoint(True)
-    # internalCreateDataFrame is private[sql] in Scala — public in
-    # bytecode, stable across Spark 3.x/4.x — and builds a LogicalRDD
-    # with NO stats argument (falls back to defaultSizeInBytes).
     try:
-        out_jdf = spark._jsparkSession.internalCreateDataFrame(
-            jdf.queryExecution().toRdd(), jdf.schema(), False
-        )
+        out_jdf = _stats_free_rebuild(spark, jdf)
     except Exception:  # py4j method missing/renamed in a future Spark
         return DataFrame(jdf, spark)
     return DataFrame(out_jdf, spark)
+
+
+def _stats_free_rebuild(spark, jdf):
+    """Re-wrap a checkpointed jdf's internal-row RDD in a fresh
+    LogicalRDD with NO stats argument (falls back to
+    defaultSizeInBytes). internalCreateDataFrame is private[sql] in
+    Scala — public in bytecode, stable across Spark 3.x/4.x. Split out
+    so tests can force the fallback path by monkeypatching this to
+    raise (the shape of a future Spark removing the py4j surface)."""
+    return spark._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False
+    )

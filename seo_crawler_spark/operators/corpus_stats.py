@@ -34,6 +34,7 @@ from ..functions.text import (
     tokens,
 )
 from ..sources.tables import load
+from ..session import SCAN_FANOUT
 from .dedup import _token_arrays
 
 # ---------------------------------------------------------------------------
@@ -1113,7 +1114,7 @@ def boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _token_arrays discipline (dedup.py:79) but keeping the source
     # column the per-host df scope needs
     d = (
-        docs.repartition(spark.sparkContext.defaultParallelism)
+        docs.repartition(SCAN_FANOUT)
         .select("doc_id", "source", tokens(F.col("text")).alias("tok"))
         .localCheckpoint(eager=True)
     )

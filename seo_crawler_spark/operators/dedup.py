@@ -43,6 +43,7 @@ from ..functions.text import (
     tokens,
 )
 from ..sources.tables import load
+from ..session import SCAN_FANOUT
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -94,9 +95,8 @@ def _token_arrays(docs: DataFrame) -> DataFrame:
     without it every per-row regexp serializes on one core (5.5s → 1.3s
     posting build at sf0.1). At warehouse scale the scan already arrives
     in many splits and the exchange is noise."""
-    sc = docs.sparkSession.sparkContext
     return (
-        docs.repartition(sc.defaultParallelism)
+        docs.repartition(SCAN_FANOUT)
         .select("doc_id", tokens(F.col("text")).alias("tok"))
         .localCheckpoint(eager=True)
     )

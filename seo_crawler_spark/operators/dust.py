@@ -199,9 +199,9 @@ groups AS (
 )
 SELECT param,
        count(*) AS n_groups,
-       sum(CASE WHEN n_urls >= 2 THEN 1 ELSE 0 END) AS merged_groups,
-       sum(n_urls - 1) AS support,
-       sum(n_contents - 1) AS violations,
+       sum(CASE WHEN n_urls >= 2 THEN 1 ELSE 0 END)::BIGINT AS merged_groups,
+       sum(n_urls - 1)::BIGINT AS support,
+       sum(n_contents - 1)::BIGINT AS violations,
        (sum(n_contents - 1) = 0
         AND sum(n_urls - 1) >= {DUST_MIN_SUPPORT}) AS safe
 FROM groups GROUP BY param ORDER BY param

@@ -226,7 +226,7 @@ g AS (
   SELECT from_type, to_type, count(*) AS n
   FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
 SELECT from_type, to_type, n,
-       (n * 1000) // sum(n) OVER (PARTITION BY from_type) AS prob_pm
+       ((n * 1000) // sum(n) OVER (PARTITION BY from_type))::BIGINT AS prob_pm
 FROM g ORDER BY from_type, to_type
 """
 

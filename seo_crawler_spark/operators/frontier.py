@@ -136,6 +136,7 @@ class CrawlEngine:
         config: CrawlConfig | None = None,
         state_dir: str | None = None,
         sitemaps: DataFrame | None = None,
+        fetcher=None,
     ):
         self.spark = spark
         self.cfg = config or CrawlConfig()
@@ -154,6 +155,10 @@ class CrawlEngine:
             "doc_id", "host", "status_code", "content_type", "size",
             "response_time_ms", "raw_html",
         )
+        # production-fetch connector (sources/fetcher.py contract): when
+        # set, each wave's corpus rows come from fetcher.fetch(spark,
+        # scheduled, wave) instead of the static corpus table
+        self.fetcher = fetcher
         self.robots = robots
         self.sitemaps = sitemaps
         self.state_dir = state_dir
@@ -557,42 +562,50 @@ class CrawlEngine:
             # file-size gate (crawler.py:789-803): content-length beyond
             # max_file_size ⇒ empty error row — status 0, body dropped
             # before parse, so its links never expand
+            wave_corpus = (
+                self.fetcher.fetch(spark, scheduled, wave).select(
+                    "doc_id", "host", "status_code", "content_type",
+                    "size", "response_time_ms", "raw_html",
+                )
+                if self.fetcher is not None
+                else self.corpus
+            )
             too_big = (
-                (self.corpus["size"] > cfg.max_file_size)
+                (wave_corpus["size"] > cfg.max_file_size)
                 if cfg.max_file_size is not None
                 else F.lit(False)
             )
             fetched = (
                 scheduled.join(
-                    self.corpus, scheduled.url == self.corpus.doc_id, "left"
+                    wave_corpus, scheduled.url == wave_corpus.doc_id, "left"
                 )
                 .select(
                     scheduled.url,
                     F.when(too_big, F.lit(0))
-                    .otherwise(F.coalesce(self.corpus.status_code, F.lit(0)))
+                    .otherwise(F.coalesce(wave_corpus.status_code, F.lit(0)))
                     .alias("status_code"),
-                    F.coalesce(self.corpus.content_type, F.lit("")).alias("content_type"),
-                    F.coalesce(self.corpus["size"], F.lit(0)).alias("size"),
+                    F.coalesce(wave_corpus.content_type, F.lit("")).alias("content_type"),
+                    F.coalesce(wave_corpus["size"], F.lit(0)).alias("size"),
                     scheduled.depth,
                     F.lit(wave).alias("wave"),
                     scheduled.seq,
                     scheduled.host,
-                    F.coalesce(self.corpus.response_time_ms, F.lit(0.0)).alias(
+                    F.coalesce(wave_corpus.response_time_ms, F.lit(0.0)).alias(
                         "response_time"
                     ),
                     F.when(
                         too_big,
                         F.concat(
                             F.lit("File too large: "),
-                            self.corpus["size"].cast("string"),
+                            wave_corpus["size"].cast("string"),
                             F.lit(" bytes"),
                         ),
                     )
-                    .when(self.corpus.doc_id.isNull(), F.lit("fetch failed"))
+                    .when(wave_corpus.doc_id.isNull(), F.lit("fetch failed"))
                     .otherwise(F.lit(None).cast("string"))
                     .alias("error"),
                     F.when(too_big, F.lit(""))
-                    .otherwise(F.coalesce(self.corpus.raw_html, F.lit("")))
+                    .otherwise(F.coalesce(wave_corpus.raw_html, F.lit("")))
                     .alias("raw_html"),
                 )
             )

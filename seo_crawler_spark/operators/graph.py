@@ -545,7 +545,7 @@ e0 AS ({gens}),
 e AS MATERIALIZED (SELECT * FROM e0 WHERE src <> dst),
 h0 AS (SELECT doc_id, {SCALE}::BIGINT AS hub FROM documents),
 {', '.join(steps)}
-SELECT h.doc_id, h.hub, a.auth,
+SELECT h.doc_id, h.hub::BIGINT AS hub, a.auth::BIGINT AS auth,
        row_number() OVER (ORDER BY a.auth DESC, h.doc_id ASC) AS rnk
 FROM {prev_hub} h JOIN {prev_auth} a ON h.doc_id = a.doc_id
 ORDER BY rnk
@@ -1833,18 +1833,29 @@ def rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(d2 * d2).alias("isum_d2"),
     )
-    return g.select(
-        "source",
-        "n",
-        "isum_d2",
-        F.round(
-            F.lit(1.0)
-            - 6.0
-            * F.col("isum_d2")
-            / (F.col("n").cast("double") * (F.col("n") * F.col("n") - 1)),
-            6,
-        ).alias("rho"),
-    ).orderBy("source")
+    # ρ on the integer ppm grid (filter_agreement's kappa_ppm idiom):
+    # num = n(n²−1) − 6Σd², rho_ppm = sign(num)·(|num|·10⁶ div n(n²−1)).
+    # Integer-exact in both engines — no double rounding boundary to
+    # flip cross-engine — and NULL-gated on n ≥ 2 (denominator 0).
+    den = (F.col("n") * (F.col("n") * F.col("n") - 1)).cast("long")
+    return (
+        g.withColumn("__den", den)
+        .withColumn("__num", F.col("__den") - 6 * F.col("isum_d2"))
+        .select(
+            "source",
+            "n",
+            "isum_d2",
+            F.when(F.col("__den") == 0, F.lit(None).cast("long"))
+            .otherwise(
+                (
+                    F.signum("__num").cast("long")
+                    * F.expr("abs(__num * 1000000) div __den")
+                ).cast("long")
+            )
+            .alias("rho_ppm"),
+        )
+        .orderBy("source")
+    )
 
 
 def rank_correlation_sql() -> str:
@@ -1865,12 +1876,20 @@ ranked AS (
 ),
 g AS (
   SELECT source, count(*) AS n,
-         sum(((rp - ro)::BIGINT) * ((rp - ro)::BIGINT)) AS isum_d2
+         sum(((rp - ro)::BIGINT) * ((rp - ro)::BIGINT))::BIGINT AS isum_d2
   FROM ranked GROUP BY source
+),
+g2 AS (
+  SELECT source, n, isum_d2,
+         (n * (n * n - 1))::BIGINT AS den,
+         ((n * (n * n - 1)) - 6 * isum_d2)::BIGINT AS num
+  FROM g
 )
 SELECT source, n, isum_d2,
-       round(1.0 - 6.0 * isum_d2 / (n::DOUBLE * (n * n - 1)), 6) AS rho
-FROM g ORDER BY source
+       CASE WHEN den = 0 THEN NULL
+            ELSE (CASE WHEN num < 0 THEN -1 ELSE 1 END
+                  * (abs(num * 1000000) // den))::BIGINT END AS rho_ppm
+FROM g2 ORDER BY source
 """
 
 

@@ -929,7 +929,15 @@ def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n1",
             F.col("dcg_x"),
             idcg.alias("idcg_x"),
-            F.round(F.col("dcg_x") / idcg, 6).alias("ndcg"),
+        )
+        # integer ppm grid (no cross-engine double rounding boundary):
+        # dcg_x and idcg_x are exact non-negative longs, so the integer
+        # div is engine-identical; NULL when idcg_x = 0 (no rel docs)
+        .withColumn(
+            "ndcg_ppm",
+            F.when(F.col("idcg_x") == 0, F.lit(None).cast("long")).otherwise(
+                F.expr("(dcg_x * 1000000) div idcg_x").cast("long")
+            ),
         )
         .orderBy("query_id")
     )
@@ -990,7 +998,8 @@ dcg AS (
   GROUP BY r.query_id
 ),
 counts AS (
-  SELECT query_id, sum((rel = 2)::BIGINT) AS n2, sum((rel = 1)::BIGINT) AS n1
+  SELECT query_id, sum((rel = 2)::BIGINT)::BIGINT AS n2,
+         sum((rel = 1)::BIGINT)::BIGINT AS n1
   FROM relp GROUP BY query_id
 ),
 idcg AS (
@@ -1001,7 +1010,8 @@ idcg AS (
   JOIN pf p21 ON p21.i = least(c.n2, {k}) + least(c.n1, {k} - least(c.n2, {k}))
 )
 SELECT i.query_id, i.n2, i.n1, d.dcg_x, i.idcg_x,
-       round(d.dcg_x / i.idcg_x, 6) AS ndcg
+       CASE WHEN i.idcg_x = 0 THEN NULL
+            ELSE ((d.dcg_x * 1000000) // i.idcg_x)::BIGINT END AS ndcg_ppm
 FROM idcg i JOIN dcg d USING (query_id)
 ORDER BY i.query_id
 """

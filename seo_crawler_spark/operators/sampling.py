@@ -470,7 +470,10 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    wr = Window.orderBy("mean_x1000", "rep")  # 200-row frame
+    # NULLS pinned LAST on both engines: Spark's asc default is NULLS
+    # FIRST while DuckDB's is NULLS LAST — a sw=0 replica (NULL mean)
+    # would shift every rank cross-engine (round-4 ADVICE, latent)
+    wr = Window.orderBy(F.asc_nulls_last("mean_x1000"), "rep")  # 200-row frame
     return (
         means.withColumn("rnk", F.row_number().over(wr))
         .withColumn(
@@ -503,7 +506,7 @@ means AS (
   FROM g),
 ranked AS (
   SELECT rep, mean_x1000,
-         row_number() OVER (ORDER BY mean_x1000, rep) AS rnk
+         row_number() OVER (ORDER BY mean_x1000 NULLS LAST, rep) AS rnk
   FROM means)
 SELECT rep, mean_x1000, rnk,
        CASE WHEN rnk = {BOOT_LO_RANK} THEN 'lo'

@@ -145,7 +145,7 @@ g AS (
   FROM strat GROUP BY strategy, shard
 )
 SELECT strategy, shard, n_docs, n_bytes, n_hosts,
-       (n_docs * {N_SHARDS} * 1000) // sum(n_docs) OVER (PARTITION BY strategy) AS load_pm,
-       (n_bytes * {N_SHARDS} * 1000) // sum(n_bytes) OVER (PARTITION BY strategy) AS bytes_pm
+       ((n_docs * {N_SHARDS} * 1000) // sum(n_docs) OVER (PARTITION BY strategy))::BIGINT AS load_pm,
+       ((n_bytes * {N_SHARDS} * 1000) // sum(n_bytes) OVER (PARTITION BY strategy))::BIGINT AS bytes_pm
 FROM g ORDER BY strategy, shard
 """

@@ -1039,7 +1039,7 @@ WITH {_lloyd_ctes(k, iters)},
 cnt AS (SELECT cid AS cell, count(*) AS n_vecs FROM fw WHERE rn = 1 GROUP BY cid),
 fx AS (SELECT cid, generate_subscripts(cv, 1) AS d, unnest(cv) AS cval
        FROM c{iters})
-SELECT fx.cid AS cell, fx.d::INT AS d, fx.cval,
+SELECT fx.cid AS cell, fx.d::INT AS d, fx.cval::BIGINT AS cval,
        coalesce(cnt.n_vecs, 0) AS n_vecs
 FROM fx LEFT JOIN cnt ON fx.cid = cnt.cell
 ORDER BY cell, d

@@ -44,6 +44,7 @@ from ..functions.text import (
     tokens,
 )
 from ..sources.tables import load
+from ..session import SCAN_FANOUT
 
 HLL_M = 64          # registers (2^6); relative error ~1.04/√m ≈ 13%
 HLL_CAP = 30        # register-rank cap: harmonic sum lives on the 2^30 grid
@@ -116,9 +117,8 @@ def hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def hll_exact(docs: DataFrame) -> DataFrame:
     """(source, exact): the exact distinct-shingle audit column — the
     key-shuffling countDistinct the sketch exists to avoid."""
-    sc = docs.sparkSession.sparkContext
     toks = (
-        docs.repartition(sc.defaultParallelism)
+        docs.repartition(SCAN_FANOUT)
         .select("source", tokens(F.col("text")).alias("tok"))
         .localCheckpoint(eager=True)  # _token_arrays discipline (dedup.py)
     )
@@ -134,9 +134,8 @@ def hll_registers(docs: DataFrame) -> DataFrame:
     frame — the MERGEABLE sketch state (register-wise max of two such
     tables ≡ the table of their union). Shared by the batch operator
     and the streaming twin's per-batch merge."""
-    sc = docs.sparkSession.sparkContext
     toks = (
-        docs.repartition(sc.defaultParallelism)
+        docs.repartition(SCAN_FANOUT)
         .select("source", tokens(F.col("text")).alias("tok"))
         .localCheckpoint(eager=True)
     )
@@ -234,7 +233,7 @@ calc AS (
   SELECT p.source,
          ({HLL_M} - p.present)::BIGINT AS zeros,
          (p.isum_present
-          + ({HLL_M} - p.present)::BIGINT * {1 << HLL_CAP}) AS isum,
+          + ({HLL_M} - p.present)::BIGINT * {1 << HLL_CAP})::BIGINT AS isum,
          x.exact
   FROM per_src p JOIN exact x USING (source)
 ),
@@ -521,9 +520,8 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     docs = load(spark, "documents", sf_dir)
-    sc = docs.sparkSession.sparkContext
     toks = (
-        docs.repartition(sc.defaultParallelism)
+        docs.repartition(SCAN_FANOUT)
         .select(tokens(F.col("text")).alias("tok"))
         .localCheckpoint(eager=True)
     )

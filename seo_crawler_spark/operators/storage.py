@@ -78,9 +78,11 @@ def storage_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "pk",
                 "doc_id",
                 F.col(col).alias("v"),
+                # eqNullSafe mirrors the oracle's IS DISTINCT FROM: a
+                # NULL value starts/continues runs exactly like DuckDB
+                # (plain != yields NULL→"not new" on NULL values)
                 F.when(
-                    F.lag(col).over(w).isNull()
-                    | (F.col(col) != F.lag(col).over(w)),
+                    ~F.col(col).eqNullSafe(F.lag(col).over(w)),
                     F.lit(1),
                 )
                 .otherwise(F.lit(0))
@@ -127,7 +129,7 @@ def storage_layout_sql() -> str:
             blocks.append(f"""
 SELECT '{layout}' AS layout, '{col}' AS column_name,
        (sum(runs) - sum(dup_boundary))::BIGINT AS n_runs,
-       ((sum(runs) - sum(dup_boundary)) * 1000) // sum(n) AS runs_pm
+       (((sum(runs) - sum(dup_boundary)) * 1000) // sum(n))::BIGINT AS runs_pm
 FROM (
   SELECT pk, runs, firstv, lastv, n,
          CASE WHEN lag(lastv) OVER (ORDER BY pk) = firstv
@@ -267,8 +269,8 @@ SELECT '{layout}' AS layout, '{label}' AS predicate,
        count(*) AS n_blocks,
        sum(CASE WHEN {pred} THEN 1 ELSE 0 END)::BIGINT AS scanned,
        (count(*) - sum(CASE WHEN {pred} THEN 1 ELSE 0 END))::BIGINT AS skipped,
-       ((count(*) - sum(CASE WHEN {pred} THEN 1 ELSE 0 END)) * 1000)
-         // count(*) AS skip_pm
+       (((count(*) - sum(CASE WHEN {pred} THEN 1 ELSE 0 END)) * 1000)
+         // count(*))::BIGINT AS skip_pm
 FROM (
   SELECT blk, min(v) AS lo, max(v) AS hi
   FROM (

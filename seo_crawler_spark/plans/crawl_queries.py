@@ -967,7 +967,7 @@ e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
 q AS MATERIALIZED (SELECT doc_id, quality_score FROM ({quality_scores_sql()})),
 par AS (
   SELECT e.dst, count(*) AS n_parents,
-         sum(q.quality_score) AS sum_parent_q,
+         sum(q.quality_score)::BIGINT AS sum_parent_q,
          max(q.quality_score) AS max_parent_q
   FROM e JOIN q ON e.src = q.doc_id GROUP BY e.dst
 )

@@ -69,3 +69,13 @@ def _package_zip() -> str:
     base = os.path.join(tempfile.gettempdir(), "seo_crawler_spark_pyfiles")
     root = os.path.dirname(pkg_dir)
     return shutil.make_archive(base, "zip", root_dir=root, base_dir="seo_crawler_spark")
+
+
+# Fan-out for repartitioning a small single-file scan before per-row
+# regexp/tokenize work (one parquet file scans as ONE partition — the
+# repartition keeps extraction parallel at test scale; at warehouse
+# scale the scan already arrives in many splits and the exchange is
+# noise). A CONSTANT, not sc.defaultParallelism: registered-query
+# lineage must not vary with the host's core count (round-4 verdict
+# #1b — environment-independent plans for the correctness gate).
+SCAN_FANOUT = 32

@@ -59,8 +59,18 @@ def _stage_batches(
         os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
 
 
-def _latest_version(state_dir: str) -> tuple[int, str | None]:
+def _latest_version(
+    state_dir: str, before: int | None = None
+) -> tuple[int, str | None]:
+    """Largest committed version, optionally restricted to versions
+    STRICTLY BELOW ``before``. A retried batch k must fold over
+    v_{k-1}, not the global latest: after a crash between the v_k
+    rename and the stream checkpoint commit, the global latest IS v_k,
+    and folding batch k's non-idempotent SUM over it would
+    double-apply the batch (round-4 ADVICE, medium)."""
     vs = sorted(glob.glob(f"{state_dir}/v*"))
+    if before is not None:
+        vs = [v for v in vs if int(os.path.basename(v)[1:]) < before]
     if not vs:
         return -1, None
     last = vs[-1]
@@ -76,7 +86,7 @@ def stream_daily_counts(
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         part = daily_counts(batch_df)
-        _, prev = _latest_version(state_dir)
+        _, prev = _latest_version(state_dir, before=batch_id)
         if prev is not None:
             prior = batch_df.sparkSession.read.parquet(prev)
             part = (
@@ -123,11 +133,19 @@ def error_rate_control_stream(
         F.col("ts").cast("timestamp").cast("double").alias("e"),
     )
     work = tempfile.mkdtemp(prefix="ctl_stream_")
-    input_dir, state_dir = f"{work}/in", f"{work}/state"
-    _stage_batches(spark, ev, input_dir, n_batches)
-    stream_daily_counts(spark, input_dir, ev.schema, state_dir)
-    _, final = _latest_version(state_dir)
-    counts = spark.read.parquet(final)
-    return chart_from_daily(counts).select(
-        "day", "n", "n_err", "x", "ewma", "alarm"
-    ).orderBy("day")
+    try:
+        input_dir, state_dir = f"{work}/in", f"{work}/state"
+        _stage_batches(spark, ev, input_dir, n_batches)
+        stream_daily_counts(spark, input_dir, ev.schema, state_dir)
+        _, final = _latest_version(state_dir)
+        counts = spark.read.parquet(final)
+        # materialize (#days rows) before the staging dir is deleted —
+        # the returned DataFrame must not depend on files under `work`
+        return (
+            chart_from_daily(counts)
+            .select("day", "n", "n_err", "x", "ewma", "alarm")
+            .orderBy("day")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

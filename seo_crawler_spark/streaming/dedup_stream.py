@@ -40,6 +40,7 @@ the SAME DuckDB oracle SQL as the batch operator.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -524,14 +525,20 @@ def dedup_incremental_stream(
     docs = load(spark, "documents", sf_dir).select("doc_id", "text")
     is_delta = (md5int(F.col("doc_id").cast("string")) % delta_mod) == 0
     work = tempfile.mkdtemp(prefix="dedup_stream_")
-    state_dir, input_dir = f"{work}/state", f"{work}/in"
-    prepare_dedup_base(docs.filter(~is_delta), state_dir)
-    delta = docs.filter(is_delta)
-    _stage_delta_files(spark, delta, input_dir, n_batches)
-    # compact_every=2 on purpose: the oracle hash-match then covers the
-    # compaction path (batch 2 runs against a folded base), not just
-    # the append path
-    stream_dedup_incremental(
-        spark, input_dir, delta.schema, state_dir, threshold, compact_every=2
-    )
-    return read_verdicts(spark, state_dir)
+    try:
+        state_dir, input_dir = f"{work}/state", f"{work}/in"
+        prepare_dedup_base(docs.filter(~is_delta), state_dir)
+        delta = docs.filter(is_delta)
+        _stage_delta_files(spark, delta, input_dir, n_batches)
+        # compact_every=2 on purpose: the oracle hash-match then covers
+        # the compaction path (batch 2 runs against a folded base), not
+        # just the append path
+        stream_dedup_incremental(
+            spark, input_dir, delta.schema, state_dir, threshold,
+            compact_every=2,
+        )
+        # materialize (delta-sized verdict table) before deleting the
+        # staging dir — the returned DataFrame must not read `work`
+        return read_verdicts(spark, state_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

@@ -128,9 +128,16 @@ def hll_distinct_stream(
         "doc_id", "source", "text"
     )
     work = tempfile.mkdtemp(prefix="hll_stream_")
-    input_dir, state_dir = f"{work}/in", f"{work}/state"
-    _stage_batches(spark, docs, input_dir, n_batches)
-    stream_hll(spark, input_dir, docs.schema, state_dir)
-    _, final = _latest_version(state_dir)
-    regs = spark.read.parquet(final)
-    return hll_finalize(regs, hll_exact(docs))
+    try:
+        input_dir, state_dir = f"{work}/in", f"{work}/state"
+        _stage_batches(spark, docs, input_dir, n_batches)
+        stream_hll(spark, input_dir, docs.schema, state_dir)
+        _, final = _latest_version(state_dir)
+        regs = spark.read.parquet(final)
+        # materialize (#sources rows) before deleting the staging dir —
+        # the returned DataFrame must not depend on files under `work`
+        return hll_finalize(regs, hll_exact(docs)).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)

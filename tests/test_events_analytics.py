@@ -475,3 +475,52 @@ def test_bigram_lm_matches_python_reference(spark):
     # (unseen held-out bigrams exist) and held-out bigram NLL beats the
     # unigram floor for most docs (the LM learned something)
     assert sum(r["backoff_hits"] for r in rows) >= 1
+
+
+def test_control_stream_retry_after_rename_does_not_double_apply(
+    spark, tmp_path
+):
+    """The crash window round-4 ADVICE flagged (medium): batch k's
+    v_k dir was renamed into place but the stream checkpoint commit
+    wasn't durable, so Structured Streaming re-runs batch k. The merge
+    must fold over v_{k-1} — NOT the global latest (= v_k itself) —
+    or the non-idempotent SUM double-applies the batch. Exercised by
+    re-running the stream with the checkpoint dir removed: availableNow
+    replays every batch over the surviving state versions."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from seo_crawler_spark.sources.tables import load
+    from seo_crawler_spark.streaming.control_stream import (
+        _stage_batches,
+        stream_daily_counts,
+    )
+
+    ev = load(spark, "events", SF0001).select(
+        "event_id",
+        "event_type",
+        F.col("ts").cast("timestamp").cast("double").alias("e"),
+    )
+    work = str(tmp_path / "ctlretry")
+    _stage_batches(spark, ev, f"{work}/in", 3)
+    stream_daily_counts(spark, f"{work}/in", ev.schema, f"{work}/state")
+    vs = sorted(glob.glob(f"{work}/state/v*"))
+    assert len(vs) == 3
+    expected = sorted(
+        (r["day"], r["n"], r["n_err"])
+        for r in spark.read.parquet(vs[-1]).collect()
+    )
+    # crash simulation: ALL state versions survive, the checkpoint does
+    # not → every batch is a retry whose own version is already the
+    # global latest at merge time
+    shutil.rmtree(f"{work}/state/_ckpt")
+    stream_daily_counts(spark, f"{work}/in", ev.schema, f"{work}/state")
+    vs2 = sorted(glob.glob(f"{work}/state/v*"))
+    assert len(vs2) == 3  # replaced in place, no extra versions
+    got = sorted(
+        (r["day"], r["n"], r["n_err"])
+        for r in spark.read.parquet(vs2[-1]).collect()
+    )
+    assert got == expected  # a latest-version fold would double every sum

@@ -456,3 +456,26 @@ def test_metrics_legacy_manifest_metrics_still_readable(tmp_path):
          "metrics": [{"wave": 0, "scheduled": 2}]}
     )
     assert store.metrics() == [{"wave": 0, "scheduled": 2}]
+
+
+def test_persisted_phases_match_in_memory(spark, corpus_df, robots_df, tmp_path):
+    """Round-4 verdict #7: the persisted per-wave metric must carry the
+    SAME five phase timings the in-memory CrawlResult reports — fold is
+    marked before commit_wave and snapshot via the on_data_written hook
+    before the metric serializes, so neither copy may lag the other."""
+    from seo_crawler_spark.state.snapshots import SnapshotStore
+
+    state = str(tmp_path / "phstate")
+    res = CrawlEngine(
+        spark, corpus_df, robots_df,
+        CrawlConfig(max_depth=2, max_urls=10_000),
+        state_dir=state,
+    ).run(seed_urls(N_HOSTS))
+    stored = {m["wave"]: m for m in SnapshotStore(state).metrics()}
+    assert len(res.metrics) >= 2
+    for mem in res.metrics:
+        per = stored[mem["wave"]]
+        assert set(per["phases"]) == set(mem["phases"]) == {
+            "sched", "fetch_extract", "expand", "fold", "snapshot"
+        }
+        assert per["phases"] == mem["phases"]

@@ -765,12 +765,17 @@ def test_rank_correlation_matches_python_reference(spark):
         }
         n = len(ids)
         sd2 = sum((rp[d] - ro[d]) ** 2 for d in ids)
-        ref[s] = (n, sd2, round(1.0 - 6.0 * sd2 / (n * (n * n - 1)), 6))
-    got = {r["source"]: (r["n"], r["isum_d2"], r["rho"]) for r in rows}
+        den = n * (n * n - 1)
+        num = den - 6 * sd2
+        ppm = None if den == 0 else (
+            (1 if num >= 0 else -1) * (abs(num * 1_000_000) // den)
+        )
+        ref[s] = (n, sd2, ppm)
+    got = {r["source"]: (r["n"], r["isum_d2"], r["rho_ppm"]) for r in rows}
     assert got == ref
     # non-vacuous: the two rankers agree strongly but not perfectly
     assert any(sd2 > 0 for _, sd2, _ in got.values())
-    assert all(rho > 0.5 for _, _, rho in got.values())
+    assert all(ppm > 500_000 for _, _, ppm in got.values())
 
 
 def test_effective_diameter_curve(spark):
@@ -935,11 +940,13 @@ def test_ndcg_eval_matches_python_reference(spark):
             dcg,
             idcg,
         )
-        assert r["ndcg"] == round(dcg / idcg, 6)
+        assert r["ndcg_ppm"] == (
+            None if idcg == 0 else (dcg * 1_000_000) // idcg
+        )
     # discriminative on shipped data: not every query is perfect, and
     # nothing collapses
-    vals = [r["ndcg"] for r in rows.values()]
-    assert any(x < 1.0 for x in vals) and all(x > 0.9 for x in vals)
+    vals = [r["ndcg_ppm"] for r in rows.values()]
+    assert any(x < 1_000_000 for x in vals) and all(x > 900_000 for x in vals)
 
 
 def test_dust_apply_collapses_safe_aliases_cleanly(spark):
