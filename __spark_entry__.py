@@ -289,6 +289,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleaved_spans": TS.interleaved_spans,
         "redirect_chains": CQ.redirect_chains,
         "multimodal_pipeline": MM.multimodal_pipeline,
+        # new in round 5 (TAIL by the window policy: never-ratified
+        # queries wait for a future window slot; both are two-scale
+        # green in the committed local artifacts): modality-aware
+        # packing and perceptual-hash media near-dup — the interleaved
+        # payload axis
+        "interleaved_packing": TS.interleaved_packing,
+        "media_phash_neardup": MM.media_phash_neardup,
     }
 
 
@@ -444,4 +451,6 @@ def oracle_sql() -> dict[str, str]:
         "semdedup": CU.semdedup_sql(),
         "sequence_packing": CU.sequence_packing_sql(),
         "quality_filter_verdicts": CU.quality_filter_verdicts_sql(),
+        "interleaved_packing": TS.interleaved_packing_sql(),
+        "media_phash_neardup": MM.media_phash_neardup_sql(),
     }

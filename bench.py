@@ -315,6 +315,11 @@ HEADLINE = [
     "pruning_audit",
     "error_rate_control_stream",
     "bigram_lm_heldout",
+    # round-5: interleaved-payload pair — modality-costed packing (one
+    # salted prefix-sum window) and banded perceptual-hash media
+    # near-dup (Arrow phash + 8x8-bit band join + bit_count verify)
+    "interleaved_packing",
+    "media_phash_neardup",
 ]
 
 

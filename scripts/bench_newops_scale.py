@@ -98,6 +98,9 @@ QUERIES = [
     "pruning_audit",
     "error_rate_control_stream",
     "bigram_lm_heldout",
+    # round 5
+    "interleaved_packing",
+    "media_phash_neardup",
 ]
 
 

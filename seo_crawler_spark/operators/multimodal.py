@@ -419,3 +419,190 @@ SELECT min(media_ref) AS keeper_ref,
        (count(*) - 1) * 136 AS dup_bytes_saved
 FROM keys GROUP BY content_key ORDER BY keeper_ref
 """
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash media NEAR-dup — the approximate sibling of media_dedup
+# ---------------------------------------------------------------------------
+PHASH_CONTENTS = 40   # distinct base images in the synthetic reuse model
+PHASH_BANDS = 8       # 8 bands x 8 bits over the 64-bit signature
+PHASH_HAM_T = 8       # hamming acceptance threshold (<= 4 by construction
+                      # for re-encodes of one base; ~32 across bases)
+
+
+def media_phash_neardup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_contents: int = PHASH_CONTENTS,
+    ham_t: int = PHASH_HAM_T,
+) -> DataFrame:
+    """NEAR-dup of the media modality by perceptual hash — media_dedup
+    catches byte-identical copies; the web also re-serves the same
+    image re-encoded (quality knobs, stripped metadata, a few changed
+    pixels), which only a perceptual signature can group before the
+    pipeline pays duplicate decode/caption/feature cost.
+
+    Pipeline (the production shape at 10^10 media objects):
+    1. decode-side signature: a 64-bit average-hash computed from the
+       payload BYTES in an Arrow-batched UDF — blobs never shuffle;
+       only (media_ref, phash) rows leave the map stage;
+    2. LSH banding: 8 bands x 8 bits; an equi-join per band replaces
+       the all-pairs hamming scan (a pair within hamming 4 shares
+       >= 4 of 8 bands by pigeonhole — candidate recall is certain,
+       cross-base collisions are rejected by the verify);
+    3. hamming verify on the 64-bit signatures (xor + bit_count —
+       row-local integer ops);
+    4. per-ref verdict: keeper = min media_ref among verified
+       neighbors (incl. self), n_neighbors = verified-degree.
+
+    Synthetic reuse model (the media_dedup discipline): payload =
+    64 base bytes from splitmix64 seeded ONLY by content_key
+    (= md5int(ref) % n_contents), then <= 2 ref-salted byte flips
+    (the 're-encode'), then 8 ref-derived metadata bytes. The DuckDB
+    oracle groups by the content_key arithmetic alone — the hash match
+    proves the byte-level banded/verified clustering coincides with
+    the generative truth (flip-count/positions and metadata must not
+    leak into the grouping, and no cross-base pair may survive)."""
+    from ..functions.text import md5int
+    from ..sources.tables import load
+    import hashlib
+
+    docs = load(spark, "documents", sf_dir)
+    refs = docs.filter(F.pmod("doc_id", F.lit(2)) == 0).select(
+        F.concat(F.lit("m/"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        )
+    )
+    tagged = refs.select(
+        "media_ref",
+        F.pmod(md5int(F.col("media_ref")), F.lit(n_contents)).alias(
+            "content_key"
+        ),
+    )
+
+    pay_schema = T.StructType(
+        [
+            T.StructField("media_ref", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def md5i(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        for pdf in batches:
+            payloads = []
+            for ref, k in zip(pdf["media_ref"], pdf["content_key"]):
+                base = bytearray(
+                    _fake_bytes(
+                        np.uint64(
+                            (int(k) * 0x9E3779B97F4A7C15 + 1)
+                            & 0xFFFFFFFFFFFFFFFF
+                        ),
+                        64,
+                    )
+                )
+                # the 're-encode': <= 2 ref-salted byte flips across the
+                # mid-gray threshold (each flips exactly one phash bit)
+                for i in range(md5i(f"ns:{ref}") % 3):
+                    pos = md5i(f"np:{ref}:{i}") % 64
+                    base[pos] = 255 if base[pos] < 128 else 0
+                meta = hashlib.md5(f"exif:{ref}".encode()).digest()[:8]
+                payloads.append(bytes(base) + meta)
+            out = pdf.copy()
+            out["payload"] = payloads
+            yield out[["media_ref", "payload"]]
+
+    media = tagged.mapInPandas(attach, schema=pay_schema)
+
+    @F.pandas_udf(T.LongType())
+    def phash_udf(p: pd.Series) -> pd.Series:
+        vals = []
+        for b in p:
+            arr = np.frombuffer(b[:64], dtype=np.uint8)
+            bits = np.uint64(0)
+            for j in np.flatnonzero(arr >= 128):
+                bits |= np.uint64(1) << np.uint64(int(j))
+            vals.append(int(bits.astype(np.int64)))
+        return pd.Series(vals, dtype="int64")
+
+    sigs = media.select(
+        "media_ref", phash_udf("payload").alias("phash")
+    ).localCheckpoint(eager=True)  # reused by bands AND both join sides
+
+    bands = sigs.select(
+        "media_ref",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), 8 * k)
+                        .bitwiseAND(F.lit(255))
+                        .alias("key"),
+                    )
+                    for k in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("media_ref", "phash", "bk.band", "bk.key")
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.media_ref") < F.col("y.media_ref")),
+        )
+        .select(
+            F.col("x.media_ref").alias("a"),
+            F.col("y.media_ref").alias("b"),
+            F.col("x.phash").alias("ha"),
+            F.col("y.phash").alias("hb"),
+        )
+        .distinct()
+    )
+    verified = cand.filter(
+        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= ham_t
+    ).select("a", "b")
+    neigh = (
+        verified.select(F.col("a").alias("media_ref"), F.col("b").alias("n"))
+        .unionByName(
+            verified.select(
+                F.col("b").alias("media_ref"), F.col("a").alias("n")
+            )
+        )
+        .unionByName(
+            sigs.select("media_ref", F.col("media_ref").alias("n"))
+        )
+    )
+    return (
+        neigh.groupBy("media_ref")
+        .agg(
+            F.min("n").alias("keeper_ref"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_neighbors"),
+        )
+        .orderBy("media_ref")
+    )
+
+
+def media_phash_neardup_sql(n_contents: int = PHASH_CONTENTS) -> str:
+    """content_key twin: the generative truth groups by base image —
+    keeper/degree per ref follow from the group alone. Spark's banded
+    byte-level pipeline must reproduce exactly this (see docstring)."""
+    from ..functions.text import MD5INT_SQL
+
+    h = MD5INT_SQL.format(c="media_ref")
+    return f"""
+WITH refs AS (
+  SELECT 'm/' || CAST(doc_id AS VARCHAR) AS media_ref
+  FROM documents WHERE doc_id % 2 = 0
+),
+keys AS (SELECT media_ref, {h} % {n_contents} AS content_key FROM refs)
+SELECT media_ref,
+       min(media_ref) OVER (PARTITION BY content_key) AS keeper_ref,
+       (count(*) OVER (PARTITION BY content_key) - 1)::BIGINT AS n_neighbors
+FROM keys ORDER BY media_ref
+"""

@@ -562,6 +562,107 @@ INDEX_POSTINGS_CAP = 20
 INDEX_MIN_DF = 2
 
 
+MEDIA_TOKENS = 64     # context-window cost of ONE media span (the
+                      # vision-encoder patch budget an interleaved LM
+                      # pays per image — fixed, modality-determined)
+IPK_CTX = 1024        # interleaved context length (tokens)
+IPK_BUCKETS = 8       # md5-salted packing shards (sequence_packing's)
+
+
+def interleaved_packing(
+    spark: SparkSession,
+    sf_dir: str,
+    ctx_len: int = IPK_CTX,
+    buckets: int = IPK_BUCKETS,
+    media_tokens: int = MEDIA_TOKENS,
+) -> DataFrame:
+    """Modality-aware sequence packing for INTERLEAVED text+media
+    documents — the batch builder an interleaved-pretraining pipeline
+    needs where :func:`sequence_packing` only counts text.
+
+    Cost model comes from the same span geometry as
+    :func:`interleaved_spans` (the corpus contract:
+    spans array<struct<kind,text,media_ref,offset>>): a document costs
+    its text tokens PLUS ``media_tokens`` for each media span —
+    n_media = ⌊⌈n_tok/SPAN_CHUNK⌉ / SPAN_MEDIA_EVERY⌋ — because the
+    model pays a fixed patch budget per image regardless of pixel
+    count. Packing then greedy-chops each (source, md5-salted bucket)
+    stream in doc_id order at ``ctx_len`` total cost (boundary-bleed,
+    the pretraining-batch discipline), emitting each doc's bin and
+    intra-bin offset.
+
+    Plan shape: cost is row-local arithmetic (no span explode — the
+    counts fall out of the geometry in closed form); the only shuffle
+    is the per-(source, bucket) prefix-sum window whose partition size
+    the salt bounds, exactly sequence_packing's scale argument. At
+    10^10 docs each bucket stream is an independent training shard."""
+    docs = load(spark, "documents", sf_dir)
+    n_tok = F.size(tokens(F.col("text")))
+    n_chunks = F.ceil(n_tok / SPAN_CHUNK).cast("long")
+    n_media = (
+        F.floor(n_chunks / SPAN_MEDIA_EVERY).cast("long")
+    )
+    bucket = F.pmod(
+        md5int(F.concat(F.lit("ipk:"), F.col("doc_id").cast("string"))),
+        F.lit(buckets),
+    ).cast("int")
+    base = docs.select(
+        "source",
+        "doc_id",
+        bucket.alias("bucket"),
+        n_tok.cast("long").alias("n_tok"),
+        n_media.alias("n_media"),
+        (n_tok + n_media * media_tokens).cast("long").alias("cost"),
+    )
+    w = (
+        Window.partitionBy("source", "bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("cost").over(w), F.lit(0).cast("long"))
+    return (
+        base.withColumn("bin", F.floor(cum_before / ctx_len).cast("int"))
+        .withColumn(
+            "bin_offset", F.pmod(cum_before, F.lit(ctx_len)).cast("int")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def interleaved_packing_sql(
+    ctx_len: int = IPK_CTX,
+    buckets: int = IPK_BUCKETS,
+    media_tokens: int = MEDIA_TOKENS,
+) -> str:
+    tok = TOKENS_SQL.format(c="text")
+    h = MD5INT_SQL.format(c="('ipk:' || CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH base AS (
+  SELECT source, doc_id,
+         CAST({h} % {buckets} AS INT) AS bucket,
+         len({tok})::BIGINT AS n_tok,
+         (CAST(ceil(len({tok}) / {SPAN_CHUNK}.0) AS BIGINT)
+          // {SPAN_MEDIA_EVERY})::BIGINT AS n_media
+  FROM documents
+),
+costed AS (
+  SELECT *, (n_tok + n_media * {media_tokens})::BIGINT AS cost FROM base
+),
+packed AS (
+  SELECT source, doc_id, bucket, n_tok, n_media, cost,
+         coalesce(sum(cost) OVER (PARTITION BY source, bucket
+                                  ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0)::BIGINT AS cum_before
+  FROM costed
+)
+SELECT source, doc_id, bucket, n_tok, n_media, cost,
+       CAST(cum_before // {ctx_len} AS INT) AS bin,
+       CAST(cum_before % {ctx_len} AS INT) AS bin_offset
+FROM packed ORDER BY doc_id
+"""
+
+
 def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the inverted index a search stack consumes from a crawl:
     term → (df, tf_total, first-K posting list sorted by doc_id). The

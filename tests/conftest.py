@@ -46,6 +46,8 @@ _SHARD_COST: dict[str, float] = {
     "test_filesize_gate.py": 13.0,
     "test_sitemap.py": 11.7,
     "test_kmeans.py": 30.0,
+    "test_fetcher.py": 39.0,
+    "test_interleaved_ops.py": 18.0,
     "test_golden_fixtures.py": 8.0,
     "test_rebuild.py": 7.3,
     "test_ckpt.py": 4.1,
