@@ -98,6 +98,14 @@ def entry(spark: SparkSession) -> DataFrame:
             F.count(F.lit(1)).alias("cnt")
         )
         total = Window.partitionBy()
+        # ids persisted by the crawl (about to be released): everything
+        # present BEFORE out's own checkpoint is engine state
+        try:
+            engine_ids = set(
+                spark.sparkContext._jsc.getPersistentRDDs().keys()
+            )
+        except Exception:
+            engine_ids = set()
         out = (
             agg.withColumn(
                 "pct",
@@ -115,6 +123,18 @@ def entry(spark: SparkSession) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+    # release the crawl's localCheckpoint blocks — `out`'s OWN
+    # checkpoint (created after the snapshot above) stays, so the
+    # returned frame remains materialized while the caller's session
+    # is left clean (the bench/driver_sim unpersist discipline)
+    try:
+        for rid, rdd in list(
+            spark.sparkContext._jsc.getPersistentRDDs().items()
+        ):
+            if rid in engine_ids:
+                rdd.unpersist(False)
+    except Exception:
+        pass  # py4j surface absent (Spark Connect): blocks just persist
     return out
 
 
@@ -296,6 +316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # payload axis
         "interleaved_packing": TS.interleaved_packing,
         "media_phash_neardup": MM.media_phash_neardup,
+        "shard_rebalance_audit": SH.shard_rebalance_audit,
+        "bloom_fpr_audit": SK.bloom_fpr_audit,
     }
 
 
@@ -453,4 +475,6 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter_verdicts": CU.quality_filter_verdicts_sql(),
         "interleaved_packing": TS.interleaved_packing_sql(),
         "media_phash_neardup": MM.media_phash_neardup_sql(),
+        "shard_rebalance_audit": SH.shard_rebalance_sql(),
+        "bloom_fpr_audit": SK.bloom_fpr_sql(),
     }

@@ -320,6 +320,8 @@ HEADLINE = [
     # near-dup (Arrow phash + 8x8-bit band join + bit_count verify)
     "interleaved_packing",
     "media_phash_neardup",
+    "shard_rebalance_audit",
+    "bloom_fpr_audit",
 ]
 
 

@@ -101,6 +101,8 @@ QUERIES = [
     # round 5
     "interleaved_packing",
     "media_phash_neardup",
+    "shard_rebalance_audit",
+    "bloom_fpr_audit",
 ]
 
 

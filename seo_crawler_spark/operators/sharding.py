@@ -149,3 +149,153 @@ SELECT strategy, shard, n_docs, n_bytes, n_hosts,
        ((n_bytes * {N_SHARDS} * 1000) // sum(n_bytes) OVER (PARTITION BY strategy))::BIGINT AS bytes_pm
 FROM g ORDER BY strategy, shard
 """
+
+
+# ---------------------------------------------------------------------------
+# Resize-rebalance audit — consistent-hash ring vs mod rehash
+# ---------------------------------------------------------------------------
+RB_N = 8              # baseline cluster size (the north rule's N)
+RB_VNODES = 16        # virtual nodes per shard on the ring
+RB_SPACE = 1 << 60    # ring position space (md5int's 15-hex range)
+# audited transitions: +1 executor (the elasticity case consistent
+# hashing exists for) and N -> 4N (the north rule's scaling pair)
+RB_TRANSITIONS = ((RB_N, RB_N + 1), (RB_N, 4 * RB_N))
+
+
+def shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(policy, transition, n_docs, n_moved, moved_pm): how much data a
+    cluster RESIZE forces each placement policy to move — the second
+    half of the placement story: :func:`shard_balance_audit` measures
+    steady-state balance, this measures the cost of CHANGING size.
+
+    * ``mod`` — shard = hash % n. Resizing n -> n' strands every key
+      whose residue changes: ~n/(n+1) of the corpus for +1 (a near-full
+      reshuffle to add ONE executor), ~3/4 for 8 -> 32.
+    * ``ring`` — consistent hashing (Karger et al., STOC 1997) with
+      RB_VNODES md5-derived virtual nodes per shard: a key belongs to
+      the shard owning the first ring point clockwise of its position.
+      Adding shards moves ONLY keys whose arc a new point splits:
+      ~1/(n+1) for +1. For 8 -> 32 the expected move is the same ~3/4
+      as mod (new shards own 3/4 of the ring) — measured here rather
+      than assumed: the ring's advantage is ELASTICITY, not bulk
+      growth, and the audit shows exactly that split.
+
+    Plan shape at 10^10 keys: key positions are row-local md5
+    arithmetic; ring ownership is one BROADCAST join against the
+    (n'·RB_VNODES)-row ring dimension + a map-side min_by — the
+    standard argmin-over-dim pattern (a production ring would binary-
+    search a sorted broadcast array; the equi-free join is the honest
+    declarative form and AQE keeps it map-side). Mod ownership is pure
+    row arithmetic. Output: 4 exact-integer rows."""
+    docs = load(spark, "documents", sf_dir).select(
+        md5int(
+            F.concat(F.lit("rb:"), F.col("doc_id").cast("string"))
+        ).alias("p")
+    )
+
+    def ring_points(n: int):
+        rows = [
+            (
+                s,
+                _ring_point(s, v),
+            )
+            for s in range(n)
+            for v in range(RB_VNODES)
+        ]
+        return rows
+
+    def ring_owner(df: DataFrame, n: int, col: str) -> DataFrame:
+        pts = df.sparkSession.createDataFrame(
+            ring_points(n), "shard int, point long"
+        )
+        return (
+            df.crossJoin(F.broadcast(pts))
+            .groupBy("p")
+            .agg(
+                F.expr(
+                    f"min_by(shard, pmod(point - p, {RB_SPACE}))"
+                ).alias(col)
+            )
+        )
+
+    sizes = sorted({n for t in RB_TRANSITIONS for n in t})
+    owned = docs
+    for n in sizes:
+        owned = owned.join(ring_owner(docs, n, f"ring_{n}"), "p")
+    for n in sizes:
+        owned = owned.withColumn(f"mod_{n}", F.pmod(F.col("p"), F.lit(n)))
+
+    parts = []
+    for policy in ("mod", "ring"):
+        for a, b in RB_TRANSITIONS:
+            moved = (
+                F.col(f"{policy}_{a}") != F.col(f"{policy}_{b}")
+            ).cast("long")
+            parts.append(
+                owned.agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(moved).alias("n_moved"),
+                ).select(
+                    F.lit(policy).alias("policy"),
+                    F.lit(f"{a}->{b}").alias("transition"),
+                    "n_docs",
+                    "n_moved",
+                    F.expr("(n_moved * 1000) div n_docs").alias("moved_pm"),
+                )
+            )
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out.orderBy("policy", "transition")
+
+
+def _ring_point(shard: int, vnode: int) -> int:
+    import hashlib
+
+    return (
+        int(
+            hashlib.md5(f"ring:{shard}:{vnode}".encode()).hexdigest()[:15],
+            16,
+        )
+        % RB_SPACE
+    )
+
+
+def shard_rebalance_sql() -> str:
+    h = MD5INT_SQL.format(c="'rb:' || CAST(doc_id AS VARCHAR)")
+    sizes = sorted({n for t in RB_TRANSITIONS for n in t})
+    ring_rows = ", ".join(
+        f"({s}, {_ring_point(s, v)}, {n})"
+        for n in sizes
+        for s in range(n)
+        for v in range(RB_VNODES)
+    )
+    ring_cols = ", ".join(
+        f"min_by(r.shard, ((r.point - k.p) % {RB_SPACE} + {RB_SPACE}) "
+        f"% {RB_SPACE}) FILTER (WHERE r.n = {n}) AS ring_{n}"
+        for n in sizes
+    )
+    mod_cols = ", ".join(f"p % {n} AS mod_{n}" for n in sizes)
+    blocks = []
+    for policy in ("mod", "ring"):
+        for a, b in RB_TRANSITIONS:
+            blocks.append(f"""
+SELECT '{policy}' AS policy, '{a}->{b}' AS transition,
+       count(*) AS n_docs,
+       sum(CASE WHEN {policy}_{a} <> {policy}_{b} THEN 1 ELSE 0 END)::BIGINT AS n_moved,
+       ((sum(CASE WHEN {policy}_{a} <> {policy}_{b} THEN 1 ELSE 0 END) * 1000)
+        // count(*))::BIGINT AS moved_pm
+FROM owned""")
+    union = "\nUNION ALL\n".join(blocks)
+    return f"""
+WITH keys AS (SELECT {h} AS p FROM documents),
+ring(shard, point, n) AS (VALUES {ring_rows}),
+ringed AS (
+  SELECT k.p, {ring_cols}
+  FROM keys k CROSS JOIN ring r GROUP BY k.p
+),
+owned AS (SELECT p, {mod_cols}, {', '.join(f'ring_{n}' for n in sizes)}
+          FROM ringed)
+{union}
+ORDER BY policy, transition
+"""

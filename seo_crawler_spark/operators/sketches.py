@@ -777,3 +777,111 @@ SELECT *,
         ELSE NULL END)::BIGINT AS jacc_est_pm
 FROM joined ORDER BY src_a, src_b
 """
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter FPR audit — measure the seen-filter guarantee
+# ---------------------------------------------------------------------------
+BF_M = 1024   # bits — deliberately small vs the shipped key counts so
+              # the false-positive branch is exercised by the test data
+              # (production sizes m = -n·lnp/ln²2; the ENGINE's filter in
+              # operators/seen.py does — this audit measures the math)
+BF_K = 4      # hash functions
+
+
+def bloom_fpr_audit(
+    spark: SparkSession, sf_dir: str, m: int = BF_M, k: int = BF_K
+) -> DataFrame:
+    """(m, k, n_inserted, n_probes, false_pos, fpr_pm): MEASURED
+    false-positive rate of the bloom scheme the frontier's seen filter
+    uses — insert even-doc_id keys, probe the disjoint odd-doc_id set,
+    count full k-position hits. The audit exists because the filter's
+    guarantee is probabilistic: a deploy sizing (m, k) for 10^10 seen
+    URLs should measure the realized FPR against (1−e^{−kn/m})^k on
+    real key material, not assume it (md5 is not an idealized oracle).
+
+    Plan shape: positions are row-local md5 arithmetic; the BIT SET is
+    the distinct-position frame (≤ m rows — a broadcast dimension by
+    construction); membership = one broadcast semi-join + a per-probe
+    count-of-matched-positions == k test. No bitmap bytes cross
+    engines, so the DuckDB twin replays the identical set logic —
+    bit-for-bit the same verdicts as a packed-bitmap probe, stated in
+    joins (the engine's packed path lives in operators/seen.py and is
+    pinned equivalent to the exact anti-join by test_properties)."""
+    docs = load(spark, "documents", sf_dir).select("doc_id")
+    ins = docs.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    probes = docs.filter(F.pmod("doc_id", F.lit(2)) == 1)
+
+    def positions(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            md5int(
+                                F.concat(
+                                    F.lit(f"bf:{i}:"),
+                                    F.col("doc_id").cast("string"),
+                                )
+                            ),
+                            F.lit(m),
+                        )
+                        for i in range(k)
+                    ]
+                )
+            ).alias("pos"),
+        )
+
+    bitset = positions(ins).select("pos").distinct()
+    hits = (
+        positions(probes)
+        .join(F.broadcast(bitset), "pos")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("set_bits"))
+        .filter(F.col("set_bits") == k)
+    )
+    n_ins = ins.agg(F.count(F.lit(1)).alias("n")).select("n")
+    n_pr = probes.agg(F.count(F.lit(1)).alias("n")).select("n")
+    fp = hits.agg(F.count(F.lit(1)).alias("n")).select("n")
+    return (
+        n_ins.crossJoin(n_pr.withColumnRenamed("n", "np"))
+        .crossJoin(fp.withColumnRenamed("n", "nfp"))
+        .select(
+            F.lit(m).alias("m"),
+            F.lit(k).alias("k"),
+            F.col("n").alias("n_inserted"),
+            F.col("np").alias("n_probes"),
+            F.col("nfp").alias("false_pos"),
+            F.expr("(nfp * 1000) div np").alias("fpr_pm"),
+        )
+    )
+
+
+def bloom_fpr_sql(m: int = BF_M, k: int = BF_K) -> str:
+    def pos(i: int, key: str) -> str:
+        return MD5INT_SQL.format(c=f"'bf:{i}:' || CAST({key} AS VARCHAR)") + f" % {m}"
+
+    ins_pos = " UNION ".join(
+        f"SELECT {pos(i, 'doc_id')} AS pos FROM documents WHERE doc_id % 2 = 0"
+        for i in range(k)
+    )
+    probe_pos = " UNION ALL ".join(
+        f"SELECT doc_id, {pos(i, 'doc_id')} AS pos FROM documents WHERE doc_id % 2 = 1"
+        for i in range(k)
+    )
+    return f"""
+WITH bitset AS ({ins_pos}),
+probep AS ({probe_pos}),
+hits AS (
+  SELECT p.doc_id
+  FROM probep p JOIN bitset b USING (pos)
+  GROUP BY p.doc_id HAVING count(*) = {k}
+)
+SELECT {m} AS m, {k} AS k,
+       (SELECT count(*) FROM documents WHERE doc_id % 2 = 0) AS n_inserted,
+       (SELECT count(*) FROM documents WHERE doc_id % 2 = 1) AS n_probes,
+       (SELECT count(*) FROM hits)::BIGINT AS false_pos,
+       (((SELECT count(*) FROM hits) * 1000)
+        // (SELECT count(*) FROM documents WHERE doc_id % 2 = 1))::BIGINT AS fpr_pm
+"""

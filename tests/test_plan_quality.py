@@ -31,6 +31,19 @@ NESTED_LOOP_EXEMPT = {
     # equality, leaving a 1-row × 1-row nested loop per percentile.
     # Both sides are bounded at 1 row by construction: O(1·1)·|QSK_QS|.
     "length_quantile_sketch",
+    # shard_rebalance_audit's ring ownership is an argmin over the
+    # (≤ 49·16)-row virtual-node dimension — there is no equi key by
+    # construction (every key compares against every ring point), so
+    # broadcast nested loop with a bounded-by-construction build side
+    # IS the designed plan (a production ring binary-searches a sorted
+    # broadcast array; the declarative form is the dim join). The final
+    # 1-row metric rows also crossJoin 1-row aggregates.
+    "shard_rebalance_audit",
+    # bloom_fpr_audit assembles its single output row by crossJoining
+    # three ONE-ROW aggregates (n_inserted, n_probes, false_pos) — the
+    # hits_scores scalar-subquery shape: broadcast of a single row,
+    # O(1·1), no driver round-trip.
+    "bloom_fpr_audit",
 }
 
 QUERIES = sorted(entry_mod.queries().keys())
