@@ -40,7 +40,6 @@ from .simsearch import (
     DOT_SCALE,
     ICOS_SCALE,
     N_CELLS,
-    _int_dot,
     cell_assign_udf,
     literal_cell_scores,
     pivot_centroids,
@@ -97,33 +96,49 @@ def semdedup(
     # IEEE-exact op on int64-derived doubles in the same order as the
     # oracle, so the drop verdict is engine-exact (no data-dependent
     # float boundary; round-4 verdict "What's wrong" #3). Norm
-    # precomputed per VECTOR (one array fold each), not per pair.
-    inorm = F.aggregate(
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * DOT_SCALE).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v * v,
+    # quantized array AND norm precomputed per VECTOR (one transform +
+    # one fold each), never per pair — the pair stage then runs ONE
+    # int64 zip_with multiply-sum per candidate (re-flooring inside the
+    # pair loop measured 2× the whole query's cost at sf0.1)
+    qarr = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") * DOT_SCALE).cast("long"),
     )
-    sides = assigned.withColumn("inorm", inorm)
+    inorm = F.aggregate(
+        F.col("qemb"), F.lit(0).cast("long"), lambda acc, v: acc + v * v
+    )
+    sides = (
+        assigned.withColumn("qemb", qarr)
+        .withColumn("inorm", inorm)
+        # sqrt hoisted per VECTOR as well — the same IEEE sqrt value the
+        # oracle computes per pair, so icos stays bit-identical while
+        # the pair loop does one zip_with sum + two divs + one floor
+        .withColumn("snorm", F.sqrt(F.col("inorm").cast("double")))
+    )
     a = sides.select(
         F.col("cell"),
         F.col("vec_id").alias("a"),
-        F.col("embedding").alias("va"),
+        F.col("qemb").alias("qa"),
         F.col("inorm").alias("na"),
+        F.col("snorm").alias("sna"),
     )
     b = sides.select(
         F.col("cell"),
         F.col("vec_id").alias("b"),
-        F.col("embedding").alias("vb"),
+        F.col("qemb").alias("qb"),
         F.col("inorm").alias("nb"),
+        F.col("snorm").alias("snb"),
     )
     icos_t = int(round(threshold * ICOS_SCALE))
+    idot = F.aggregate(
+        F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
     icos = F.floor(
-        _int_dot(F.col("va"), F.col("vb")).cast("double")
-        / F.sqrt(F.col("na").cast("double"))
-        / F.sqrt(F.col("nb").cast("double"))
+        idot.cast("double")
+        / F.col("sna")
+        / F.col("snb")
         * F.lit(float(ICOS_SCALE))
     ).cast("long")
     drops = (

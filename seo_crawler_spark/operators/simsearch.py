@@ -1211,12 +1211,23 @@ def bitext_mining(
         # reused by both the src and tgt join below
         .localCheckpoint(eager=True)
     )
-    ea = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
-    eb = emb.select(F.col("vec_id").alias("tgt"), F.col("embedding").alias("vb"))
+    # pre-quantized int64 arrays per vector (one transform each) — the
+    # pair stage then does one zip_with multiply-sum per candidate
+    # instead of re-flooring both vectors inside every pair (measured
+    # 2× the pair-stage cost in semdedup's identical pattern)
+    ea = emb.select(F.col("vec_id").alias("src"), qarr.alias("qa"))
+    eb = emb.select(F.col("vec_id").alias("tgt"), qarr.alias("qb"))
     pairs = (
         cand.join(ea, "src")
         .join(eb, "tgt")
-        .withColumn("idot", _int_dot(F.col("va"), F.col("vb")))
+        .withColumn(
+            "idot",
+            F.aggregate(
+                F.zip_with(F.col("qa"), F.col("qb"), lambda x, y: x * y),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
+        )
         .join(norms.select(F.col("vec_id").alias("src"), F.col("inorm").alias("na")), "src")
         .join(norms.select(F.col("vec_id").alias("tgt"), F.col("inorm").alias("nb")), "tgt")
         .select(
