@@ -193,20 +193,17 @@ def shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     )
 
-    def ring_points(n: int):
-        rows = [
-            (
-                s,
-                _ring_point(s, v),
-            )
-            for s in range(n)
-            for v in range(RB_VNODES)
-        ]
-        return rows
-
     def ring_owner(df: DataFrame, n: int, col: str) -> DataFrame:
+        # per-size vnode dim join: measured FASTER than a single
+        # n-tagged dim with conditional min_bys (the CASE-gated agg
+        # costs more than the extra joins at every tested scale)
         pts = df.sparkSession.createDataFrame(
-            ring_points(n), "shard int, point long"
+            [
+                (s, _ring_point(s, v))
+                for s in range(n)
+                for v in range(RB_VNODES)
+            ],
+            "shard int, point long",
         )
         return (
             df.crossJoin(F.broadcast(pts))
@@ -225,28 +222,39 @@ def shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for n in sizes:
         owned = owned.withColumn(f"mod_{n}", F.pmod(F.col("p"), F.lit(n)))
 
-    parts = []
-    for policy in ("mod", "ring"):
-        for a, b in RB_TRANSITIONS:
-            moved = (
-                F.col(f"{policy}_{a}") != F.col(f"{policy}_{b}")
-            ).cast("long")
-            parts.append(
-                owned.agg(
-                    F.count(F.lit(1)).alias("n_docs"),
-                    F.sum(moved).alias("n_moved"),
-                ).select(
-                    F.lit(policy).alias("policy"),
-                    F.lit(f"{a}->{b}").alias("transition"),
-                    "n_docs",
-                    "n_moved",
-                    F.expr("(n_moved * 1000) div n_docs").alias("moved_pm"),
-                )
+    # ONE pass: melt (policy, transition, moved) row-locally — a
+    # bounded 4× explode — then a single map-side-combined aggregate.
+    # (The first cut ran 4 separate agg branches; without plan reuse
+    # each branch recomputed the full ring lineage: 64 exchanges and
+    # ~4 s where one shuffle of 4-key partials suffices.)
+    cells = owned.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(policy).alias("policy"),
+                        F.lit(f"{a}->{b}").alias("transition"),
+                        (
+                            F.col(f"{policy}_{a}") != F.col(f"{policy}_{b}")
+                        )
+                        .cast("long")
+                        .alias("moved"),
+                    )
+                    for policy in ("mod", "ring")
+                    for a, b in RB_TRANSITIONS
+                ]
             )
-    out = parts[0]
-    for pdf in parts[1:]:
-        out = out.unionByName(pdf)
-    return out.orderBy("policy", "transition")
+        ).alias("c")
+    ).select("c.policy", "c.transition", "c.moved")
+    return (
+        cells.groupBy("policy", "transition")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("moved").alias("n_moved"),
+        )
+        .withColumn("moved_pm", F.expr("(n_moved * 1000) div n_docs"))
+        .orderBy("policy", "transition")
+    )
 
 
 def _ring_point(shard: int, vnode: int) -> int:
