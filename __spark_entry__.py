@@ -318,6 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_phash_neardup": MM.media_phash_neardup,
         "shard_rebalance_audit": SH.shard_rebalance_audit,
         "bloom_fpr_audit": SK.bloom_fpr_audit,
+        "token_dist_drift": CS.token_dist_drift,
     }
 
 
@@ -477,4 +478,5 @@ def oracle_sql() -> dict[str, str]:
         "media_phash_neardup": MM.media_phash_neardup_sql(),
         "shard_rebalance_audit": SH.shard_rebalance_sql(),
         "bloom_fpr_audit": SK.bloom_fpr_sql(),
+        "token_dist_drift": CS.token_dist_drift_sql(),
     }

@@ -322,6 +322,7 @@ HEADLINE = [
     "media_phash_neardup",
     "shard_rebalance_audit",
     "bloom_fpr_audit",
+    "token_dist_drift",
 ]
 
 

@@ -103,6 +103,7 @@ QUERIES = [
     "media_phash_neardup",
     "shard_rebalance_audit",
     "bloom_fpr_audit",
+    "token_dist_drift",
 ]
 
 

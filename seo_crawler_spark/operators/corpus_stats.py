@@ -1196,3 +1196,106 @@ SELECT doc_id,
 FROM occ JOIN dfreq USING (source, h)
 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Snapshot drift monitor — per-source total-variation distance
+# ---------------------------------------------------------------------------
+
+
+def token_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, tok_a, tok_b, n_terms, tvd_pm): distributional DRIFT of
+    each source's unigram distribution between two crawl snapshots —
+    the monitor a continuously-recrawling pipeline runs per wave: a
+    source whose token distribution jumps (template rewrite, spam
+    takeover, language flip, parser regression) needs re-curation
+    before its new pages enter training mixes. ``crawl_snapshot_diff``
+    tells which PAGES changed; this tells whether the source still
+    *reads* the same.
+
+    Snapshots are stood in by the deterministic md5 doc split
+    (half A = md5('dr:'+doc_id) even, half B = odd) — in production
+    the two sides are consecutive date partitions and the operator is
+    unchanged. Drift = total-variation distance on the exact integer
+    grid: TVD = ½·Σ_t |c_a(t)/N_a − c_b(t)/N_b|, emitted per-mille as
+    (500·Σ_t |c_a·N_b − c_b·N_a|) div (N_a·N_b) — every term exact
+    int64 (bounded: per-source token totals beyond ~3·10⁹ should feed
+    per-source downsampled counts to stay inside int64; the audit is
+    per-source, so the bound is per-SOURCE volume, not corpus volume).
+
+    Scale shape: ONE map-side-combined (source, term) aggregate with
+    two conditional sums (the halves never materialize separately),
+    a broadcast join of the |sources|-row totals, and ONE per-source
+    sum — no joins keyed by term, no pair stage. TVD ∈ [0, 1000] with
+    0 = identical distributions; the md5 split makes shipped-data
+    drift pure sampling noise (small, nonzero — both pinned in
+    tests), while a real template change saturates toward 1000."""
+    docs = load(spark, "documents", sf_dir)
+    half = F.pmod(
+        md5int(F.concat(F.lit("dr:"), F.col("doc_id").cast("string"))),
+        F.lit(2),
+    )
+    terms = docs.select(
+        "source",
+        half.alias("h"),
+        F.explode(tokens(F.col("text"))).alias("t"),
+    )
+    counts = terms.groupBy("source", "t").agg(
+        F.sum((F.col("h") == 0).cast("long")).alias("ca"),
+        F.sum((F.col("h") == 1).cast("long")).alias("cb"),
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    return (
+        counts.join(F.broadcast(totals), "source")
+        .groupBy("source")
+        .agg(
+            F.max("na").alias("tok_a"),
+            F.max("nb").alias("tok_b"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum(
+                F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+            ).alias("isum"),
+        )
+        .withColumn(
+            "tvd_pm",
+            F.when(
+                (F.col("tok_a") == 0) | (F.col("tok_b") == 0),
+                F.lit(None).cast("long"),
+            ).otherwise(F.expr("(isum * 500) div (tok_a * tok_b)")),
+        )
+        .select("source", "tok_a", "tok_b", "n_terms", "tvd_pm")
+        .orderBy("source")
+    )
+
+
+def token_dist_drift_sql() -> str:
+    tok = TOKENS_SQL.format(c="text")
+    h = MD5INT_SQL.format(c="'dr:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH terms AS (
+  SELECT source, {h} % 2 AS h, unnest({tok}) AS t FROM documents
+),
+counts AS (
+  SELECT source, t,
+         sum(CASE WHEN h = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+         sum(CASE WHEN h = 1 THEN 1 ELSE 0 END)::BIGINT AS cb
+  FROM terms GROUP BY source, t
+),
+totals AS (
+  SELECT source, sum(ca)::BIGINT AS na, sum(cb)::BIGINT AS nb
+  FROM counts GROUP BY source
+),
+g AS (
+  SELECT c.source, max(t.na) AS tok_a, max(t.nb) AS tok_b,
+         count(*) AS n_terms,
+         sum(abs(c.ca * t.nb - c.cb * t.na))::BIGINT AS isum
+  FROM counts c JOIN totals t USING (source)
+  GROUP BY c.source
+)
+SELECT source, tok_a, tok_b, n_terms,
+       CASE WHEN tok_a = 0 OR tok_b = 0 THEN NULL
+            ELSE ((isum * 500) // (tok_a * tok_b))::BIGINT END AS tvd_pm
+FROM g ORDER BY source
+"""

@@ -249,3 +249,43 @@ def test_bloom_fpr_audit_matches_python_and_theory(spark):
     theory = (1 - math.exp(-BF_K * n_ins / BF_M)) ** BF_K
     assert r["false_pos"] > 0
     assert 0.3 * theory <= r["false_pos"] / n_pr <= 2.0 * theory
+
+
+def test_token_dist_drift_matches_python_model(spark):
+    """TVD drift per source vs a pure-python model over the md5 doc
+    split; drift must behave like sampling noise on shipped data
+    (nonzero, bounded) and hit 1000 for a simulated full flip."""
+    from collections import Counter
+
+    from seo_crawler_spark.operators.corpus_stats import token_dist_drift
+
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "source", "text"]
+    ).to_pylist()
+    per: dict = {}
+    for d in docs:
+        h = _md5i(f"dr:{d['doc_id']}") % 2
+        c = per.setdefault(d["source"], (Counter(), Counter()))[h]
+        c.update(re.findall(r"\w+|[^\w\s]", d["text"]))
+    ref = {}
+    for s, (a, b) in per.items():
+        na, nb = sum(a.values()), sum(b.values())
+        vocab = set(a) | set(b)
+        isum = sum(abs(a[t] * nb - b[t] * na) for t in vocab)
+        tvd = None if na == 0 or nb == 0 else (isum * 500) // (na * nb)
+        ref[s] = (na, nb, len(vocab), tvd)
+    got = {
+        r["source"]: (r["tok_a"], r["tok_b"], r["n_terms"], r["tvd_pm"])
+        for r in token_dist_drift(spark, SF).collect()
+    }
+    assert got == ref
+    # sampling-noise band on shipped data: nonzero, nowhere near a
+    # template flip
+    vals = [v[3] for v in got.values() if v[3] is not None]
+    assert vals and all(0 < v < 700 for v in vals)
+    # analytic endpoint: disjoint vocabularies give TVD exactly 1000
+    na, nb = 10, 20
+    isum = sum(abs(c * nb - 0 * na) for c in (4, 6)) + sum(
+        abs(0 * nb - c * na) for c in (12, 8)
+    )
+    assert (isum * 500) // (na * nb) == 1000
