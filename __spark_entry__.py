@@ -75,6 +75,15 @@ def entry(spark: SparkSession) -> DataFrame:
         except Exception:
             prior[k] = None
         spark.conf.set(k, v)
+    # CALLER-owned persisted state present before the crawl starts —
+    # never unpersist these (a caller's localCheckpointed frame has no
+    # lineage to recompute from; dropping its blocks is data loss)
+    try:
+        baseline_ids = set(
+            spark.sparkContext._jsc.getPersistentRDDs().keys()
+        )
+    except Exception:
+        baseline_ids = set()
     try:
         n_docs = min(load(spark, "documents", SF0001).count(), 300)
         corpus = generate_corpus(
@@ -123,15 +132,15 @@ def entry(spark: SparkSession) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
-    # release the crawl's localCheckpoint blocks — `out`'s OWN
-    # checkpoint (created after the snapshot above) stays, so the
-    # returned frame remains materialized while the caller's session
-    # is left clean (the bench/driver_sim unpersist discipline)
+    # release the crawl's localCheckpoint blocks — only ids created by
+    # THIS call (after baseline, before out's checkpoint); `out`'s own
+    # checkpoint and any caller-owned pre-existing state both stay
+    # (the bench/driver_sim unpersist discipline)
     try:
         for rid, rdd in list(
             spark.sparkContext._jsc.getPersistentRDDs().items()
         ):
-            if rid in engine_ids:
+            if rid in engine_ids and rid not in baseline_ids:
                 rdd.unpersist(False)
     except Exception:
         pass  # py4j surface absent (Spark Connect): blocks just persist

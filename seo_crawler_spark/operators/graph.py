@@ -1837,7 +1837,14 @@ def rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # num = n(n²−1) − 6Σd², rho_ppm = sign(num)·(|num|·10⁶ div n(n²−1)).
     # Integer-exact in both engines — no double rounding boundary to
     # flip cross-engine — and NULL-gated on n ≥ 2 (denominator 0).
+    # |num|·10⁶ wraps int64 once den > 2⁶³/10⁶ (a source with ≥ ~21k
+    # docs), so past that bound BOTH engines take the identical
+    # int64-derived-double floor path (the icos discipline: |num| ≤ den
+    # keeps the ratio in [0,1], one correctly-rounded IEEE divide +
+    # multiply + floor — engine-identical); below it the exact integer
+    # div is unchanged, so driver-scale values are untouched.
     den = (F.col("n") * (F.col("n") * F.col("n") - 1)).cast("long")
+    safe = (1 << 63) // 1_000_000  # 9_223_372_036_854
     return (
         g.withColumn("__den", den)
         .withColumn("__num", F.col("__den") - 6 * F.col("isum_d2"))
@@ -1849,7 +1856,16 @@ def rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(
                 (
                     F.signum("__num").cast("long")
-                    * F.expr("abs(__num * 1000000) div __den")
+                    * F.when(
+                        F.col("__den") <= safe,
+                        F.expr("abs(__num * 1000000) div __den"),
+                    ).otherwise(
+                        F.floor(
+                            F.abs("__num").cast("double")
+                            / F.col("__den").cast("double")
+                            * F.lit(1_000_000.0)
+                        )
+                    )
                 ).cast("long")
             )
             .alias("rho_ppm"),
@@ -1888,7 +1904,11 @@ g2 AS (
 SELECT source, n, isum_d2,
        CASE WHEN den = 0 THEN NULL
             ELSE (CASE WHEN num < 0 THEN -1 ELSE 1 END
-                  * (abs(num * 1000000) // den))::BIGINT END AS rho_ppm
+                  * (CASE WHEN den <= 9223372036854
+                          THEN abs(num * 1000000) // den
+                          ELSE floor(abs(num)::DOUBLE / den::DOUBLE
+                                     * 1000000.0)::BIGINT
+                     END))::BIGINT END AS rho_ppm
 FROM g2 ORDER BY source
 """
 

@@ -187,10 +187,19 @@ def shard_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     search a sorted broadcast array; the equi-free join is the honest
     declarative form and AQE keeps it map-side). Mod ownership is pure
     row arithmetic. Output: 4 exact-integer rows."""
-    docs = load(spark, "documents", sf_dir).select(
-        md5int(
-            F.concat(F.lit("rb:"), F.col("doc_id").cast("string"))
-        ).alias("p")
+    # distinct KEY POSITIONS (not docs): the oracle's ring CTE groups
+    # by p, so an md5 collision (two doc_ids, one p — ~n²/2⁶¹, nonzero
+    # at corpus scale) would otherwise count once there and twice here.
+    # Colliding keys place identically under every policy, so distinct
+    # is also the honest unit ("keys moved").
+    docs = (
+        load(spark, "documents", sf_dir)
+        .select(
+            md5int(
+                F.concat(F.lit("rb:"), F.col("doc_id").cast("string"))
+            ).alias("p")
+        )
+        .distinct()
     )
 
     def ring_owner(df: DataFrame, n: int, col: str) -> DataFrame:

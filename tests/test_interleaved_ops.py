@@ -165,7 +165,9 @@ def test_shard_rebalance_matches_python_model(spark):
     )
 
     docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"]).to_pylist()
-    keys = [_md5i(f"rb:{d['doc_id']}") for d in docs]
+    # distinct key positions — the operator's unit (md5 collisions
+    # place identically under every policy and count once)
+    keys = sorted({_md5i(f"rb:{d['doc_id']}") for d in docs})
     sizes = sorted({n for t in RB_TRANSITIONS for n in t})
     rings = {
         n: sorted(
