@@ -18,17 +18,20 @@ reference; learning-on-separable-data is pinned by a dedicated test
 corpus where accuracy must reach 1.0.
 
 Spark shape per GD iteration (ITERS total, on a once-checkpointed
-feature table):
+feature table carrying its doc meta inline — see _feats_meta_joined):
 
 * score: feats ⋈ broadcast(weights) on feature id — weights are a
   D-row DataFrame, NOT expression-tree literals, so the same plan
   serves D = 2^20 production hashing dims (the r3 lesson from the
-  semdedup centroid literals) — then ONE map-side-combined per-doc sum;
+  semdedup centroid literals) — then the per-doc logit as ONE window
+  sum over a hash(doc_id) shuffle of the narrow feature rows;
 * residual: row-local sigmoid, quantized to the ERR_SCALE integer grid;
-* gradient: one equi-join back to feats + ONE map-side-combined
-  per-feature integer sum → a D-row driver collect (the per-iteration
-  driver constant every distributed GD trainer ends an iteration with —
-  same pattern as kmeans_quantizer's centroid collect);
+* gradient: ONE map-side-combined per-feature integer sum in the same
+  pass → a D-row driver collect (the per-iteration driver constant
+  every distributed GD trainer ends an iteration with — same pattern
+  as kmeans_quantizer's centroid collect). The round-5 shape re-joined
+  feats↔meta and feats↔residuals every iteration; round 6 fused both
+  joins away (guide §2.4), leaving one narrow shuffle per iteration;
 * update: driver-side integer arithmetic on the D weights.
 
 At 10^10 documents full-batch GD becomes mini-batch by standard
@@ -64,6 +67,22 @@ from pyspark.sql import functions as F
 
 from ..functions.text import MD5INT_SQL, TOKENS_SQL, md5int, tokens
 from ..sources.tables import load
+
+
+def _wdf(spark: SparkSession, iw: list[int]) -> DataFrame:
+    """The D-row weight table as a DataFrame. Built through the
+    arrow/pandas path: a list-of-tuples createDataFrame round-trips
+    through an RDD, so broadcasting it costs a (driver-latency) job
+    per GD iteration; the arrow path yields a LocalRelation the
+    broadcast build reads directly (measured 0.8 s/iter → 0.44 s/iter
+    at sf0.1). Same rows, same schema — at 2^20 production dims the
+    weights stay a DataFrame either way (never plan literals)."""
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"j": range(len(iw)), "iw": iw}),
+        "j long, iw long",
+    )
 
 HASH_DIM = 64  # hashing-trick feature dim (2^20 in production; see above)
 GD_ITERS = 6
@@ -102,52 +121,106 @@ def _features(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return feats, meta
 
 
-def _train(
-    spark: SparkSession, docs: DataFrame, iters: int = GD_ITERS
-) -> list[int]:
-    """Run `iters` full-batch GD steps; return the D final int weights."""
-    feats, meta = _features(docs)
-    feats = feats.localCheckpoint(eager=True)
-    meta = meta.localCheckpoint(eager=True)
-    n_docs = meta.count()  # 1 driver scalar
-    iw = [0] * HASH_DIM
-    for _ in range(iters):
-        wdf = spark.createDataFrame(
-            [(j, iw[j]) for j in range(HASH_DIM)], "j long, iw long"
+def _feats_meta_joined(docs: DataFrame) -> DataFrame:
+    """(doc_id, j, c, n_tok, y): the hashed features WITH their doc's
+    meta columns inlined, hash-partitioned by doc_id and checkpointed.
+
+    Round-6 restructure (guide §2.3/§2.4 — fuse the two feature passes,
+    then shuffle narrow rows once per iteration instead of running two
+    corpus joins): the old shape checkpointed feats and meta separately
+    and each GD iteration re-joined them (broadcast-weight join →
+    groupBy(doc_id) exchange → meta equi-join → gradient equi-join →
+    groupBy(j) exchange). With n_tok/y inlined on the feature rows the
+    iteration becomes: broadcast-weight join → ONE hash(doc_id)
+    exchange + window sum for the per-doc logit → row-local residual →
+    map-side gradient agg → D-row exchange. Both per-iteration joins
+    are gone; the only corpus-scale movement left is one narrow
+    (doc_id, j, c, n_tok, y) shuffle. The per-doc values are the same
+    integer sums, so the trajectory is bit-identical.
+
+    n_tok/y come from a window over the doc_id partitioning rather than
+    a meta join: y is constant per doc (max over equal values), n_tok
+    the same integer count the meta aggregate produced."""
+    from pyspark.sql import Window
+
+    tokd = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(tokens(F.col("text"))).alias("t"),
+    )
+    per_jc = tokd.groupBy(
+        "doc_id", (md5int(F.col("t")) % HASH_DIM).alias("j")
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.max(
+            F.when(F.col("lang") == POSITIVE_LANG, F.lit(1)).otherwise(
+                F.lit(0)
+            )
         )
-        iz = (
-            feats.join(F.broadcast(wdf), "j")
-            .groupBy("doc_id")
-            .agg(F.sum(F.col("c") * F.col("iw")).alias("iz"))
-        )
-        # residual on the ERR_SCALE grid; z's division is the identical
-        # double op in the SQL twin (same numerator int, same denominator)
-        errs = meta.join(iz, "doc_id", "left").select(
+        .cast("long")
+        .alias("yj"),
+    )
+    wd = Window.partitionBy("doc_id")
+    return (
+        per_jc.repartition("doc_id")
+        .select(
             "doc_id",
-            F.floor(
-                (
+            "j",
+            "c",
+            F.sum("c").over(wd).alias("n_tok"),
+            F.max("yj").over(wd).alias("y"),
+        )
+        # plain localCheckpoint: bounded loop (GD_ITERS), so inherited
+        # stats cannot compound; the blocks are re-read 7× (6 GD rounds
+        # + the scoring pass) without re-tokenizing
+        .localCheckpoint(eager=True)
+    )
+
+
+def _iter_ierr() -> F.Column:
+    """The per-row residual expression over (iz, n_tok, y) — identical
+    double ops to the SQL twin (same numerator int, same denominator)."""
+    return (
+        F.floor(
+            (
+                F.lit(1.0)
+                / (
                     F.lit(1.0)
-                    / (
-                        F.lit(1.0)
-                        + F.exp(
-                            -(
-                                F.coalesce(F.col("iz"), F.lit(0))
-                                / (
-                                    F.lit(float(W_SCALE))
-                                    * F.col("n_tok")
-                                )
-                            )
+                    + F.exp(
+                        -(
+                            F.col("iz")
+                            / (F.lit(float(W_SCALE)) * F.col("n_tok"))
                         )
                     )
-                    - F.col("y")
                 )
-                * ERR_SCALE
+                - F.col("y")
             )
-            .cast("long")
-            .alias("ierr"),
+            * ERR_SCALE
         )
+        .cast("long")
+        .alias("ierr")
+    )
+
+
+def _train_on(
+    spark: SparkSession, feats_m: DataFrame, n_docs: int,
+    iters: int = GD_ITERS,
+) -> list[int]:
+    """Run `iters` full-batch GD steps over a prebuilt feature table;
+    return the D final int weights. Each iteration is ONE job: scan the
+    checkpointed partitioned features, broadcast-join the weight table,
+    per-doc logit via a window sum (no exchange), row-local residual,
+    map-side gradient agg, D-row collect."""
+    from pyspark.sql import Window
+
+    wd = Window.partitionBy("doc_id")
+    iw = [0] * HASH_DIM
+    for _ in range(iters):
+        wdf = _wdf(spark, iw)
         grads = (
-            feats.join(errs, "doc_id")
+            feats_m.join(F.broadcast(wdf), "j")
+            .withColumn("iz", F.sum(F.col("c") * F.col("iw")).over(wd))
+            .withColumn("ierr", _iter_ierr())
             .groupBy("j")
             .agg(F.sum(F.col("ierr") * F.col("c")).alias("g"))
             .collect()  # D rows — the per-iteration driver constant
@@ -162,6 +235,16 @@ def _train(
     return iw
 
 
+def _train(
+    spark: SparkSession, docs: DataFrame, iters: int = GD_ITERS
+) -> list[int]:
+    """Run `iters` full-batch GD steps; return the D final int weights."""
+    feats_m = _feats_meta_joined(docs)
+    # distinct over doc_id-partitioned data: no exchange, one scan
+    n_docs = feats_m.select("doc_id").distinct().count()
+    return _train_on(spark, feats_m, n_docs, iters)
+
+
 def quality_classifier_train(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -171,9 +254,7 @@ def quality_classifier_train(
     pure-python-reference-equality tests)."""
     iw = _train(spark, load(spark, "documents", sf_dir))
     return (
-        spark.createDataFrame(
-            [(j, iw[j]) for j in range(HASH_DIM)], "j long, iw long"
-        )
+        _wdf(spark, iw)
         .select(
             "j",
             "iw",
@@ -197,21 +278,21 @@ def quality_classifier_filter(
     Zero-token docs keep a row (null logit/pred), like
     lm_perplexity_buckets."""
     docs = load(spark, "documents", sf_dir)
-    iw = _train(spark, docs)
-    wdf = spark.createDataFrame(
-        [(j, iw[j]) for j in range(HASH_DIM)], "j long, iw long"
-    )
-    feats, meta = _features(docs)
-    iz = (
-        feats.join(F.broadcast(wdf), "j")
+    feats_m = _feats_meta_joined(docs)
+    n_docs = feats_m.select("doc_id").distinct().count()
+    iw = _train_on(spark, feats_m, n_docs)
+    wdf = _wdf(spark, iw)
+    # forward pass over the SAME checkpointed partitioned features the
+    # trainer used (no re-tokenize): groupBy(doc_id) needs no exchange
+    scored = (
+        feats_m.join(F.broadcast(wdf), "j")
         .groupBy("doc_id")
-        .agg(F.sum(F.col("c") * F.col("iw")).alias("iz"))
-    )
-    scored = meta.join(iz, "doc_id", "left").select(
-        "doc_id",
-        "n_tok",
-        "y",
-        F.coalesce(F.col("iz"), F.lit(0)).alias("iz"),
+        .agg(
+            F.sum(F.col("c") * F.col("iw")).alias("iz"),
+            F.first("n_tok").alias("n_tok"),
+            F.first("y").alias("y"),
+        )
+        .select("doc_id", "n_tok", "y", "iz")
     )
     return (
         docs.select("doc_id")
@@ -342,23 +423,27 @@ def classifier_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ordering import ordered_seq_counted
 
     docs = load(spark, "documents", sf_dir)
-    iw = _train(spark, docs)
-    wdf = spark.createDataFrame(
-        [(j, iw[j]) for j in range(HASH_DIM)], "j long, iw long"
-    )
-    feats, meta = _features(docs)
-    iz = (
-        feats.join(F.broadcast(wdf), "j")
+    feats_m = _feats_meta_joined(docs)
+    n_docs = feats_m.select("doc_id").distinct().count()
+    iw = _train_on(spark, feats_m, n_docs)
+    wdf = _wdf(spark, iw)
+    # forward pass over the trainer's checkpointed partitioned features
+    # (no re-tokenize; groupBy(doc_id) needs no exchange)
+    scored = (
+        feats_m.join(F.broadcast(wdf), "j")
         .groupBy("doc_id")
-        .agg(F.sum(F.col("c") * F.col("iw")).alias("iz"))
-    )
-    scored = meta.join(iz, "doc_id", "left").select(
-        "doc_id",
-        "y",
-        (
-            F.coalesce(F.col("iz"), F.lit(0))
-            / (F.lit(float(W_SCALE)) * F.col("n_tok"))
-        ).alias("logit"),
+        .agg(
+            F.sum(F.col("c") * F.col("iw")).alias("iz"),
+            F.first("n_tok").alias("n_tok"),
+            F.first("y").alias("y"),
+        )
+        .select(
+            "doc_id",
+            "y",
+            (
+                F.col("iz") / (F.lit(float(W_SCALE)) * F.col("n_tok"))
+            ).alias("logit"),
+        )
     )
     ranked, n = ordered_seq_counted(scored, ["logit", "doc_id"], seq_col="rn0")
 

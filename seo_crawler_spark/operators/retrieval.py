@@ -468,7 +468,69 @@ BM25F_QUERIES: dict[int, list[str]] = {
 }
 
 
-def bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bm25f_tables(spark: SparkSession, sf_dir: str) -> dict:
+    """Per-field tf tables + corpus stats, built ONCE (each field's tf
+    collapse checkpointed) and shared by :func:`bm25f_topk`,
+    :func:`search_serve` and :func:`ndcg_eval`.
+
+    Round-6 restructure (guide §1.2/§2.4 — don't recompute what you
+    already have): the old shape re-derived the tokenize→tf chain for
+    each of the two average-length collects AND again inside the final
+    scoring job, and the composing queries (search_serve, ndcg_eval)
+    nested the whole chain one more time on top of their own duplicate
+    tokenize/edge passes. Now each field's corpus pass runs exactly
+    once per query call; the two scalar averages come from ONE driver
+    job (a cross-join of the two 1-row aggregates — identical integer
+    sums, identical divisions, so all scores are unchanged)."""
+    from .graph import _ANCHOR_VOCAB, _edges
+
+    docs = load(spark, "documents", sf_dir)
+    n_docs = docs.count()
+
+    # body postings + lengths
+    ex_b = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf_b = ex_b.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tfb")
+    ).localCheckpoint(eager=True)
+    dl_b = tf_b.groupBy("doc_id").agg(F.sum("tfb").alias("dlb"))
+
+    # anchor postings + lengths (in-edge anchors, tokenized)
+    v = len(_ANCHOR_VOCAB)
+    e = _edges(docs.select("doc_id"), n_docs)
+    anchor = F.element_at(
+        F.array(*[F.lit(a) for a in _ANCHOR_VOCAB]),
+        (F.pmod(F.col("src") + F.col("dst"), F.lit(v)) + 1).cast("int"),
+    )
+    ex_a = e.select(
+        F.col("dst").alias("doc_id"),
+        F.explode(F.split(anchor, " ")).alias("term"),
+    )
+    tf_a = ex_a.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tfa")
+    ).localCheckpoint(eager=True)
+    dl_a = tf_a.groupBy("doc_id").agg(F.sum("tfa").alias("dla"))
+
+    # the two corpus averages in ONE driver job (1-row × 1-row cross)
+    sums = (
+        dl_b.agg(F.sum("dlb").alias("sb"))
+        .crossJoin(dl_a.agg(F.sum("dla").alias("sa")))
+        .collect()[0]
+    )
+    return {
+        "docs": docs,
+        "n_docs": n_docs,
+        "tf_b": tf_b,
+        "tf_a": tf_a,
+        "dl_b": dl_b,
+        "dl_a": dl_a,
+        "avgb": (sums["sb"] or 0) / n_docs,
+        "avga": (sums["sa"] or 0) / n_docs,
+    }
+
+
+def bm25f_topk(
+    spark: SparkSession, sf_dir: str, _tables: dict | None = None
+) -> DataFrame:
     """Top-k documents per query under BM25F over TWO fields: the page
     body and the page's INBOUND ANCHOR TEXT (how the rest of the web
     describes it — the signal classic web search weighs above body
@@ -483,45 +545,24 @@ def bm25f_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     field.
 
     Plan shape mirrors bm25_topk (one corpus-scale tf collapse per
-    field, broadcast literal query dim, two-phase salted top-k); the
-    anchor field adds one bounded edge-expansion (in-edges × anchor
-    tokens) and its own map-side tf/len aggs. Contributions are floored
-    onto the BM25_SCALE integer grid before the per-doc sum (the
-    bm25_topk determinism argument, same ln risk class)."""
-    from .graph import _ANCHOR_VOCAB, _edges
+    field — checkpointed once via :func:`_bm25f_tables`, shared with
+    the composing serving/eval queries — broadcast literal query dim,
+    two-phase salted top-k). Contributions are floored onto the
+    BM25_SCALE integer grid before the per-doc sum (the bm25_topk
+    determinism argument, same ln risk class)."""
+    t = _tables or _bm25f_tables(spark, sf_dir)
+    n_docs = t["n_docs"]
+    tf_b, tf_a = t["tf_b"], t["tf_a"]
+    dl_b, dl_a = t["dl_b"], t["dl_a"]
+    avgb, avga = t["avgb"], t["avga"]
 
-    docs = load(spark, "documents", sf_dir)
-    n_docs = docs.count()
-
-    # body postings + lengths
-    ex_b = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    tf_b = ex_b.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tfb"))
-    dl_b = tf_b.groupBy("doc_id").agg(F.sum("tfb").alias("dlb"))
-
-    # anchor postings + lengths (in-edge anchors, tokenized)
-    v = len(_ANCHOR_VOCAB)
-    e = _edges(docs.select("doc_id"), n_docs)
-    anchor = F.element_at(
-        F.array(*[F.lit(a) for a in _ANCHOR_VOCAB]),
-        (F.pmod(F.col("src") + F.col("dst"), F.lit(v)) + 1).cast("int"),
-    )
-    ex_a = e.select(
-        F.col("dst").alias("doc_id"),
-        F.explode(F.split(anchor, " ")).alias("term"),
-    )
-    tf_a = ex_a.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tfa"))
-    dl_a = tf_a.groupBy("doc_id").agg(F.sum("tfa").alias("dla"))
-
-    # cross-field document frequency + corpus averages (driver scalars,
-    # the documented bm25 pattern)
+    # cross-field document frequency
     pres = (
         tf_b.select("doc_id", "term")
         .unionByName(tf_a.select("doc_id", "term"))
         .distinct()
     )
     df_t = pres.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    avgb = (dl_b.agg(F.sum("dlb")).collect()[0][0] or 0) / n_docs
-    avga = (dl_a.agg(F.sum("dla")).collect()[0][0] or 0) / n_docs
 
     q = spark.createDataFrame(
         [(qid, t) for qid, ts in BM25F_QUERIES.items() for t in ts],
@@ -750,8 +791,12 @@ def search_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Extra cost beyond bm25f_topk: one postings pass FILTERED to query
     terms (broadcast probe — never shuffled corpus-wide), one min-pos
     agg over hits of the k·|queries| result docs, one token-array join
-    + row-local slice."""
-    ranked = bm25f_topk(spark, sf_dir).filter(F.col("rank") <= SERVE_K)
+    + row-local slice. The per-field tf tables are built once via
+    :func:`_bm25f_tables` and shared with the nested ranking (round-6:
+    the nested chain used to re-run every corpus pass)."""
+    ranked = bm25f_topk(
+        spark, sf_dir, _tables=_bm25f_tables(spark, sf_dir)
+    ).filter(F.col("rank") <= SERVE_K)
     docs = load(spark, "documents", sf_dir)
     toks = docs.select("doc_id", tokens(F.col("text")).alias("tok"))
     q = spark.createDataFrame(
@@ -851,9 +896,7 @@ def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the registered bm25f ranking; the final ndcg is the one same-int
     division.
     """
-    docs = load(spark, "documents", sf_dir)
-    n_docs = docs.count()
-    from .graph import _ANCHOR_VOCAB, _edges
+    tables = _bm25f_tables(spark, sf_dir)
 
     q = spark.createDataFrame(
         [(qid, t) for qid, ts in BM25F_QUERIES.items() for t in ts],
@@ -863,21 +906,16 @@ def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = spark.createDataFrame(
         list(qsize.items()), "query_id int, n_terms int"
     )
-    body = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(tokens(F.col("text")))).alias("term"),
+    # containment presence = the distinct (doc_id, term) pairs of the
+    # two fields — exactly the tf tables' keys, so the qrels reuse the
+    # checkpointed tables instead of re-tokenizing the corpus and
+    # re-expanding the edge anchors (round-6; sets identical by
+    # construction: a tf row exists iff the term occurs in that field)
+    pres = (
+        tables["tf_b"].select("doc_id", "term")
+        .unionByName(tables["tf_a"].select("doc_id", "term"))
+        .distinct()
     )
-    v = len(_ANCHOR_VOCAB)
-    e = _edges(docs.select("doc_id"), n_docs)
-    anchor = F.element_at(
-        F.array(*[F.lit(a) for a in _ANCHOR_VOCAB]),
-        (F.pmod(F.col("src") + F.col("dst"), F.lit(v)) + 1).cast("int"),
-    )
-    anch = e.select(
-        F.col("dst").alias("doc_id"),
-        F.explode(F.split(anchor, " ")).alias("term"),
-    )
-    pres = body.unionByName(anch).distinct()
     rel = (
         pres.join(F.broadcast(q), "term")
         .groupBy("query_id", "doc_id")
@@ -894,7 +932,7 @@ def ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     warr = F.array(*[F.lit(w).cast("long") for w in NDCG_W])
     dcg = (
-        bm25f_topk(spark, sf_dir)
+        bm25f_topk(spark, sf_dir, _tables=tables)
         .join(rel, ["query_id", "doc_id"], "left")
         .groupBy("query_id")
         .agg(

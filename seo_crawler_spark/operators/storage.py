@@ -62,6 +62,16 @@ _COLUMNS = ("lang", "source", "n_chars")
 
 
 def storage_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE pass per layout for all measured columns (round-6 fusion): the
+    # per-column window (partition pk, order doc_id) is identical for
+    # every column of a layout, so the three lag/is_new computations
+    # share a single sort, the per-pk edge stats collapse into one
+    # aggregate, and the boundary merge runs once over the tiny edge
+    # frame. Before the fusion each (layout, column) was its own branch
+    # — 15 table scans and 15 windows per run (60 Exchanges); now 5
+    # scans / 5 windows (the column axis is row-local arithmetic).
+    # Values are bit-identical: the fused expressions are the originals,
+    # evaluated side by side instead of in separate plans.
     docs = load(spark, "documents", sf_dir).select(
         "doc_id", "lang", "source", "n_chars"
     )
@@ -73,49 +83,74 @@ def storage_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.col(c).cast("string").alias(c) for c in _COLUMNS],
         )
         w = Window.partitionBy("pk").orderBy("doc_id")
-        for col in _COLUMNS:
-            inpart = base.select(
-                "pk",
-                "doc_id",
-                F.col(col).alias("v"),
-                # eqNullSafe mirrors the oracle's IS DISTINCT FROM: a
-                # NULL value starts/continues runs exactly like DuckDB
-                # (plain != yields NULL→"not new" on NULL values)
+        inpart = base.select(
+            "pk",
+            "doc_id",
+            *[F.col(c) for c in _COLUMNS],
+            # eqNullSafe mirrors the oracle's IS DISTINCT FROM: a
+            # NULL value starts/continues runs exactly like DuckDB
+            # (plain != yields NULL→"not new" on NULL values)
+            *[
                 F.when(
-                    ~F.col(col).eqNullSafe(F.lag(col).over(w)),
+                    ~F.col(c).eqNullSafe(F.lag(c).over(w)),
                     F.lit(1),
                 )
                 .otherwise(F.lit(0))
-                .alias("is_new"),
-            )
-            edges = inpart.groupBy("pk").agg(
-                F.sum("is_new").alias("runs"),
-                F.expr("min_by(v, doc_id)").alias("firstv"),
-                F.expr("max_by(v, doc_id)").alias("lastv"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            we = Window.orderBy("pk")  # #partitions rows only
-            merged = edges.select(
-                "runs",
-                "n",
+                .alias(f"is_new_{c}")
+                for c in _COLUMNS
+            ],
+        )
+        edges = inpart.groupBy("pk").agg(
+            *[F.sum(f"is_new_{c}").alias(f"runs_{c}") for c in _COLUMNS],
+            *[
+                F.expr(f"min_by({c}, doc_id)").alias(f"firstv_{c}")
+                for c in _COLUMNS
+            ],
+            *[
+                F.expr(f"max_by({c}, doc_id)").alias(f"lastv_{c}")
+                for c in _COLUMNS
+            ],
+            F.count(F.lit(1)).alias("n"),
+        )
+        we = Window.orderBy("pk")  # #partitions rows only
+        merged = edges.select(
+            *[F.col(f"runs_{c}") for c in _COLUMNS],
+            "n",
+            *[
                 F.when(
-                    F.lag("lastv").over(we) == F.col("firstv"), F.lit(1)
+                    F.lag(f"lastv_{c}").over(we) == F.col(f"firstv_{c}"),
+                    F.lit(1),
                 )
                 .otherwise(F.lit(0))
-                .alias("dup_boundary"),
-            ).agg(
-                F.sum("runs").alias("r"),
-                F.sum("dup_boundary").alias("d"),
-                F.sum("n").alias("nt"),
-            )
-            parts.append(
-                merged.select(
-                    F.lit(layout).alias("layout"),
-                    F.lit(col).alias("column_name"),
-                    (F.col("r") - F.col("d")).alias("n_runs"),
-                    F.expr("((r - d) * 1000) div nt").alias("runs_pm"),
-                )
-            )
+                .alias(f"dup_boundary_{c}")
+                for c in _COLUMNS
+            ],
+        ).agg(
+            *[F.sum(f"runs_{c}").alias(f"r_{c}") for c in _COLUMNS],
+            *[F.sum(f"dup_boundary_{c}").alias(f"d_{c}") for c in _COLUMNS],
+            F.sum("n").alias("nt"),
+        )
+        parts.append(
+            merged.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(layout).alias("layout"),
+                                F.lit(c).alias("column_name"),
+                                (F.col(f"r_{c}") - F.col(f"d_{c}")).alias(
+                                    "n_runs"
+                                ),
+                                F.expr(
+                                    f"((r_{c} - d_{c}) * 1000) div nt"
+                                ).alias("runs_pm"),
+                            )
+                            for c in _COLUMNS
+                        ]
+                    )
+                ).alias("row")
+            ).select("row.*")
+        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -195,6 +230,15 @@ def pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout prunes the n_chars range predicate (matching rows scatter
     through every block — the high-entropy control, same verdict as
     storage_layout_audit's run counts)."""
+    # ONE positioning + block-stats pass per layout for all predicates
+    # (round-6 fusion, same argument as storage_layout_audit): the
+    # in-layout position, the block id and the per-block grouping are
+    # predicate-independent, so the three per-column min/max pairs ride
+    # one groupBy(blk) and the three must-scan verdicts are row-local
+    # tests over the same tiny stats frame. Before: 15 branches, each
+    # re-running scan + window + offset join + block agg (180
+    # Exchanges); after: 5. Values bit-identical — the predicate text
+    # is unchanged, only evaluated against per-column lo/hi names.
     docs = load(spark, "documents", sf_dir).select(
         "doc_id", "lang", "source", "n_chars"
     )
@@ -225,35 +269,53 @@ def pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos = pos_in.join(offs, "pk").withColumn(
             "blk", F.expr(f"(ip + off) div {PRUNE_BLOCK}")
         )
-        for col in ("lang", "source", "n_chars"):
-            stats = pos.groupBy("blk").agg(
-                F.min(col).alias("lo"), F.max(col).alias("hi")
-            )
-            for label, pcol, pred in _PREDICATES:
-                if pcol != col:
-                    continue
-                verdict = stats.select(
-                    F.expr(pred).alias("must_scan")
-                ).groupBy().agg(
-                    F.count(F.lit(1)).alias("n_blocks"),
-                    F.sum(
-                        F.when(F.col("must_scan"), 1).otherwise(0)
-                    ).alias("scanned"),
-                )
-                out_parts.append(
-                    verdict.select(
-                        F.lit(layout).alias("layout"),
-                        F.lit(label).alias("predicate"),
-                        "n_blocks",
-                        "scanned",
-                        (F.col("n_blocks") - F.col("scanned")).alias(
-                            "skipped"
-                        ),
-                        F.expr(
-                            "((n_blocks - scanned) * 1000) div n_blocks"
-                        ).alias("skip_pm"),
+        stats = pos.groupBy("blk").agg(
+            *[F.min(c).alias(f"lo_{c}") for c in ("lang", "source", "n_chars")],
+            *[F.max(c).alias(f"hi_{c}") for c in ("lang", "source", "n_chars")],
+        )
+        verdict = stats.select(
+            *[
+                F.expr(
+                    pred.replace("lo", f"lo_{pcol}").replace(
+                        "hi", f"hi_{pcol}"
                     )
-                )
+                ).alias(f"must_scan_{label}")
+                for label, pcol, pred in _PREDICATES
+            ]
+        ).groupBy().agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            *[
+                F.sum(
+                    F.when(F.col(f"must_scan_{label}"), 1).otherwise(0)
+                ).alias(f"scanned_{label}")
+                for label, _, _ in _PREDICATES
+            ],
+        )
+        out_parts.append(
+            verdict.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(layout).alias("layout"),
+                                F.lit(label).alias("predicate"),
+                                F.col("n_blocks"),
+                                F.col(f"scanned_{label}").alias("scanned"),
+                                (
+                                    F.col("n_blocks")
+                                    - F.col(f"scanned_{label}")
+                                ).alias("skipped"),
+                                F.expr(
+                                    f"((n_blocks - scanned_{label}) * 1000)"
+                                    " div n_blocks"
+                                ).alias("skip_pm"),
+                            )
+                            for label, _, _ in _PREDICATES
+                        ]
+                    )
+                ).alias("row")
+            ).select("row.*")
+        )
     out = out_parts[0]
     for p in out_parts[1:]:
         out = out.unionByName(p)
