@@ -204,44 +204,31 @@ N_PERM, N_BANDS = 32, 8  # r = 4 rows/band
 _R = N_PERM // N_BANDS
 
 
-def _perm(i):
-    # NOTE: must stay a ONE-arg lambda — pyspark's transform() treats
-    # a two-arg callable as (element, index), so a default-bound
-    # `lambda h, i=i:` silently receives the array position as i
-    return lambda h: (F.lit(2 * i + 1) * h + F.lit(7919 * i + 13)) % MOD
-
-
 def _minhash_bands(hashed: DataFrame) -> DataFrame:
     """(doc_id, band, sig) LSH band keys from (doc_id, hh) shingle-hash
     arrays: 32 row-local permutation minima folded into 8 bands of 4.
     Shared by the full self-dedup and the incremental (delta-vs-base)
-    variant so both engines band identically."""
-    sig_wide = hashed.select(
+    variant so both engines band identically. Expressions are SQL
+    strings (round 6): the 32-permutation + 8-band Column-API loops
+    cost ~0.4 s of py4j construction per call (×2 calls in the
+    incremental variant); the parsed strings resolve identically."""
+    sig_wide = hashed.selectExpr(
         "doc_id",
         *[
-            F.array_min(F.transform("hh", _perm(i))).alias(f"mh{i}")
+            f"array_min(transform(hh, h -> "
+            f"(h * {2 * i + 1}L + {7919 * i + 13}L) % {MOD}L)) AS mh{i}"
             for i in range(N_PERM)
         ],
     )
+    bands = ", ".join(
+        f"struct({k} AS band, concat_ws('-', "
+        + ", ".join(f"cast(mh{k * _R + j} as string)" for j in range(_R))
+        + ") AS sig)"
+        for k in range(N_BANDS)
+    )
     return sig_wide.select(
         "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("band"),
-                        F.concat_ws(
-                            "-",
-                            *[
-                                F.col(f"mh{k * _R + j}").cast("string")
-                                for j in range(_R)
-                            ],
-                        ).alias("sig"),
-                    )
-                    for k in range(N_BANDS)
-                ]
-            )
-        ).alias("bk"),
+        F.explode(F.expr(f"array({bands})")).alias("bk"),
     ).select("doc_id", "bk.band", "bk.sig")
 
 
@@ -640,18 +627,17 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.transform("tok", lambda t: md5int(t)).alias("hh"))
         .localCheckpoint(eager=True)
     )
-    zeros = F.array_repeat(F.lit(0).cast("long"), N_BITS)
-    # literal shift counts (pyspark's shiftright wrapper rejects columns)
-    bit_vec = lambda h: F.array(
-        *[
-            (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1).cast("long")
-            for i in range(N_BITS)
-        ]
-    )
-    counters = F.aggregate(
-        F.col("hh"),
-        zeros,
-        lambda acc, h: F.zip_with(acc, bit_vec(h), lambda a, b: a + b),
+    # expressions below are built as SQL strings — the 48-term python
+    # loops over Column ops cost ~1 s of driver-side py4j round-trips
+    # per call (the linalg._qarr round-6 finding); parsed strings build
+    # the identical resolved expressions in two py4j calls
+    bit_vec = "array(" + ", ".join(
+        f"cast((shiftright(h, {i}) & 1) * 2 - 1 as long)"
+        for i in range(N_BITS)
+    ) + ")"
+    counters = F.expr(
+        f"aggregate(hh, array_repeat(0L, {N_BITS}), "
+        f"(acc, h) -> zip_with(acc, {bit_vec}, (a, b) -> a + b))"
     )
     # barrier before packing: the sign pack references the counter array
     # 48× — un-checkpointed, CollapseProject would re-run the whole fold
@@ -659,13 +645,12 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = hashed.select("doc_id", counters.alias("cnt")).localCheckpoint(
         eager=True
     )
-    sim = None
-    for i in range(N_BITS):
-        term = F.when(
-            F.element_at("cnt", i + 1) > 0, F.lit(1 << i).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        sim = term if sim is None else sim + term
-    return cnt.select("doc_id", sim.alias("simhash")).orderBy("doc_id")
+    sim = " + ".join(
+        f"(CASE WHEN element_at(cnt, {i + 1}) > 0 THEN {1 << i}L "
+        "ELSE 0L END)"
+        for i in range(N_BITS)
+    )
+    return cnt.selectExpr("doc_id", f"({sim}) AS simhash").orderBy("doc_id")
 
 
 def simhash_signatures_sql() -> str:

@@ -826,10 +826,13 @@ def seed_distance_bfs(
             .distinct()
             .join(visited.select("doc_id"), "doc_id", "left_anti")
             .select("doc_id", F.lit(hop).alias("dist"))
-            .localCheckpoint(eager=True)  # frontier is the working set
         )
+        # ONE checkpoint per hop (round 6): the folded visited set is
+        # the materialization barrier; the next frontier is a filter
+        # over its blocks (dist = hop), so the former per-hop frontier
+        # checkpoint — a second full job round — is redundant
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt.select("doc_id")
+        frontier = visited.filter(F.col("dist") == hop).select("doc_id")
     return (
         docs.join(visited, "doc_id", "left")
         .select(
@@ -1708,6 +1711,12 @@ def kcore_decomposition(
         drop = alive_prev.join(survivors, "doc_id", "left_anti").select(
             "doc_id", F.lit(r).alias("peel_round")
         )
+        # NOTE (round 6): keeping `peeled` lazy here (chained
+        # anti-joins, no per-round checkpoint) was tried and REVERTED —
+        # it tripled the query's wall time (3.1 s → 8.8 s at sf0.1):
+        # the nested chain re-optimizes and re-evaluates every prior
+        # round's degree subtree at each reference. The per-round
+        # materialization is load-bearing, not overhead.
         peeled = (
             drop
             if peeled is None
@@ -2025,9 +2034,11 @@ def pagerank_warm_start(
     ).filter(F.col("src") != F.col("dst"))
     e_new = e_old.unionByName(delta)
 
-    def loop(e: DataFrame, iters: int, seed: DataFrame) -> DataFrame:
+    def prep(e: DataFrame) -> DataFrame:
         outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-        e2 = e.join(outdeg, "src").localCheckpoint(eager=True)
+        return e.join(outdeg, "src").localCheckpoint(eager=True)
+
+    def loop(e2: DataFrame, iters: int, seed: DataFrame) -> DataFrame:
         score = seed
         for _ in range(iters):
             contrib = (
@@ -2056,10 +2067,15 @@ def pagerank_warm_start(
     uniform = docs.select(
         "doc_id", F.lit(SCALE).cast("long").alias("score")
     )
-    old = loop(e_old, ITERS, uniform)
-    full = loop(e_new, ITERS, uniform)
-    warm = loop(e_new, warm_iters, old)
-    cold = loop(e_new, warm_iters, uniform)
+    # round 6: the post-delta degree-annotated edge table is built ONCE
+    # and shared by the full/warm/cold loops (it was re-built and
+    # re-checkpointed per loop — two redundant corpus passes)
+    e2_old = prep(e_old)
+    e2_new = prep(e_new)
+    old = loop(e2_old, ITERS, uniform)
+    full = loop(e2_new, ITERS, uniform)
+    warm = loop(e2_new, warm_iters, old)
+    cold = loop(e2_new, warm_iters, uniform)
     return (
         full.select("doc_id", F.col("score").alias("full"))
         .join(warm.select("doc_id", F.col("score").alias("warm")), "doc_id")
@@ -2436,10 +2452,15 @@ def bowtie_structure(
                 .distinct()
                 .join(visited.select("doc_id"), "doc_id", "left_anti")
                 .select("doc_id", F.lit(hop).alias("dist"))
-                .localCheckpoint(eager=True)
             )
+            # ONE checkpoint per hop (round 6, seed_distance_bfs
+            # discipline): fold into visited, then filter the next
+            # frontier out of the checkpointed blocks — halves the
+            # per-hop job rounds across the 2 × max_hops BFS loop
             visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-            frontier = nxt.select("doc_id")
+            frontier = visited.filter(F.col("dist") == hop).select(
+                "doc_id"
+            )
         return visited
 
     fwd = _bfs("src", "dst").withColumnRenamed("dist", "fwd_dist")

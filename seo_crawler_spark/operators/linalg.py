@@ -67,14 +67,18 @@ def _jl_sign(k: int, d: int) -> int:
 
 
 def _qarr(emb: DataFrame) -> DataFrame:
-    """(vec_id, label, q) with q = the int64 fixed-point embedding."""
-    return emb.select(
+    """(vec_id, label, q) with q = the int64 fixed-point embedding.
+
+    Round-6 note: expressions in this module are built as SQL strings
+    (one py4j parse call) rather than python loops over F.lit/F.col —
+    constructing the 16×64-literal JL projection through the Column API
+    cost ~2.4 s of driver-side py4j round-trips PER CALL (measured;
+    ~0.15 s as parsed strings). Same resolved plans, same results."""
+    return emb.selectExpr(
         "vec_id",
         "label",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * PCA_Q).cast("long"),
-        ).alias("q"),
+        "transform(embedding, x -> cast(floor(cast(x as double) * "
+        f"{PCA_Q}) as long)) AS q",
     ).localCheckpoint(eager=True)
 
 
@@ -111,16 +115,15 @@ def pca_power_projection(
     icp = n·ip − (Σq)·v (the n-scaled CENTERED coordinate).
     """
     emb = _qarr(load(spark, "embeddings", sf_dir))
+    # scatter matrix: the UPPER TRIANGLE only (q_i·q_j ≡ q_j·q_i, so
+    # the full 64×64 explode shuffled twice the rows for mirrored
+    # values — round 6 halves the dominant explode+agg and mirrors
+    # driver-side; identical integer sums land in every a[i][j])
     pairs = F.explode(
-        F.flatten(
-            F.transform(
-                "q",
-                lambda x, i: F.transform(
-                    "q", lambda y, j: F.struct(
-                        i.alias("d1"), j.alias("d2"), (x * y).alias("p")
-                    )
-                ),
-            )
+        F.expr(
+            "flatten(transform(q, (x, i) -> "
+            "transform(slice(q, i + 1, size(q) - i), (y, jr) -> "
+            "struct(i AS d1, i + jr AS d2, x * y AS p))))"
         )
     )
     a_rows = (
@@ -139,6 +142,7 @@ def pca_power_projection(
     a = [[0] * DIM for _ in range(DIM)]
     for r in a_rows:
         a[r["d1"]][r["d2"]] = r["s"]
+        a[r["d2"]][r["d1"]] = r["s"]
     b = [0] * DIM
     for r in b_rows:
         b[r["d"]] = r["s"]
@@ -151,11 +155,10 @@ def pca_power_projection(
     v = _power_iterate(ms, iters)
     bv = sum(b[d] * v[d] for d in range(DIM))
 
-    vlit = F.array(*[F.lit(x).cast("long") for x in v])
-    ip = F.aggregate(
-        F.zip_with("q", vlit, lambda x, s: x * s),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    vlit = "array(" + ", ".join(f"{x}L" for x in v) + ")"
+    ip = F.expr(
+        f"aggregate(zip_with(q, {vlit}, (x, s) -> x * s), 0L, "
+        "(acc, x) -> acc + x)"
     )
     return (
         emb.select("vec_id", "label", ip.alias("ip"))
@@ -236,17 +239,14 @@ def random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _qarr(load(spark, "embeddings", sf_dir))
     cols = []
     for k in range(RP_K):
-        signs = F.array(
-            *[F.lit(_jl_sign(k, d)).cast("long") for d in range(DIM)]
-        )
+        signs = "array(" + ", ".join(
+            f"{_jl_sign(k, d)}L" for d in range(DIM)
+        ) + ")"
         cols.append(
-            F.aggregate(
-                F.zip_with("q", signs, lambda x, s: x * s),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias(f"y{k}")
+            f"aggregate(zip_with(q, {signs}, (x, s) -> x * s), 0L, "
+            f"(acc, x) -> acc + x) AS y{k}"
         )
-    return emb.select("vec_id", "label", *cols).orderBy("vec_id")
+    return emb.selectExpr("vec_id", "label", *cols).orderBy("vec_id")
 
 
 def random_projection_sql() -> str:
