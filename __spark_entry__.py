@@ -149,16 +149,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the grading driver records CORRECTNESS rows for
-    # the FIRST 50 entries only (dict insertion order). Round-5 window
-    # policy (VERDICT r4, Next round #2): every window row is either
+    # the FIRST 50 entries only (dict insertion order). Window policy
+    # (VERDICT r4 #2, proven in r5): every window row is either
     # multi-round driver-green or changed-this-round, changed <= 10.
+    # Round-6 rotation (VERDICT r5, Next round #1): the five round-5
+    # queries that have never held a driver row enter the window
+    # (they are two-scale green in the committed local artifacts);
+    # the five rows they displace (cms_frequency,
+    # length_quantile_sketch, cocitation_similarity, bitext_mining,
+    # vocab_coverage — all driver-green r5) move to the tail. Changed
+    # rows = 10, anchors kept.
     return {
-    # Rows 1-10: the round-4 driver-red rows, re-submitted after the
-    # root-cause fix: each had a DuckDB HUGEINT (sum()/integer-div)
-    # oracle column that surfaces as arrow decimal128 in a
-    # toPandas-path driver while Spark emits bigint — the ONLY
-    # queries in the r4 window with such a column, fixed by ::BIGINT
-    # casts (values were already bit-identical through fetchall()).
+    # Rows 1-5: the round-5 additions, first driver ratification.
+        "interleaved_packing": TS.interleaved_packing,
+        "media_phash_neardup": MM.media_phash_neardup,
+        "shard_rebalance_audit": SH.shard_rebalance_audit,
+        "bloom_fpr_audit": SK.bloom_fpr_audit,
+        "token_dist_drift": CS.token_dist_drift,
+    # Rows 6-8: multi-round-green ANCHOR CONTROLS (driver-green since
+    # round 1/2): if these go red alongside new reds, the driver
+    # environment is flaky; if they stay green, any red above is real.
+        "status_histogram": R.order_priority_counts,
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "dedup_exact": D.dedup_exact,
+    # Rows 9-18: the round-5 re-ratified rows (driver-green r5).
         "shard_balance_audit": SH.shard_balance_audit,
         "storage_layout_audit": ST.storage_layout_audit,
         "event_transitions": EA.event_transitions,
@@ -169,14 +183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focused_crawl_priority": CQ.focused_crawl_priority,
         "hll_distinct": SK.hll_distinct,
         "hll_distinct_stream": SS.hll_distinct_stream,
-    # Rows 11-13: multi-round-green ANCHOR CONTROLS (driver-green
-    # since round 1/2, untouched): if these go red while the 10
-    # above stay red, the driver environment is flaky; if they stay
-    # green the decimal128 fix is adjudicated cleanly.
-        "status_histogram": R.order_priority_counts,
-        "q1_pricing_summary": R.q1_pricing_summary,
-        "dedup_exact": D.dedup_exact,
-    # Rows 14-50: round-4 driver-green rows, unchanged.
+    # Rows 19-50: round-4/5 driver-green rows, unchanged order.
         "salsa_scores": G.salsa_scores,
         "linkpred_resource_alloc": G.linkpred_resource_alloc,
         "bowtie_structure": G.bowtie_structure,
@@ -209,11 +216,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seed_distance_bfs": G.seed_distance_bfs,
         "opic_priority": G.opic_priority,
         "centroid_outliers": CU.centroid_outliers,
-        "cms_frequency": SK.cms_frequency,
-        "length_quantile_sketch": SK.length_quantile_sketch,
-        "cocitation_similarity": G.cocitation_similarity,
-        "bitext_mining": S.bitext_mining,
-        "vocab_coverage": BP.vocab_coverage,
     # --- TAIL (positions 51+, no driver row; ratified by the
     # committed two-scale local artifacts via scripts/driver_sim.py,
     # which now fetches oracles through arrow and gates on dtype
@@ -223,6 +225,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # anchors. kmeans_quantizer and hits_scores carry the same
     # decimal128 oracle fix as rows 1-10 (never driver-windowed).
         "walk_skipgram_pairs": G.walk_skipgram_pairs,
+        "cms_frequency": SK.cms_frequency,
+        "length_quantile_sketch": SK.length_quantile_sketch,
+        "cocitation_similarity": G.cocitation_similarity,
+        "bitext_mining": S.bitext_mining,
+        "vocab_coverage": BP.vocab_coverage,
         "error_rate_control_stream": CST.error_rate_control_stream,
         "snippet_extraction": RT.snippet_extraction,
         "source_similarity": CS.source_similarity,
@@ -323,11 +330,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green in the committed local artifacts): modality-aware
         # packing and perceptual-hash media near-dup — the interleaved
         # payload axis
-        "interleaved_packing": TS.interleaved_packing,
-        "media_phash_neardup": MM.media_phash_neardup,
-        "shard_rebalance_audit": SH.shard_rebalance_audit,
-        "bloom_fpr_audit": SK.bloom_fpr_audit,
-        "token_dist_drift": CS.token_dist_drift,
     }
 
 

@@ -1218,10 +1218,16 @@ def token_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two sides are consecutive date partitions and the operator is
     unchanged. Drift = total-variation distance on the exact integer
     grid: TVD = ½·Σ_t |c_a(t)/N_a − c_b(t)/N_b|, emitted per-mille as
-    (500·Σ_t |c_a·N_b − c_b·N_a|) div (N_a·N_b) — every term exact
-    int64 (bounded: per-source token totals beyond ~3·10⁹ should feed
-    per-source downsampled counts to stay inside int64; the audit is
-    per-source, so the bound is per-SOURCE volume, not corpus volume).
+    (500·Σ_t |c_a·N_b − c_b·N_a|) div (N_a·N_b) — exact int64 while
+    N_a·N_b ≤ ~9·10¹⁵ (≈10⁸ tokens per half at worst-case drift —
+    round-6 ADVICE: the old comment claimed 3·10⁹, but the ·500
+    numerator wraps 30× earlier). Past that product the division
+    switches to the rank_correlation overflow branch — one
+    correctly-rounded IEEE divide + floor, engine-identical — which
+    holds until Σ|…| itself wraps at ~2·10⁹ tokens per half; beyond
+    THAT, feed per-source downsampled counts (the audit is
+    per-source, so the bound is per-SOURCE volume, not corpus
+    volume).
 
     Scale shape: ONE map-side-combined (source, term) aggregate with
     two conditional sums (the halves never materialize separately),
@@ -1263,7 +1269,27 @@ def token_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 (F.col("tok_a") == 0) | (F.col("tok_b") == 0),
                 F.lit(None).cast("long"),
-            ).otherwise(F.expr("(isum * 500) div (tok_a * tok_b)")),
+            )
+            .when(
+                # overflow guard (round-6 ADVICE): isum·500 wraps int64
+                # once tok_a·tok_b > ~9.2e15; compare on doubles (wrap-
+                # free, conservative margin) and take the IEEE floor
+                # path there — TVD ∈ [0,1000], one divide, identical in
+                # both engines. Tested scales always take the exact div.
+                F.col("tok_a").cast("double") * F.col("tok_b").cast("double")
+                <= F.lit(9.0e15),
+                F.expr("(isum * 500) div (tok_a * tok_b)"),
+            )
+            .otherwise(
+                F.floor(
+                    F.col("isum").cast("double")
+                    * F.lit(500.0)
+                    / (
+                        F.col("tok_a").cast("double")
+                        * F.col("tok_b").cast("double")
+                    )
+                ).cast("long")
+            ),
         )
         .select("source", "tok_a", "tok_b", "n_terms", "tvd_pm")
         .orderBy("source")

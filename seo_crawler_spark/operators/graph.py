@@ -66,12 +66,24 @@ def _edges(docs: DataFrame, n: int) -> DataFrame:
     return e.filter(F.col("src") != F.col("dst"))
 
 
-def pagerank(spark: SparkSession, sf_dir: str, iters: int = ITERS) -> DataFrame:
-    docs = load(spark, "documents", sf_dir).select("doc_id")
-    n = docs.count()
+def _e2_table(docs: DataFrame, n: int) -> DataFrame:
+    """Degree-annotated edge table (src, dst, outdeg), checkpointed.
+    Built identically by pagerank / trustrank / opic — compositions
+    (spam_mass, rank_correlation) build it ONCE and pass it through
+    their members' ``_e2`` parameter (round 6: each member used to
+    re-derive and re-checkpoint the same table)."""
     e = _edges(docs, n)
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    e2 = e.join(outdeg, "src").localCheckpoint(eager=True)
+    return e.join(outdeg, "src").localCheckpoint(eager=True)
+
+
+def pagerank(
+    spark: SparkSession, sf_dir: str, iters: int = ITERS,
+    _e2: DataFrame | None = None,
+) -> DataFrame:
+    docs = load(spark, "documents", sf_dir).select("doc_id")
+    n = docs.count()
+    e2 = _e2 if _e2 is not None else _e2_table(docs, n)
 
     score = docs.select("doc_id", F.lit(SCALE).cast("long").alias("score"))
     for _ in range(iters):
@@ -153,7 +165,7 @@ TRUST_SEEDS = 25
 
 def trustrank_scores(
     spark: SparkSession, sf_dir: str, iters: int = ITERS,
-    n_seeds: int = TRUST_SEEDS,
+    n_seeds: int = TRUST_SEEDS, _e2: DataFrame | None = None,
 ) -> DataFrame:
     """TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB 2004): PageRank
     with the teleport mass restricted to a trusted seed set, so trust
@@ -173,9 +185,7 @@ def trustrank_scores(
     driver scalars, the pagerank-n pattern."""
     docs = load(spark, "documents", sf_dir).select("doc_id")
     n = docs.count()
-    e = _edges(docs, n)
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    e2 = e.join(outdeg, "src").localCheckpoint(eager=True)
+    e2 = _e2 if _e2 is not None else _e2_table(docs, n)
 
     tbase = (BASE * n) // n_seeds
     seed_base = F.when(
@@ -744,10 +754,15 @@ def spam_mass(
     agg per iteration, per-iteration lineage checkpoints); the final
     join is doc_id-partitioned, co-located when both score tables are
     bucketed by doc_id."""
-    pr = pagerank(spark, sf_dir, iters).select(
+    # shared degree-annotated edge table (round 6): both member loops
+    # consume the identical e2; building it once drops one full
+    # edge-gen + degree-agg + checkpoint pass from the composition
+    docs = load(spark, "documents", sf_dir).select("doc_id")
+    e2 = _e2_table(docs, docs.count())
+    pr = pagerank(spark, sf_dir, iters, _e2=e2).select(
         "doc_id", F.col("score").alias("pr_score")
     )
-    tr = trustrank_scores(spark, sf_dir, iters, n_seeds).select(
+    tr = trustrank_scores(spark, sf_dir, iters, n_seeds, _e2=e2).select(
         "doc_id", F.col("tscore").alias("tr_score")
     )
     m = pr.join(tr, "doc_id")
@@ -881,7 +896,8 @@ OPIC_ITERS = 5
 
 
 def opic_priority(
-    spark: SparkSession, sf_dir: str, iters: int = OPIC_ITERS
+    spark: SparkSession, sf_dir: str, iters: int = OPIC_ITERS,
+    _e2: DataFrame | None = None,
 ) -> DataFrame:
     """OPIC (Abiteboul, Preda & Cobéna, WWW 2003 — "Adaptive On-Line
     Page Importance Computation"): the cash-diffusion importance score
@@ -904,9 +920,7 @@ def opic_priority(
     Spark and the unrolled DuckDB CTE oracle."""
     docs = load(spark, "documents", sf_dir).select("doc_id")
     n = docs.count()
-    e = _edges(docs, n)
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    e2 = e.join(outdeg, "src").localCheckpoint(eager=True)
+    e2 = _e2 if _e2 is not None else _e2_table(docs, n)
 
     state = docs.select(
         "doc_id",
@@ -1822,8 +1836,12 @@ def rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    pr = pagerank(spark, sf_dir).select("doc_id", "score")
-    op = opic_priority(spark, sf_dir).select("doc_id", "priority")
+    # shared e2 across the two member rankers (round 6, spam_mass
+    # discipline — they build identical degree-annotated edge tables)
+    dd = load(spark, "documents", sf_dir).select("doc_id")
+    e2 = _e2_table(dd, dd.count())
+    pr = pagerank(spark, sf_dir, _e2=e2).select("doc_id", "score")
+    op = opic_priority(spark, sf_dir, _e2=e2).select("doc_id", "priority")
     src = load(spark, "documents", sf_dir).select("doc_id", "source")
     j = src.join(pr, "doc_id").join(op, "doc_id")
     wp = Window.partitionBy("source").orderBy(
@@ -1852,7 +1870,16 @@ def rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps the ratio in [0,1], one correctly-rounded IEEE divide +
     # multiply + floor — engine-identical); below it the exact integer
     # div is unchanged, so driver-scale values are untouched.
-    den = (F.col("n") * (F.col("n") * F.col("n") - 1)).cast("long")
+    # n³ itself wraps int64 at n ≥ 2^21 (round-6 ADVICE): past ~2.1M
+    # docs in ONE source the exact den is uncomputable in int64, Spark
+    # would wrap silently and DuckDB would raise — so the verdict is
+    # NULL-gated there instead (NULL den propagates through num and
+    # rho_ppm below). Every tested scale sits far under the gate, so
+    # driver-scale values are bit-identical.
+    den = F.when(
+        F.col("n") <= F.lit((1 << 21) - 1),
+        (F.col("n") * (F.col("n") * F.col("n") - 1)).cast("long"),
+    ).otherwise(F.lit(None).cast("long"))
     safe = (1 << 63) // 1_000_000  # 9_223_372_036_854
     return (
         g.withColumn("__den", den)

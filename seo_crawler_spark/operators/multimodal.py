@@ -427,7 +427,16 @@ FROM keys GROUP BY content_key ORDER BY keeper_ref
 PHASH_CONTENTS = 40   # distinct base images in the synthetic reuse model
 PHASH_BANDS = 8       # 8 bands x 8 bits over the 64-bit signature
 PHASH_HAM_T = 8       # hamming acceptance threshold (<= 4 by construction
-                      # for re-encodes of one base; ~32 across bases)
+                      # for re-encodes of one base; ~32 across bases).
+                      # CANDIDATE-RECALL bound (round-6 ADVICE): banding
+                      # into PHASH_BANDS bands only GUARANTEES a shared
+                      # band for hamming <= PHASH_BANDS - 1 = 7; a
+                      # hamming-8 pair whose differing bits hit all 8
+                      # bands would be missed as a candidate. Shipped
+                      # data never exercises that corner (same-base
+                      # pairs <= 4, cross-base >= 12); on real corpora
+                      # either lower ham_t to PHASH_BANDS - 1 or raise
+                      # PHASH_BANDS to ham_t + 1 for certain recall.
 
 
 def media_phash_neardup(

@@ -65,7 +65,12 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan-shape and determinism arguments)."""
     docs = load(spark, "documents", sf_dir)
     ex = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    per_doc = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # checkpointed (round 6): the tf collapse feeds the stats collect,
+    # df_t, dl AND the scoring join — uncheckpointed, the final job
+    # re-ran the tokenize→tf chain once per subtree
+    per_doc = ex.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=True)
     dl = per_doc.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df_t = per_doc.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
 
@@ -219,7 +224,11 @@ def decontaminate_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
-    per_doc = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # checkpointed (round 6, bm25_topk discipline): feeds the stats
+    # collect, the query-generation window AND the scoring join
+    per_doc = ex.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=True)
     train = per_doc.filter(F.col("doc_id") >= DECON_BENCH_DOCS)
     dl = train.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df_t = train.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
