@@ -661,16 +661,26 @@ def hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     unions = _estimate(pair_regs, ["src_a", "src_b"])
 
+    # exact-intersection audit as a POSTING LIST (round 6, the
+    # dedup_ngram_jaccard idiom): one shuffle builds shingle → source
+    # set, pairs generate row-locally from each list (≤ |sources|²/2
+    # per shingle), one map-side pair count — the former self-join
+    # re-shuffled every (source, shingle) posting twice. Identical
+    # counts: a pair (a, b) is emitted once per shared shingle either
+    # way.
     grams = (
         d.select("source", tokens(F.col("text")).alias("tok"))
         .select("source", F.explode(shingles(F.col("tok"))).alias("t"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    posting = grams.groupBy("t").agg(F.collect_set("source").alias("ss"))
     exact_pairs = (
-        grams.select(F.col("source").alias("src_a"), "t")
-        .join(grams.select(F.col("source").alias("src_b"), "t"), "t")
-        .filter(F.col("src_a") < F.col("src_b"))
+        posting.filter(F.size("ss") >= 2)
+        .selectExpr(
+            "inline(flatten(transform(ss, "
+            "x -> transform(filter(ss, y -> y > x), "
+            "y -> struct(x AS src_a, y AS src_b)))))"
+        )
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("exact_intersect"))
     )
