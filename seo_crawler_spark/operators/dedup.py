@@ -42,6 +42,7 @@ from ..functions.text import (
     shingles_sql,
     tokens,
 )
+from ..parallel import run_parallel
 from ..sources.tables import load
 from ..session import SCAN_FANOUT
 
@@ -480,21 +481,22 @@ def dedup_incremental(
     #                                          rep_H between m0 and mi
     #                                          can never beat m0)
     # which is exactly the uncollapsed min over all earlier partners.
-    base_grp = (
-        hashed.filter(~is_delta)
+    # the base and delta collapses are independent passes over the
+    # checkpointed `hashed` blocks — overlap their eager checkpoints
+    # from two driver threads (guide §2.6); identical group tables
+    base_grp, delta_grp = run_parallel(
+        lambda: hashed.filter(~is_delta)
         .groupBy("sh")
         .agg(F.min("doc_id").alias("doc_id"), F.first("hh").alias("hh"))
-        .localCheckpoint(eager=True)
-    )
-    delta_grp = (
-        hashed.filter(is_delta)
+        .localCheckpoint(eager=True),
+        lambda: hashed.filter(is_delta)
         .groupBy("sh")
         .agg(
             F.min("doc_id").alias("rep"),
             F.collect_list("doc_id").alias("members"),
             F.first("hh").alias("hh"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True),
     )
     delta_reps = delta_grp.select(F.col("rep").alias("doc_id"), "sh", "hh")
     db = _minhash_bands(delta_reps)

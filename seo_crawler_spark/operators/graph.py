@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import MD5INT_SQL, md5int
+from ..parallel import run_parallel
 from ..sources.tables import load
 
 SCALE = 1_000_000
@@ -759,12 +760,16 @@ def spam_mass(
     # edge-gen + degree-agg + checkpoint pass from the composition
     docs = load(spark, "documents", sf_dir).select("doc_id")
     e2 = _e2_table(docs, docs.count())
-    pr = pagerank(spark, sf_dir, iters, _e2=e2).select(
-        "doc_id", F.col("score").alias("pr_score")
+    # the two member loops are independent given the shared e2 — run
+    # them from two driver threads so their per-iteration job latencies
+    # overlap (guide §2.6); scores are the identical DataFrames the
+    # sequential calls produce
+    pr_raw, tr_raw = run_parallel(
+        lambda: pagerank(spark, sf_dir, iters, _e2=e2),
+        lambda: trustrank_scores(spark, sf_dir, iters, n_seeds, _e2=e2),
     )
-    tr = trustrank_scores(spark, sf_dir, iters, n_seeds, _e2=e2).select(
-        "doc_id", F.col("tscore").alias("tr_score")
-    )
+    pr = pr_raw.select("doc_id", F.col("score").alias("pr_score"))
+    tr = tr_raw.select("doc_id", F.col("tscore").alias("tr_score"))
     m = pr.join(tr, "doc_id")
     excess = F.greatest(
         F.col("pr_score") - F.col("tr_score"), F.lit(0).cast("long")
@@ -1840,8 +1845,15 @@ def rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # discipline — they build identical degree-annotated edge tables)
     dd = load(spark, "documents", sf_dir).select("doc_id")
     e2 = _e2_table(dd, dd.count())
-    pr = pagerank(spark, sf_dir, _e2=e2).select("doc_id", "score")
-    op = opic_priority(spark, sf_dir, _e2=e2).select("doc_id", "priority")
+    # independent member loops over the shared e2 → two driver threads
+    # (guide §2.6, spam_mass discipline): per-iteration latencies
+    # overlap, identical score tables
+    pr_raw, op_raw = run_parallel(
+        lambda: pagerank(spark, sf_dir, _e2=e2),
+        lambda: opic_priority(spark, sf_dir, _e2=e2),
+    )
+    pr = pr_raw.select("doc_id", "score")
+    op = op_raw.select("doc_id", "priority")
     src = load(spark, "documents", sf_dir).select("doc_id", "source")
     j = src.join(pr, "doc_id").join(op, "doc_id")
     wp = Window.partitionBy("source").orderBy(
@@ -2097,12 +2109,19 @@ def pagerank_warm_start(
     # round 6: the post-delta degree-annotated edge table is built ONCE
     # and shared by the full/warm/cold loops (it was re-built and
     # re-checkpointed per loop — two redundant corpus passes)
-    e2_old = prep(e_old)
-    e2_new = prep(e_new)
-    old = loop(e2_old, ITERS, uniform)
-    full = loop(e2_new, ITERS, uniform)
-    warm = loop(e2_new, warm_iters, old)
-    cold = loop(e2_new, warm_iters, uniform)
+    e2_old, e2_new = run_parallel(
+        lambda: prep(e_old), lambda: prep(e_new)
+    )
+    # dependency graph: old → warm; full and cold depend only on
+    # e2_new. Three driver threads (guide §2.6) collapse the 2·ITERS +
+    # 2·warm_iters sequential job rounds to max(ITERS + warm_iters,
+    # ITERS, warm_iters) — the longest chain — with identical scores
+    # (each loop's checkpoints are its own thread's lineage).
+    full, warm, cold = run_parallel(
+        lambda: loop(e2_new, ITERS, uniform),
+        lambda: loop(e2_new, warm_iters, loop(e2_old, ITERS, uniform)),
+        lambda: loop(e2_new, warm_iters, uniform),
+    )
     return (
         full.select("doc_id", F.col("score").alias("full"))
         .join(warm.select("doc_id", F.col("score").alias("warm")), "doc_id")
@@ -2229,10 +2248,14 @@ def salsa_scores(
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.sum("c").alias("auth"))
         )
-        auth = (
-            docs.join(raw_auth, "doc_id", "left")
-            .select("doc_id", F.coalesce("auth", F.lit(0)).alias("auth"))
-            .localCheckpoint(eager=True)
+        # the auth half-step stays LAZY (round 6): it is referenced
+        # exactly once — by the hub half-step below (and, after the
+        # final iteration, once by the output join) — so folding it
+        # into the hub job halves the per-iteration job rounds with a
+        # bounded depth-2 plan per checkpoint (no lineage compounding;
+        # identical integer sums either way)
+        auth = docs.join(raw_auth, "doc_id", "left").select(
+            "doc_id", F.coalesce("auth", F.lit(0)).alias("auth")
         )
         raw_hub = (
             e3.join(auth, e3.dst == auth.doc_id)
@@ -2490,8 +2513,14 @@ def bowtie_structure(
             )
         return visited
 
-    fwd = _bfs("src", "dst").withColumnRenamed("dist", "fwd_dist")
-    bwd = _bfs("dst", "src").withColumnRenamed("dist", "bwd_dist")
+    # forward and backward BFS are independent given the checkpointed
+    # edge table — two driver threads (guide §2.6) overlap the 2 ×
+    # max_hops per-hop job rounds; visited sets identical
+    fwd_v, bwd_v = run_parallel(
+        lambda: _bfs("src", "dst"), lambda: _bfs("dst", "src")
+    )
+    fwd = fwd_v.withColumnRenamed("dist", "fwd_dist")
+    bwd = bwd_v.withColumnRenamed("dist", "bwd_dist")
     out = (
         docs.join(fwd, "doc_id", "left")
         .join(bwd, "doc_id", "left")

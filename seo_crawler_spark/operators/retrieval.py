@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import TOKENS_SQL, tokens
+from ..parallel import run_parallel
 from ..sources.tables import load
 
 # Okapi BM25 constants (the values every major engine defaults to)
@@ -498,10 +499,6 @@ def _bm25f_tables(spark: SparkSession, sf_dir: str) -> dict:
 
     # body postings + lengths
     ex_b = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    tf_b = ex_b.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tfb")
-    ).localCheckpoint(eager=True)
-    dl_b = tf_b.groupBy("doc_id").agg(F.sum("tfb").alias("dlb"))
 
     # anchor postings + lengths (in-edge anchors, tokenized)
     v = len(_ANCHOR_VOCAB)
@@ -514,9 +511,19 @@ def _bm25f_tables(spark: SparkSession, sf_dir: str) -> dict:
         F.col("dst").alias("doc_id"),
         F.explode(F.split(anchor, " ")).alias("term"),
     )
-    tf_a = ex_a.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tfa")
-    ).localCheckpoint(eager=True)
+
+    # the two field collapses are independent corpus passes — overlap
+    # their eager checkpoints from two driver threads (guide §2.6);
+    # identical tf tables
+    tf_b, tf_a = run_parallel(
+        lambda: ex_b.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tfb"))
+        .localCheckpoint(eager=True),
+        lambda: ex_a.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tfa"))
+        .localCheckpoint(eager=True),
+    )
+    dl_b = tf_b.groupBy("doc_id").agg(F.sum("tfb").alias("dlb"))
     dl_a = tf_a.groupBy("doc_id").agg(F.sum("tfa").alias("dla"))
 
     # the two corpus averages in ONE driver job (1-row × 1-row cross)
