@@ -1736,16 +1736,23 @@ def kcore_decomposition(
         # the nested chain re-optimizes and re-evaluates every prior
         # round's degree subtree at each reference. The per-round
         # materialization is load-bearing, not overhead.
-        peeled = (
-            drop
-            if peeled is None
-            else peeled.unionByName(drop)
-        ).localCheckpoint(eager=True)
-        cur = (
-            cur.join(survivors.select(F.col("doc_id").alias("a")), "a")
+        # the two per-round materializations depend only on the PRIOR
+        # round's checkpointed frames, not on each other — overlap them
+        # from two driver threads (guide §2.6): per-round wall becomes
+        # max of the two jobs instead of their sum, identical frames
+        prev_peeled, prev_cur = peeled, cur
+        peeled, cur = run_parallel(
+            lambda: (
+                drop
+                if prev_peeled is None
+                else prev_peeled.unionByName(drop)
+            ).localCheckpoint(eager=True),
+            lambda: prev_cur.join(
+                survivors.select(F.col("doc_id").alias("a")), "a"
+            )
             .join(survivors.select(F.col("doc_id").alias("b")), "b")
             .select("a", "b")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True),
         )
     fdeg = (
         cur.select(F.col("a").alias("v"))
